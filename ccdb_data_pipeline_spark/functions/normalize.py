@@ -1,0 +1,71 @@
+"""Text / field normalization — vectorized pandas UDFs, zero per-row Python.
+
+Re-creates:
+- whitespace collapse on the narrative: ``" ".join(row[5].split())``
+  (/root/reference/common/s3_utils.py:144-145) — here an Arrow-batched
+  pandas UDF so the 100 TB hot path never crosses into row-at-a-time Python;
+- empty-string -> null normalization with the narrative carve-out:
+  the reference nulls every "" field, then restores
+  ``complaint_what_happened`` (/root/reference/complaints/ccdb/index_ccdb.py:32-36);
+- the derived has-narrative boolean (index_ccdb.py:26-29);
+- dedup hashing: built-in ``xxhash64`` / ``sha2`` (JVM-side, no UDF at all).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TableSpec
+
+
+@F.pandas_udf(T.StringType())
+def normalize_ws(s: pd.Series) -> pd.Series:
+    """Collapse unicode whitespace runs to single spaces and trim — exact
+    semantics of Python ``" ".join(s.split())`` (s3_utils.py:144-145),
+    vectorized over Arrow batches. Nulls pass through; "" stays ""."""
+    mask = s.notna()
+    out = s.copy()
+    out[mask] = s[mask].str.split().str.join(" ")
+    return out
+
+
+def normalize_ws_sql(c: Column) -> Column:
+    """JVM-only equivalent for ASCII whitespace (regexp path) — used where a
+    DuckDB-oracle-comparable expression is preferred over the UDF."""
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def empty_to_null(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """""->null for payload string columns except the carve-outs."""
+    out = df
+    for f in df.schema.fields:
+        if (
+            f.dataType.simpleString() == "string"
+            and f.name not in spec.empty_to_null_exempt
+            and f.name not in (spec.op_col, *spec.key_cols)
+        ):
+            out = out.withColumn(f.name, F.when(F.col(f.name) == "", None).otherwise(F.col(f.name)))
+    return out
+
+
+def normalize_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Full normalization pass: ""->null (with carve-out) + whitespace
+    collapse on the configured text columns."""
+    out = empty_to_null(df, spec)
+    for c in spec.normalize_ws_cols:
+        if c in out.columns:
+            out = out.withColumn(c, normalize_ws(F.col(c)))
+    return out
+
+
+def has_text(c: Column) -> Column:
+    """has_narrative analog (index_ccdb.py:26-29)."""
+    return c.isNotNull() & (c != "")
+
+
+def text_hash(c: Column) -> Column:
+    """64-bit dedup hash of normalized text — built-in xxhash64 (no UDF)."""
+    return F.xxhash64(normalize_ws_sql(c))

@@ -1,0 +1,71 @@
+"""Schema evolution: union-merge of target and batch schemas (add + widen).
+
+The reference handles schema change manually — editing field files and
+re-projecting positionally (csv2json.py:74-77, s3_utils.py:147-148; the
+v1->v2 fixture pair adds ``event_tag``). Here evolution is automatic:
+column adds are unioned in (old rows read back as null) and integer/float
+types widen (int32->int64, float->double), mirroring Iceberg's schema-union
+merge rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WIDEN = {
+    ("byte", "short"): "short",
+    ("byte", "int"): "int",
+    ("byte", "long"): "long",
+    ("short", "int"): "int",
+    ("short", "long"): "long",
+    ("int", "long"): "long",
+    ("float", "double"): "double",
+    ("int", "double"): "double",
+    ("long", "double"): "double",
+}
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    for (x, y), r in _WIDEN.items():
+        if {sa, sb} == {x, y} or (sa == x and sb == y) or (sa == y and sb == x):
+            return T._parse_datatype_string(r)
+    raise TypeError(f"incompatible schema evolution: {sa} vs {sb}")
+
+
+def evolve_schema(target: T.StructType, batch: T.StructType) -> T.StructType:
+    """Union of fields; shared fields widen; new batch fields append (nullable).
+    Dropping columns is NOT evolution — missing batch columns stay, null-filled."""
+    out: list[T.StructField] = []
+    batch_by_name = {f.name: f for f in batch.fields}
+    for f in target.fields:
+        if f.name in batch_by_name:
+            out.append(T.StructField(f.name, _widen(f.dataType, batch_by_name[f.name].dataType), f.nullable or batch_by_name[f.name].nullable))
+        else:
+            out.append(T.StructField(f.name, f.dataType, True))
+    tnames = {f.name for f in target.fields}
+    for f in batch.fields:
+        if f.name not in tnames:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast df to exactly ``schema`` (missing columns -> null).
+    Extra df columns not in schema are preserved at the end (engine
+    bookkeeping columns ride along)."""
+    names = {f.name for f in schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cur = df.schema[f.name].dataType
+            c = F.col(f.name)
+            cols.append(c.cast(f.dataType).alias(f.name) if cur != f.dataType else c)
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    extras = [F.col(c) for c in df.columns if c not in names]
+    return df.select(*cols, *extras)

@@ -1,0 +1,61 @@
+"""apply_changes — the foreachBatch body (reference: update_index_with_data,
+/root/reference/complaints/ccdb/index_ccdb.py:121-147, minus its sin of
+swallowing bulk errors at :143-144 — here any failure aborts the batch and
+the commit never happens, so replay is safe).
+
+Pipeline per micro-batch:
+  1. idempotence gate: batch_id <= table.last_batch_id -> skip (the ledger
+     generalizes the reference's watermark read, es_proxy.py:26-38);
+  2. malformed-key drop (index_ccdb.py:104 guard);
+  3. payload normalization: ""->null with text carve-out (index_ccdb.py:32-36)
+     + whitespace collapse via Arrow pandas UDF (s3_utils.py:144-145);
+  4. LWW dedup to one winner per key (correctness-critical: MERGE requires a
+     unique source key);
+  5. bucket-scoped LWW MERGE + atomic snapshot commit with embedded lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_payload
+from ..operators.dedupe import drop_malformed, lww_latest
+from .lake import MergeStats, SnapshotParquetTable
+
+
+def bootstrap_seed(table: SnapshotParquetTable, seed_df: DataFrame, normalize: bool = True) -> None:
+    """Initial snapshot load with the same normalization policy as the change
+    path (the reference normalizes every row it writes to the archive,
+    s3_utils.py:139-148)."""
+    if normalize:
+        seed_df = normalize_payload(seed_df, table.spec)
+    table.bootstrap(seed_df)
+
+
+def apply_changes(
+    table: SnapshotParquetTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    normalize: bool = True,
+    count_malformed: bool = True,
+) -> MergeStats:
+    spec = table.spec
+    if batch_id <= table.last_batch_id:
+        return MergeStats(batch_id=batch_id, skipped=True, version=table.manifest()["version"])
+
+    extra: dict = {}
+    if count_malformed:
+        bad = None
+        for k in spec.key_cols:
+            c = F.col(k).isNull()
+            bad = c if bad is None else (bad | c)
+        extra["n_malformed"] = int(
+            batch_df.agg(F.sum(F.when(bad, 1).otherwise(0)).alias("n")).collect()[0]["n"] or 0
+        )
+
+    df = drop_malformed(batch_df, spec)
+    if normalize:
+        df = normalize_payload(df, spec)
+    deduped = lww_latest(df, spec)
+    return table.merge(deduped, batch_id, summary_extra=extra)

@@ -1,0 +1,479 @@
+"""Lake-table backends: bucketed snapshot-parquet MERGE with atomic commits.
+
+``SnapshotParquetTable`` is the sandbox backend (no Iceberg jar offline —
+``IcebergTable`` in iceberg.py is the production path with the identical
+interface). It re-creates, Spark-natively, the reference's whole sink layer:
+
+- keyed upsert/delete apply (index_ccdb.py:103-105,121-147)  -> bucket-scoped
+  MERGE: read ONLY the buckets the batch touches, full-outer resolve with
+  LWW dominance, rewrite only those buckets;
+- blue/green alias swap atomic publish (index_ccdb.py:45-71) -> manifest
+  pointer (HEAD) swapped by atomic rename; readers always see a complete
+  snapshot, never a partial write;
+- rollback on failure (index_ccdb.py:170-178)                -> uncommitted
+  data files are simply unreferenced; ``rollback()`` re-points HEAD;
+- archive merge/compaction (s3_utils.py:21-59)               -> ``compact()``
+  rewrites buckets dropping tombstones and merging small files.
+
+Scale design: the table is hash-bucketed on ``conv_id`` (all turns of a
+conversation co-locate). A micro-batch's MERGE cost is O(size of affected
+buckets), not O(table): at 10^10 rows / 4096 buckets each bucket is ~2.4M
+rows — one executor's worth of work. Deletes are kept as tombstones carrying
+the deleting writer's (ts, lsn) so a late, lower-dominance update can never
+resurrect a deleted key (FIXTURES.md: "stays deleted"); compaction reclaims
+them once the stream's lateness horizon passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedupe import EPOCH, lww_order
+from ..operators.evolve import align_to_schema, evolve_schema
+from ..schemas import BUCKET, DELETED, LSN_APPLIED, TS_APPLIED, TableSpec
+
+
+@dataclass
+class MergeStats:
+    batch_id: int
+    skipped: bool
+    n_source: int = 0
+    n_insert: int = 0
+    n_update: int = 0
+    n_delete: int = 0
+    n_buckets: int = 0
+    lsn_min: int | None = None
+    lsn_max: int | None = None
+    snapshot_id: str = ""
+    version: int = -1
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX — the alias-swap analog
+
+
+class SnapshotParquetTable:
+    """Bucket-partitioned parquet table with JSON manifests + HEAD pointer."""
+
+    def __init__(self, spark: SparkSession, root: str, spec: TableSpec | None = None):
+        self.spark = spark
+        self.root = root
+        self.spec = spec or TableSpec()
+        self._manifest: dict | None = None
+
+    # ------------------------------------------------------------ manifest IO
+
+    @property
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "HEAD")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "manifests", f"m-{version:010d}.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._head_path)
+
+    def current_version(self) -> int:
+        with open(self._head_path) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            if self._manifest is not None:
+                return self._manifest
+            version = self.current_version()
+            with open(self._manifest_path(version)) as f:
+                self._manifest = json.load(f)
+            return self._manifest
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    @property
+    def last_batch_id(self) -> int:
+        return self.manifest()["last_batch_id"]
+
+    @property
+    def last_lsn(self) -> int:
+        return self.manifest()["last_lsn"]
+
+    def _commit(self, m: dict) -> None:
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        _atomic_write(self._manifest_path(m["version"]), json.dumps(m, indent=1))
+        _atomic_write(self._head_path, str(m["version"]))
+        self._manifest = m
+
+    # ------------------------------------------------------------ create / read
+
+    def create(self, schema: T.StructType) -> None:
+        """DDL analog of index create w/ mapping (index_ccdb.py:150-168)."""
+        os.makedirs(self.root, exist_ok=True)
+        m = {
+            "version": 0,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_snapshot_id": None,
+            "schema": schema.jsonValue(),
+            "schemas": {"0": schema.jsonValue()},
+            "current_schema_id": 0,
+            "num_buckets": self.spec.num_buckets,
+            "key_cols": list(self.spec.key_cols),
+            "bucket_col": self.spec.bucket_col,
+            "buckets": {},  # bucket -> [{path, schema_id}]
+            "last_batch_id": -1,
+            "last_lsn": -1,
+            "summary": {"op": "create"},
+            "committed_at": time.time(),
+        }
+        self._commit(m)
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.spec.bucket_col)), F.lit(self.spec.num_buckets))
+
+    def _internal_schema(self, schema: T.StructType) -> T.StructType:
+        fields = list(schema.fields) + [
+            T.StructField(TS_APPLIED, T.TimestampType(), True),
+            T.StructField(LSN_APPLIED, T.LongType(), True),
+            T.StructField(DELETED, T.BooleanType(), False),
+        ]
+        return T.StructType(fields)
+
+    def _read_files(self, entries: list[dict], m: dict) -> DataFrame | None:
+        """Read data files grouped by their written schema era, align each era
+        to the current schema (evolution: old int32 files -> current int64),
+        and union. Returns None when there are no files."""
+        if not entries:
+            return None
+        cur = self._internal_schema(T.StructType.fromJson(m["schema"]))
+        by_sid: dict[int, list[str]] = {}
+        for e in entries:
+            by_sid.setdefault(e["schema_id"], []).append(os.path.join(self.root, e["path"]))
+        parts = []
+        for sid, paths in by_sid.items():
+            era = self._internal_schema(T.StructType.fromJson(m["schemas"][str(sid)]))
+            df = self.spark.read.schema(era).parquet(*paths)
+            parts.append(align_to_schema(df, cur))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, version: int | None = None, include_internal: bool = False,
+             buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read (time travel via ``version``). Excludes tombstones."""
+        m = self.manifest(version)
+        entries = []
+        for b, files in m["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                entries.extend(files)
+        df = self._read_files(entries, m)
+        if df is None:
+            df = self.spark.createDataFrame([], self._internal_schema(T.StructType.fromJson(m["schema"])))
+        df = df.filter(~F.col(DELETED))
+        if not include_internal:
+            df = df.select(*[f.name for f in T.StructType.fromJson(m["schema"]).fields])
+        return df
+
+    # ------------------------------------------------------------ bootstrap
+
+    def bootstrap(self, seed_df: DataFrame, schema: T.StructType | None = None) -> None:
+        """Initial snapshot load (the reference's full reindex path,
+        harness.py:107 -> index_ccdb.py:150-178). Seed rows get
+        (_ts_applied=ts, _lsn_applied=-1) so any change event dominates a
+        seed row at equal event time."""
+        schema = schema or T.StructType.fromJson(self.manifest()["schema"])
+        df = align_to_schema(seed_df, schema)
+        df = (
+            df.withColumn(TS_APPLIED, F.coalesce(F.col(self.spec.ts_col), F.to_timestamp(F.lit(EPOCH))))
+            .withColumn(LSN_APPLIED, F.lit(-1).cast("long"))
+            .withColumn(DELETED, F.lit(False))
+            .withColumn(BUCKET, self._bucket_expr())
+        )
+        files = self._write_data(df, version=self.current_version() + 1)
+        m = dict(self.manifest())
+        m["version"] += 1
+        m["parent_snapshot_id"] = m["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["buckets"] = {str(b): fs for b, fs in files.items()}
+        m["summary"] = {"op": "bootstrap"}
+        m["committed_at"] = time.time()
+        self._commit(m)
+
+    def _write_data(self, df: DataFrame, version: int, sid: int | None = None) -> dict[int, list[dict]]:
+        """Write df (with BUCKET col) partitioned by bucket; return
+        bucket -> file entries. One commit dir per version keeps uncommitted
+        writes invisible (they're simply never referenced by a manifest)."""
+        rel = os.path.join("data", f"c{version:010d}")
+        out_dir = os.path.join(self.root, rel)
+        if sid is None:
+            sid = self.manifest().get("current_schema_id", 0)
+        (
+            df.repartition(F.col(BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET)
+            .parquet(out_dir)
+        )
+        files: dict[int, list[dict]] = {}
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            base = os.path.basename(dirpath)
+            if not base.startswith(f"{BUCKET}="):
+                continue
+            b = int(base.split("=", 1)[1])
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        {"path": os.path.join(rel, base, fn), "schema_id": sid}
+                    )
+        return files
+
+    # ------------------------------------------------------------ MERGE
+
+    def merge(self, source: DataFrame, batch_id: int, summary_extra: dict | None = None) -> MergeStats:
+        """Apply one deduped change batch (unique per key) exactly-once.
+
+        MERGE INTO semantics (J1/J2/J3 of SURVEY.md section 2.3):
+        WHEN MATCHED AND src dominates AND op='D'   -> tombstone
+        WHEN MATCHED AND src dominates              -> UPDATE *
+        WHEN NOT MATCHED AND op != 'D'              -> INSERT *
+        src dominates iff (ts,lsn) strictly > target's applied (ts,lsn) —
+        stale replays and late losers are no-ops (exactly-once effects).
+        """
+        m0 = self.manifest()
+        if batch_id <= m0["last_batch_id"]:
+            return MergeStats(batch_id=batch_id, skipped=True, version=m0["version"])
+        spec = self.spec
+
+        # --- schema evolution (column add / widen) before anything touches data
+        tgt_schema = T.StructType.fromJson(m0["schema"])
+        data_cols = [c for c in source.columns if c not in (spec.op_col, spec.lsn_col)]
+        batch_payload = T.StructType([source.schema[c] for c in data_cols])
+        new_schema = evolve_schema(tgt_schema, batch_payload)
+        schema_changed = new_schema != tgt_schema
+
+        # lsn/op ride along as extra (non-schema) columns through alignment
+        src = align_to_schema(
+            source.select(*data_cols, spec.lsn_col, spec.op_col), new_schema
+        )
+        src = src.withColumn(BUCKET, self._bucket_expr())
+
+        # --- per-bucket batch stats: one small agg drives lineage + the
+        #     affected-bucket list (<= num_buckets rows to the driver).
+        per_bucket = (
+            src.groupBy(BUCKET)
+            .agg(
+                F.min(spec.lsn_col).alias("lsn_min"),
+                F.max(spec.lsn_col).alias("lsn_max"),
+                F.sum(F.when(F.col(spec.op_col) == "I", 1).otherwise(0)).alias("n_i"),
+                F.sum(F.when(F.col(spec.op_col) == "U", 1).otherwise(0)).alias("n_u"),
+                F.sum(F.when(F.col(spec.op_col) == "D", 1).otherwise(0)).alias("n_d"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        if not per_bucket:
+            return self._commit_empty(batch_id, summary_extra)
+        affected = sorted(int(r[BUCKET]) for r in per_bucket)
+        stats = MergeStats(
+            batch_id=batch_id,
+            skipped=False,
+            n_source=sum(r["n"] for r in per_bucket),
+            n_insert=sum(r["n_i"] for r in per_bucket),
+            n_update=sum(r["n_u"] for r in per_bucket),
+            n_delete=sum(r["n_d"] for r in per_bucket),
+            n_buckets=len(affected),
+            lsn_min=min(r["lsn_min"] for r in per_bucket),
+            lsn_max=max(r["lsn_max"] for r in per_bucket),
+        )
+
+        # --- read ONLY affected buckets of the target
+        entries = [e for b in affected for e in m0["buckets"].get(str(b), [])]
+        tgt = self._read_files(entries, m0)
+        if tgt is not None and schema_changed:
+            tgt = align_to_schema(
+                tgt.select(*[f.name for f in tgt.schema.fields if f.name not in (BUCKET,)]),
+                self._internal_schema(new_schema),
+            )
+
+        resolved = self._resolve(tgt, src, new_schema)
+
+        # --- rewrite affected buckets, commit new manifest
+        version = m0["version"] + 1
+        if schema_changed:
+            # register the evolved schema era first so files get the new id
+            new_sid = max(int(k) for k in m0["schemas"]) + 1
+        else:
+            new_sid = m0["current_schema_id"]
+        m = dict(m0)
+        m["schemas"] = dict(m0["schemas"])
+        if schema_changed:
+            m["schemas"][str(new_sid)] = new_schema.jsonValue()
+            m["schema"] = new_schema.jsonValue()
+            m["current_schema_id"] = new_sid
+        files = self._write_data(resolved, version, sid=new_sid)
+
+        buckets = dict(m0["buckets"])
+        for b in affected:
+            buckets[str(b)] = files.get(b, [])
+        m["version"] = version
+        m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["buckets"] = buckets
+        m["last_batch_id"] = batch_id
+        m["last_lsn"] = max(m0["last_lsn"], stats.lsn_max or -1)
+        m["summary"] = {
+            "op": "merge",
+            "batch_id": batch_id,
+            "n_source": stats.n_source,
+            "n_insert": stats.n_insert,
+            "n_update": stats.n_update,
+            "n_delete": stats.n_delete,
+            "lsn_min": stats.lsn_min,
+            "lsn_max": stats.lsn_max,
+            "affected_buckets": affected,
+            "per_bucket": [
+                {
+                    "bucket": int(r[BUCKET]),
+                    "lsn_min": r["lsn_min"],
+                    "lsn_max": r["lsn_max"],
+                    "n_i": r["n_i"],
+                    "n_u": r["n_u"],
+                    "n_d": r["n_d"],
+                }
+                for r in per_bucket
+            ],
+            **(summary_extra or {}),
+        }
+        m["committed_at"] = time.time()
+        self._commit(m)
+        stats.snapshot_id = m["snapshot_id"]
+        stats.version = version
+        return stats
+
+    def _commit_empty(self, batch_id: int, summary_extra: dict | None) -> MergeStats:
+        m = dict(self.manifest())
+        m["version"] += 1
+        m["parent_snapshot_id"] = m["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["last_batch_id"] = batch_id
+        m["summary"] = {"op": "merge", "batch_id": batch_id, "n_source": 0, **(summary_extra or {})}
+        m["committed_at"] = time.time()
+        self._commit(m)
+        return MergeStats(batch_id=batch_id, skipped=False, snapshot_id=m["snapshot_id"], version=m["version"])
+
+    def _resolve(self, tgt: DataFrame | None, src: DataFrame, schema: T.StructType) -> DataFrame:
+        """Full-outer LWW resolve of target rows vs winning source events."""
+        spec = self.spec
+        payload = [f.name for f in schema.fields if f.name not in spec.key_cols]
+        keys = list(spec.key_cols)
+
+        if tgt is None:
+            tgt = self.spark.createDataFrame([], self._internal_schema(schema))
+
+        s = src.select(
+            *keys,
+            F.struct(
+                *[F.col(c) for c in payload],
+                F.col(spec.lsn_col),
+                F.col(spec.op_col).alias("_op"),
+            ).alias("_s"),
+        )
+        t = tgt.select(
+            *keys,
+            F.struct(
+                *[F.col(c) for c in payload],
+                F.col(TS_APPLIED),
+                F.col(LSN_APPLIED),
+                F.col(DELETED),
+            ).alias("_t"),
+        )
+        j = t.join(s, on=keys, how="full_outer")
+
+        epoch = F.to_timestamp(F.lit(EPOCH))
+        s_ord = F.struct(
+            F.coalesce(F.col(f"_s.{spec.ts_col}"), epoch), F.col(f"_s.{spec.lsn_col}")
+        )
+        t_ord = F.struct(F.col(f"_t.{TS_APPLIED}"), F.col(f"_t.{LSN_APPLIED}"))
+        s_wins = F.col("_s").isNotNull() & (F.col("_t").isNull() | (s_ord > t_ord))
+        is_del = F.col("_s._op") == "D"
+
+        cols = [F.col(k) for k in keys]
+        for c in payload:
+            cols.append(
+                F.when(s_wins & ~is_del, F.col(f"_s.{c}"))
+                .when(s_wins & is_del, F.lit(None))
+                .otherwise(F.col(f"_t.{c}"))
+                .alias(c)
+            )
+        cols += [
+            F.when(s_wins, F.coalesce(F.col(f"_s.{spec.ts_col}"), epoch))
+            .otherwise(F.col(f"_t.{TS_APPLIED}"))
+            .alias(TS_APPLIED),
+            F.when(s_wins, F.col(f"_s.{spec.lsn_col}"))
+            .otherwise(F.col(f"_t.{LSN_APPLIED}"))
+            .alias(LSN_APPLIED),
+            F.when(s_wins, is_del).otherwise(F.col(f"_t.{DELETED}")).alias(DELETED),
+        ]
+        out = j.select(*cols)
+        # drop never-materialized keys: a D (or stale loser) arriving for a key
+        # the table never saw -> tombstone it anyway IF it won (late lower-lsn
+        # updates must stay dead), which the projection above already does.
+        return out.withColumn(BUCKET, self._bucket_expr())
+
+    # ------------------------------------------------------------ maintenance
+
+    def rollback(self, version: int) -> None:
+        """Re-point HEAD at an older snapshot (index_ccdb.py:170-178 analog)."""
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(f"no manifest for version {version}")
+        _atomic_write(self._head_path, str(version))
+        self._manifest = None
+
+    def compact(self, drop_tombstones: bool = True) -> None:
+        """Rewrite every bucket: merge small files, optionally reclaim
+        tombstones (safe once lateness horizon passed) — the
+        rewrite_data_files analog of the archive re-merge (s3_utils.py:21-59)."""
+        m0 = self.manifest()
+        entries = [e for fs in m0["buckets"].values() for e in fs]
+        df = self._read_files(entries, m0)
+        version = m0["version"] + 1
+        m = dict(m0)
+        if df is None:
+            return
+        if drop_tombstones:
+            df = df.filter(~F.col(DELETED))
+        df = df.withColumn(BUCKET, self._bucket_expr())
+        files = self._write_data(df, version, sid=m0["current_schema_id"])
+        m["version"] = version
+        m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["buckets"] = {str(b): fs for b, fs in files.items()}
+        m["summary"] = {"op": "compact"}
+        m["committed_at"] = time.time()
+        self._commit(m)
+
+    def history(self) -> list[dict]:
+        """All committed snapshots (oldest first) — lineage/audit surface."""
+        out = []
+        v = self.current_version()
+        while v >= 0:
+            m = self.manifest(v)
+            out.append(m)
+            v -= 1
+            if m["parent_snapshot_id"] is None:
+                break
+        return list(reversed(out))

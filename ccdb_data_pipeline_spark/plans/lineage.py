@@ -1,0 +1,65 @@
+"""Per-batch lineage/metrics ledger, derived from committed manifests.
+
+Lineage is embedded in each snapshot manifest at commit time (same atomic
+rename that publishes the data — no window where data is committed but
+lineage isn't, the failure mode called out in SURVEY.md section 4.4). This
+module materializes it as DataFrames for audit queries:
+
+- ``lineage_df``: one row per committed merge batch (FIXTURES.md section 5
+  schema: batch_id, lsn range, op counts, n_partitions, snapshot_id, ...);
+- ``lineage_detail_df``: per-bucket (per-partition) breakdown — source LSN
+  range and row counts per storage bucket per batch.
+
+Generalizes the reference's sink-side watermark (`get_last_indexed`,
+/root/reference/common/es_proxy.py:26-38) into a full audit ledger.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import LINEAGE_SCHEMA
+from .lake import SnapshotParquetTable
+
+
+def lineage_rows(table: SnapshotParquetTable) -> list[dict]:
+    rows = []
+    for m in table.history():
+        s = m.get("summary", {})
+        if s.get("op") != "merge":
+            continue
+        rows.append(
+            {
+                "batch_id": int(s["batch_id"]),
+                "lsn_min": s.get("lsn_min"),
+                "lsn_max": s.get("lsn_max"),
+                "n_insert": int(s.get("n_insert", 0)),
+                "n_update": int(s.get("n_update", 0)),
+                "n_delete": int(s.get("n_delete", 0)),
+                "n_malformed": int(s.get("n_malformed", 0)),
+                "n_partitions": len(s.get("per_bucket", [])),
+                "snapshot_id": m["snapshot_id"],
+                "committed_at": _dt.datetime.utcfromtimestamp(m["committed_at"]),
+            }
+        )
+    return rows
+
+
+def lineage_df(spark: SparkSession, table: SnapshotParquetTable) -> DataFrame:
+    return spark.createDataFrame(lineage_rows(table), LINEAGE_SCHEMA)
+
+
+def lineage_detail_rows(table: SnapshotParquetTable) -> list[dict]:
+    rows = []
+    for m in table.history():
+        s = m.get("summary", {})
+        for pb in s.get("per_bucket", []) or []:
+            rows.append({"batch_id": int(s["batch_id"]), "snapshot_id": m["snapshot_id"], **pb})
+    return rows
+
+
+def last_committed_lsn(table: SnapshotParquetTable) -> int:
+    """Resume cutoff — `SELECT max(lsn) FROM lineage` analog."""
+    return table.last_lsn

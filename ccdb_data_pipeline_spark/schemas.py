@@ -1,0 +1,106 @@
+"""Schemas and the TableSpec that parameterizes the CDC engine.
+
+The canonical table is the transcript table from the design brief:
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` keyed on ``(conv_id, turn_idx)`` — the analog of the
+reference's documents keyed on ``complaint_id``
+(/root/reference/complaints/ccdb/index_ccdb.py:103).
+
+The change event is the reference's op-tagged bulk action
+(index_ccdb.py:103-105) generalized with a monotonic LSN (the exactly-once
+token, generalizing the ``LastModifiedDate >= watermark`` delta pull at
+/root/reference/salesforce/query.py:32-33).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- schemas
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),  # 'I' | 'U' | 'D'
+        T.StructField("conv_id", T.StringType(), True),  # null => malformed, dropped
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# v2 = schema-evolution continuation: adds nullable tool_args (column add)
+# and widens turn_idx int32 -> int64 — mirrors the reference's v1->v2
+# intake-column add (complaints/ccdb/tests/__fixtures__/v2-intake.csv:1).
+CHANGE_SCHEMA_V2 = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.LongType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("tool_args", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("lsn_min", T.LongType(), True),
+        T.StructField("lsn_max", T.LongType(), True),
+        T.StructField("n_insert", T.LongType(), False),
+        T.StructField("n_update", T.LongType(), False),
+        T.StructField("n_delete", T.LongType(), False),
+        T.StructField("n_malformed", T.LongType(), False),
+        T.StructField("n_partitions", T.IntegerType(), False),
+        T.StructField("snapshot_id", T.StringType(), False),
+        T.StructField("committed_at", T.TimestampType(), False),
+    ]
+)
+
+# Hidden bookkeeping columns stored in the lake table's data files.
+TS_APPLIED = "_ts_applied"  # event-time of the last applied writer (LWW major key)
+LSN_APPLIED = "_lsn_applied"  # LSN of the last applied writer (LWW tie-break)
+DELETED = "_deleted"  # tombstone flag: wins LWW against stale late updates
+BUCKET = "_bucket"  # storage bucket = pmod(xxhash64(conv_id), num_buckets)
+
+INTERNAL_COLS = (TS_APPLIED, LSN_APPLIED, DELETED, BUCKET)
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Declarative description of a CDC-maintained table."""
+
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    bucket_col: str = "conv_id"  # bucket on the conversation so all turns co-locate
+    ts_col: str = "ts"
+    lsn_col: str = "lsn"
+    op_col: str = "op"
+    num_buckets: int = 16
+    # payload string columns normalized ""->null, EXCEPT the carve-out —
+    # the reference nulls every empty field then restores the narrative
+    # (index_ccdb.py:32-36); our narrative analog is `text`.
+    empty_to_null_exempt: tuple[str, ...] = ("text",)
+    normalize_ws_cols: tuple[str, ...] = ("text",)
+
+    def payload_cols(self, schema: T.StructType) -> list[str]:
+        meta = {self.lsn_col, self.op_col, *self.key_cols}
+        return [f.name for f in schema.fields if f.name not in meta]

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+AQE on (runtime re-plan + skew-join splitting), UTC session timezone (so
+results compare cleanly against UTC-naive oracles), Arrow enabled for the
+vectorized pandas-UDF path mandated by the design (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "transcript-cdc-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create/get a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (or
+    all cores). ``shuffle_partitions`` defaults to the core count — the
+    right setting for local mode; on a real cluster it should be ~2-3x the
+    total executor cores (set via ``extra_conf``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        ncores = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+        shuffle_partitions = max(4, ncores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

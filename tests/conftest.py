@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ccdb_data_pipeline_spark.session import build_session  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(
+        app_name="cdc-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.streaming.schemaInference": "false"},
+    )
+    yield s
+    s.stop()
