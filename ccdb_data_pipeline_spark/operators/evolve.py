@@ -14,26 +14,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_WIDEN = {
-    ("byte", "short"): "short",
-    ("byte", "int"): "int",
-    ("byte", "long"): "long",
-    ("short", "int"): "int",
-    ("short", "long"): "long",
-    ("int", "long"): "long",
-    ("float", "double"): "double",
-    ("int", "double"): "double",
-    ("long", "double"): "double",
-}
+# numeric widening lattice (Spark simpleString name -> rank within family)
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_INT_TYPE = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FLOATY = {"float", "double"}
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     if a == b:
         return a
     sa, sb = a.simpleString(), b.simpleString()
-    for (x, y), r in _WIDEN.items():
-        if {sa, sb} == {x, y} or (sa == x and sb == y) or (sa == y and sb == x):
-            return T._parse_datatype_string(r)
+    if sa in _INT_RANK and sb in _INT_RANK:
+        return _INT_TYPE[max(_INT_RANK[sa], _INT_RANK[sb])]
+    if (sa in _FLOATY or sa in _INT_RANK) and (sb in _FLOATY or sb in _INT_RANK):
+        return T.DoubleType()
     raise TypeError(f"incompatible schema evolution: {sa} vs {sb}")
 
 
