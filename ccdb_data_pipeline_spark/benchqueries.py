@@ -1,0 +1,600 @@
+"""Operator-coverage queries over the driver's TPC-H-ish test tables.
+
+Each entry maps an operator from SURVEY.md section 2 (or a training-data
+pipeline op) to (a) a Spark DataFrame implementation and (b) an ANSI-SQL
+oracle DuckDB runs on the same parquet. Conventions for hash-stable
+cross-engine comparison:
+
+- money/quantity aggregates are summed as SCALED INTEGERS
+  (round(x*100) -> bigint) — exact, order-independent, engine-independent;
+- every computed column is aliased identically in both implementations;
+- deterministic total orders (explicit tie-breaks) wherever limits apply.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions.normalize import has_text, normalize_ws
+from .operators.dedupe import lww_latest
+from .schemas import TableSpec
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql.strip()
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(c) -> F.Column:
+    return F.round(c * 100).cast("long")
+
+
+# =====================================================================
+# Aggregations (SURVEY 2.4) — TPC-H-style pricing summary (flagship agg)
+# =====================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT))                                   AS sum_qty_c,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))                              AS sum_base_c,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+           COUNT(*)                                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("sum_disc_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# =====================================================================
+# Joins (SURVEY 2.3 J5 + general): multi-way join, broadcast dim join
+# =====================================================================
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_c,
+           strftime(o.o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue_c DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_c"))
+        .select("o_orderkey", "revenue_c", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_c"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_c,
+           COUNT(*) AS n_items
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue_c DESC, nation
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dims, c.c_nationkey == dims.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_c"), "nation")
+    )
+
+
+@q(
+    "dim_join_share",
+    """
+    WITH per_nation AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             COUNT(*) AS n_customers,
+             SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_c
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY nation, region
+    )
+    SELECT nation, region, n_customers, acctbal_c,
+           CAST(round(acctbal_c * 1.0 / n_customers) AS BIGINT) AS avg_bal_c
+    FROM per_nation ORDER BY nation
+    """,
+)
+def dim_join_share(spark, sf_dir):
+    """J5 analog: grouped counts joined to a broadcast dimension + ratio
+    (the per-capita hero-map pattern, reference constants.py + fixture)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+    )
+    per = (
+        c.join(dims, c.c_nationkey == dims.n_nationkey)
+        .groupBy("nation", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_c"),
+        )
+    )
+    return per.select(
+        "nation",
+        "region",
+        "n_customers",
+        "acctbal_c",
+        F.round(F.col("acctbal_c") * 1.0 / F.col("n_customers")).cast("long").alias("avg_bal_c"),
+    ).orderBy("nation")
+
+
+@q(
+    "top1_per_group",
+    """
+    SELECT nation, c_mktsegment AS segment, n FROM (
+      SELECT n.n_name AS nation, c.c_mktsegment, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY COUNT(*) DESC, c.c_mktsegment) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY nation, c.c_mktsegment
+    ) WHERE rn = 1 ORDER BY nation
+    """,
+)
+def top1_per_group(spark, sf_dir):
+    """A4: the hero-map top-1-per-state computation (dominant segment)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    counts = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("nation").orderBy(F.desc("n"), "c_mktsegment")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nation", F.col("c_mktsegment").alias("segment"), "n")
+        .orderBy("nation")
+    )
+
+
+# =====================================================================
+# CDC semantics over the `events` stream table (SURVEY 2.3/2.4/2.7)
+# =====================================================================
+
+
+_EVENTS_SPEC = TableSpec(
+    key_cols=("user_id", "event_type"),
+    bucket_col="user_id",
+    ts_col="ts",
+    lsn_col="event_id",
+    op_col="op",
+)
+
+
+@q(
+    "watermark_max",
+    """
+    SELECT max(ts) AS last_ts, max(event_id) AS last_lsn, COUNT(*) AS n_events
+    FROM events
+    """,
+)
+def watermark_max(spark, sf_dir):
+    """A1/S3: the sink-side watermark read (es_proxy.py:26-38)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.max("ts").alias("last_ts"),
+        F.max("event_id").alias("last_lsn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "cdc_lww_latest",
+    """
+    SELECT user_id, event_type, ts AS last_ts, event_id AS last_lsn,
+           CAST(round(value * 100) AS BIGINT) AS last_value_c
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def cdc_lww_latest(spark, sf_dir):
+    """J4: LWW dedup via the engine's map-side-combining max_by operator."""
+    ev = _t(spark, sf_dir, "events")
+    latest = lww_latest(ev, _EVENTS_SPEC)
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_lsn"),
+        _cents(F.col("value")).alias("last_value_c"),
+    ).orderBy("user_id", "event_type")
+
+
+@q(
+    "cdc_op_routing",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+    FROM events GROUP BY op ORDER BY op
+    """,
+)
+def cdc_op_routing(spark, sf_dir):
+    """P4/P5: eligibility -> upsert-vs-delete routing (index_ccdb.py:101-105)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("op", F.when(F.col("event_type") == "error", "D").otherwise("U"))
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("value"))).alias("value_c"))
+        .orderBy("op")
+    )
+
+
+@q(
+    "cdc_merge_apply",
+    """
+    WITH cutoff AS (SELECT CAST(max(event_id) / 2 AS BIGINT) AS c FROM events),
+    tagged AS (
+      SELECT e.*, CASE WHEN e.event_type = 'error' AND e.event_id > (SELECT c FROM cutoff)
+                       THEN 'D' ELSE 'U' END AS op
+      FROM events e
+    ),
+    winners AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM tagged
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id, event_type
+    """,
+)
+def cdc_merge_apply(spark, sf_dir):
+    """J1+J2+J3: full batch MERGE semantics — seed snapshot (events up to a
+    cutoff LSN) merged with a delta (events after it; 'error' events route to
+    DELETE), last-writer-wins. Composition of the engine's lww + anti-join
+    resolve, equivalent to SnapshotParquetTable.merge for one batch."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    seed = ev.filter(F.col("event_id") <= cutoff).withColumn("op", F.lit("U"))
+    delta = ev.filter(F.col("event_id") > cutoff).withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    seed_latest = lww_latest(seed, _EVENTS_SPEC)
+    delta_latest = lww_latest(delta, _EVENTS_SPEC)
+    # MERGE resolve: delta rows always dominate here (ts grows with lsn per
+    # key after LWW), expressed as anti-join + union then a final LWW pass —
+    # the J3 archive-merge shape (s3_utils.py:29-52).
+    merged = lww_latest(seed_latest.unionByName(delta_latest), _EVENTS_SPEC)
+    return (
+        merged.filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_lsn"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
+    "date_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+    FROM events GROUP BY dt, event_type ORDER BY dt, event_type
+    """,
+)
+def date_rollup(spark, sf_dir):
+    """F2: ISO timestamp -> yyyy-MM-dd day rollup (s3_utils.py ymd)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("value"))).alias("value_c"))
+        .orderBy("dt", "event_type")
+    )
+
+
+@q(
+    "tumbling_hour_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+    FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+    """,
+)
+def tumbling_hour_agg(spark, sf_dir):
+    """2.7: tumbling event-time window aggregation (batch-equivalent form;
+    the streaming variant is F.window + withWatermark in streaming/)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events, min(ts) AS session_start
+    FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ in Spark 4: hop via timestamp before long
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_no", F.sum("new_s").over(ws))
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .orderBy("user_id", "session_no")
+    )
+
+
+# =====================================================================
+# Projections / per-row transforms (SURVEY 2.2) + set ops (2.5)
+# =====================================================================
+
+
+@q(
+    "doc_flags",
+    """
+    SELECT doc_id,
+           (text IS NOT NULL AND text <> '') AS has_text,
+           nullif(source, '') AS source_n,
+           length(text) AS text_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_flags(spark, sf_dir):
+    """P6 derived boolean + P8 empty->null normalization."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        has_text(F.col("text")).alias("has_text"),
+        F.when(F.col("source") == "", None).otherwise(F.col("source")).alias("source_n"),
+        F.length("text").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "ws_normalize",
+    r"""
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_norm
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ws_normalize(spark, sf_dir):
+    """F3: whitespace collapse via the vectorized pandas UDF (Arrow batches)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_ws(F.col("text")).alias("text_norm")).orderBy("doc_id")
+
+
+@q(
+    "row_limit_sorted",
+    """
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c
+    FROM orders ORDER BY totalprice_c DESC, o_orderkey LIMIT 20
+    """,
+)
+def row_limit_sorted(spark, sf_dir):
+    """P9 row limit + 2.5 sort (deterministic tie-break)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", _cents(F.col("o_totalprice")).alias("totalprice_c"))
+        .orderBy(F.desc("totalprice_c"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "union_evolution",
+    """
+    WITH u AS (
+      SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_type, COUNT(*) AS n, COUNT(value_c) AS n_with_value,
+           SUM(value_c) AS value_c_sum
+    FROM u GROUP BY event_type ORDER BY event_type
+    """,
+)
+def union_evolution(spark, sf_dir):
+    """2.5 set ops: unionByName(allowMissingColumns=True) — the
+    schema-evolution union (v1 rows null-padded), reference's archive
+    delta+old union (s3_utils.py:47-52)."""
+    ev = _t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("value_c")
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value_c").alias("n_with_value"),
+            F.sum("value_c").alias("value_c_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_pivot",
+    """
+    SELECT user_id % 10 AS cohort,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events GROUP BY cohort ORDER BY cohort
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """2.5 pivot (expressed as conditional aggregation — shuffle-free width)."""
+    ev = _t(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("cohort").agg(*aggs).orderBy("cohort")
+
+
+# =====================================================================
+# Training-data ops: dedup + text analysis (first wave)
+# =====================================================================
+
+
+@q(
+    "dedup_exact",
+    r"""
+    WITH h AS (
+      SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash
+      FROM documents
+    )
+    SELECT text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM h GROUP BY text_hash HAVING COUNT(*) >= 1
+    ORDER BY text_hash
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash of normalized text -> group -> keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        d.select("doc_id", F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+@q(
+    "token_quality",
+    r"""
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1            AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]'))                       AS n_digits,
+           len(regexp_extract_all(text, '[.,;:!?]'))                    AS n_punct,
+           CAST(round(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b')) * 10000.0
+                / GREATEST(length(text) - length(replace(text, ' ', '')) + 1, 1)) AS BIGINT)
+                                                                        AS stopword_bp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_quality(spark, sf_dir):
+    """Text analysis: whitespace + BPE-ish token counts, digit/punct counts,
+    stopword ratio in basis points (quality-scoring signals)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_ws = F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    n_bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|a|and|of|to)\b"))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.regexp_count(t, F.lit("[0-9]")).alias("n_digits"),
+        F.regexp_count(t, F.lit("[.,;:!?]")).alias("n_punct"),
+        F.round(n_stop * 10000.0 / F.greatest(n_ws, F.lit(1))).cast("long").alias("stopword_bp"),
+    ).orderBy("doc_id")
