@@ -598,3 +598,262 @@ def token_quality(spark, sf_dir):
         F.regexp_count(t, F.lit("[.,;:!?]")).alias("n_punct"),
         F.round(n_stop * 10000.0 / F.greatest(n_ws, F.lit(1))).cast("long").alias("stopword_bp"),
     ).orderBy("doc_id")
+
+
+# =====================================================================
+# Training-data ops wave 2: near-dup dedup, similarity search, text
+# analysis, multimodal plumbing (engine operators from operators/ and
+# functions/; oracles in plain SQL where expressible)
+# =====================================================================
+
+_SHINGLE_CTE = r"""
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS w,
+             generate_subscripts(string_split(t, ' '), 1) AS pos
+      FROM norm
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+      FROM words
+      QUALIFY LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    )
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+             min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '#' || mh_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh_2 || '#' || mh_3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh_4 || '#' || mh_5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh_6 || '#' || mh_7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                               AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.n_common * 10000.0 / (sa.n + sb.n - i.n_common)) AS BIGINT) AS jaccard_bp
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 10000.0 / (sa.n + sb.n - i.n_common) >= 2000
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection (md5 hash mode for oracle parity;
+    production default is xxhash64 — integer-only shuffles)."""
+    from .operators.dedup_text import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=8, band_size=2, threshold_bp=2000, hash_mode="md5"
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+      FROM pairs p JOIN sh x ON x.doc_id = p.id_a
+                   JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.n_common * 10000.0 / (sa.n + sb.n - i.n_common)) AS BIGINT) AS jaccard_bp
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 10000.0 / (sa.n + sb.n - i.n_common) >= 1000
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard within (lang, source) blocks."""
+    from .operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "source"], n=3, threshold_bp=1000
+    ).orderBy("id_a", "id_b")
+
+
+@q("dedup_simhash")  # rows-only: 64-bit bit-vote majority not ANSI-SQL-expressible
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 signatures + banded Hamming<=8 near-pairs (deterministic)."""
+    from .operators.dedup_text import simhash64, simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sim = simhash64(d, "doc_id", "text")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=8).orderBy("id_a", "id_b")
+
+
+_COS_SQL = """
+    CAST(round(list_inner_product(qv, cv)
+         / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+         * 10000) AS BIGINT)
+"""
+
+
+@q(
+    "embedding_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid, {_COS_SQL} AS cos_bp FROM q, c WHERE cid <> qid
+    )
+    SELECT qid, cid AS neighbor_id, cos_bp, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_bp DESC, cid) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY qid, rank
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query set,
+    JVM-side zip_with/aggregate dot products, deterministic tie-breaks."""
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    ).orderBy("qid", "rank")
+
+
+@q(
+    "ann_ivf_assign",
+    f"""
+    WITH cent AS (SELECT vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, cent._cid, {_COS_SQL} AS cos_bp FROM v, cent
+    )
+    SELECT vec_id, _cid AS centroid_id, cos_bp AS centroid_cos_bp FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_bp DESC, _cid) AS rn
+      FROM scored
+    ) WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment (broadcast
+    centroids + map-side-combining argmax) — the partition key for
+    cluster-pruned ANN at scale."""
+    from .operators.similarity import ivf_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("centroid_id"), "embedding")
+    return (
+        ivf_assign(e, cent, id_col="vec_id", vec_col="embedding")
+        .select("vec_id", "centroid_id", "centroid_cos_bp")
+        .orderBy("vec_id")
+    )
+
+
+@q(
+    "lang_id_quality",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))      AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|ist)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|et|la|les|est)\b'))      AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|y|los|las|es)\b'))       AS s_es,
+             len(regexp_extract_all(text, '[一-鿿]')) * 5                          AS s_zh,
+             length(text) AS n_chars,
+             len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|is|in)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh'
+                ELSE 'und' END AS pred_lang,
+           (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh'
+                ELSE 'und' END) = lang AS lang_match,
+           CAST(round(
+             LEAST(n_tokens / 200.0, 1.0) * 4000
+             + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1), 1.0) * 3000
+             + (1 - LEAST(n_digits * 5.0 / GREATEST(n_chars, 1), 1.0)) * 3000
+           ) AS BIGINT) AS quality_bp
+    FROM s ORDER BY doc_id
+    """,
+)
+def lang_id_quality(spark, sf_dir):
+    """Heuristic language-ID + composite quality score (training-data
+    filtering signals), all codegen'd regexp_count expressions."""
+    from .functions.text_analysis import lang_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_score(lang_id(d), "text")
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).alias("lang_match"),
+        "quality_bp",
+    ).orderBy("doc_id")
+
+
+@q(
+    "mm_blob_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256_hex,
+           CAST(ceil(octet_length(encode(text)) / 1024.0) AS INTEGER) AS n_chunks
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_blob_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column -> typed metadata via
+    Arrow mapInPandas (byte length, sha256 content id, chunk count)."""
+    from .functions.multimodal import blob_meta, to_blob
+
+    d = _t(spark, sf_dir, "documents")
+    return blob_meta(to_blob(d, "text"), id_col="doc_id").orderBy("doc_id")
+
+
+@q("doc_fingerprint")  # rows-only: rolling-hash winnowing is stateful per doc
+def doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al.) via mapInPandas."""
+    from .functions.text_analysis import fingerprint_winnow
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_winnow(d, "doc_id", "text").orderBy("doc_id")

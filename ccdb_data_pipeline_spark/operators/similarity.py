@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, both pure DataFrame ops (dot products via zip_with/aggregate —
+JVM-side, no Python in the hot path):
+
+- brute_force_topk: broadcast the (small) query set against the corpus —
+  the exact baseline. Scales linearly in corpus size; the shuffle-free
+  broadcast join is the right plan when |queries| << |corpus|.
+- ivf_assign / ivf_topk: IVF-style coarse quantization — assign every
+  vector to its nearest centroid (broadcast centroids), then restrict the
+  search to the probe cluster(s). At 10^9 vectors this turns a full scan
+  into a 1/K partition-pruned scan when the cluster id is a partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_bp: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row. Query side is
+    broadcast; ranking ties broken by corpus id for determinism. Cosine is
+    reported in basis points (rounded long) so downstream comparisons are
+    exact."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos_bp", F.round(cosine(F.col("qvec"), F.col("cvec")) * 10000).cast("long"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_bp"), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "cos_bp", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (broadcast centroids,
+    single pass, argmax via max_by — map-side combinable)."""
+    cent = F.broadcast(
+        centroids.select(F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    scored = corpus.crossJoin(cent).withColumn(
+        "cos_bp", F.round(cosine(F.col(vec_col), F.col("_cvec")) * 10000).cast("long")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(F.col("_cid"), F.struct(F.col("cos_bp"), -F.col("_cid"))).alias(centroid_id_col),
+            F.max(F.col("cos_bp")).alias("centroid_cos_bp"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    queries_assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    k: int = 5,
+) -> DataFrame:
+    """Search only within the query's probe cluster (1-probe IVF): equi-join
+    on centroid_id replaces the cross join — the scale path."""
+    q = queries_assigned.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), centroid_id_col
+    )
+    c = corpus_assigned.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), centroid_id_col
+    )
+    scored = (
+        c.join(F.broadcast(q), on=centroid_id_col)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos_bp", F.round(cosine(F.col("qvec"), F.col("cvec")) * 10000).cast("long"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_bp"), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "cos_bp", "rank")
+    )

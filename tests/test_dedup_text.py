@@ -1,0 +1,77 @@
+"""Near-dup dedup operators on planted duplicates (golden-fixture style,
+mirroring the reference's edge-row fixture strategy)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccdb_data_pipeline_spark.operators.dedup_text import (
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the tall green trees outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word edit: high jaccard
+FAR = "completely different content about spark shuffles and parquet files and bloom filters"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "srcA"),
+        (2, NEAR, "en", "srcA"),
+        (3, BASE, "en", "srcB"),  # exact dup of 1, different block
+        (4, FAR, "en", "srcA"),
+        (5, "tiny", "en", "srcA"),  # < n words: no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_word_shingles(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    counts = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    n_words = len(BASE.split())
+    assert counts[1] <= n_words - 2  # distinct shingles
+    assert 5 not in counts  # too short to shingle
+
+
+def test_minhash_lsh_finds_planted_pair(spark, docs):
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold_bp=5000).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard_bp"] for r in pairs}
+    assert (1, 3) in found and found[(1, 3)] == 10000  # exact dup
+    assert (1, 2) in found and found[(1, 2)] >= 7000  # near dup
+    assert all(4 not in k for k in found)  # unrelated never pairs
+
+
+def test_lsh_candidates_prune_pair_space(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id")
+    cand = lsh_candidate_pairs(sig, "doc_id")
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 3) in cand_set
+    # far doc shares no band with the base cluster
+    assert (1, 4) not in cand_set and (2, 4) not in cand_set
+
+
+def test_ngram_jaccard_respects_blocks(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], threshold_bp=5000)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # same block, near dup
+    assert (1, 3) not in got  # exact dup but different source block
+
+
+def test_simhash_near_pairs(spark, docs):
+    sim = simhash64(docs, "doc_id", "text")
+    sims = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert sims[1] == sims[3]  # identical text -> identical simhash
+    assert bin(sims[1] ^ sims[2]).count("1") <= 12  # near dup -> small hamming
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(sim, "doc_id", max_hamming=12).collect()}
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs

@@ -1,0 +1,66 @@
+"""Embedding similarity search vs a numpy oracle."""
+
+import numpy as np
+import pytest
+
+from ccdb_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(42)
+    m = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in m[i]]) for i in range(40)]
+    return m, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_topk(m, qids, k):
+    mm = m.astype("float64")
+    norms = np.linalg.norm(mm, axis=1)
+    out = {}
+    for q in qids:
+        cos = (mm @ mm[q]) / (norms * norms[q])
+        bp = np.round(cos * 10000).astype("int64")
+        order = sorted((int(-bp[i]), i) for i in range(len(mm)) if i != q)
+        out[q] = [(i, int(bp[i])) for _, i in order[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, vecs):
+    m, df = vecs
+    q = df.filter("vec_id < 5")
+    got = brute_force_topk(df, q, k=3).collect()
+    exp = _np_topk(m, range(5), 3)
+    for r in got:
+        nid, bp = exp[r["qid"]][r["rank"] - 1]
+        assert r["neighbor_id"] == nid
+        assert r["cos_bp"] == bp
+
+
+def test_ivf_assign_is_argmax(spark, vecs):
+    m, df = vecs
+    cent = df.filter("vec_id < 4").selectExpr("vec_id as centroid_id", "embedding")
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cent).collect()}
+    mm = m.astype("float64")
+    norms = np.linalg.norm(mm, axis=1)
+    for v in range(40):
+        cos = [(round(float((mm[c] @ mm[v]) / (norms[c] * norms[v])) * 10000), -c) for c in range(4)]
+        best = max(range(4), key=lambda c: cos[c])
+        assert got[v] == best, f"vec {v}"
+
+
+def test_ivf_topk_searches_within_cluster(spark, vecs):
+    m, df = vecs
+    cent = df.filter("vec_id < 4").selectExpr("vec_id as centroid_id", "embedding")
+    assigned = ivf_assign(df, cent).join(df, "vec_id")
+    queries = assigned.filter("vec_id IN (10, 11)")
+    got = ivf_topk(assigned, queries, k=3).collect()
+    clusters = {r["vec_id"]: r["centroid_id"] for r in assigned.select("vec_id", "centroid_id").collect()}
+    assert len(got) > 0
+    for r in got:
+        assert clusters[r["neighbor_id"]] == clusters[r["qid"]]
+        assert r["neighbor_id"] != r["qid"]
