@@ -1,0 +1,153 @@
+"""Per-round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "cdc": {...events/sec detail...}}
+
+Headline operator queries run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the CDC replay bench
+(the north-rule metric: sustained change-events/sec applied through the
+full normalize->dedup->MERGE->commit path) runs on a synthetic binlog
+sized by --cdc-events (default 1,000,000).
+
+Modes:
+  python bench.py                 # full: headline queries + CDC replay
+  python bench.py --cdc-only --master local[8] --cdc-events 2000000
+                                  # scaling-run building block (one JVM)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "top1_per_group",
+    "cdc_lww_latest",
+    "cdc_merge_apply",
+    "sessionize",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "token_quality",
+    "ws_normalize",
+]
+
+
+def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_buckets: int) -> dict:
+    """Time the apply path only (generation + bootstrap excluded)."""
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+    from ccdb_data_pipeline_spark.sources.binlog import gen_changes_spark, gen_seed_pandas
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc-bench-", dir=shm)
+    try:
+        binlog = os.path.join(work, "binlog")
+        files_per_batch = 32  # segments per micro-batch: keeps scan parallelism
+        gen_changes_spark(spark, n_events, n_convs).repartitionByRange(
+            n_batches * files_per_batch, "lsn"
+        ).write.parquet(binlog)
+
+        table = SnapshotParquetTable(
+            spark, os.path.join(work, "table"), TableSpec(num_buckets=num_buckets)
+        )
+        table.create(TRANSCRIPT_SCHEMA)
+        seed = gen_seed_pandas(n_convs=min(n_convs, 20000))
+        bootstrap_seed(table, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+
+        changes = spark.read.parquet(binlog)
+        bounds = [int(n_events * i / n_batches) for i in range(n_batches + 1)]
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = changes.filter(
+                (changes.lsn > bounds[b]) & (changes.lsn <= bounds[b + 1])
+            )
+            apply_changes(table, batch, batch_id=b, count_malformed=False)
+        wall = time.time() - t0
+        return {
+            "n_events": n_events,
+            "n_batches": n_batches,
+            "seconds": round(wall, 2),
+            "events_per_sec": round(n_events / wall),
+            "final_rows": table.read().count(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--no-cdc", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--cdc-events", type=int, default=1_000_000)
+    ap.add_argument("--cdc-convs", type=int, default=20_000)
+    ap.add_argument("--cdc-batches", type=int, default=4)
+    args = ap.parse_args()
+
+    from ccdb_data_pipeline_spark.benchqueries import QUERIES
+    from ccdb_data_pipeline_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = args.master or f"local[{cpus}]"
+    n_threads = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
+    extra = {
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        # shuffle partitions are already sized to cores; AQE coalescing to
+        # 64MB targets would cap post-shuffle parallelism at 3-4 tasks here
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-local"  # shuffle off shared disk
+    spark = build_session(
+        app_name="bench", master=master, shuffle_partitions=max(8, n_threads),
+        extra_conf=extra,
+    )
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline operator wall-clock + CDC merge-apply throughput",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "master": master,
+    }
+
+    total = 0.0
+    if not args.cdc_only:
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            dt = time.time() - t0
+            out["queries"][name] = round(dt, 2)
+            total += dt
+
+    if not args.no_cdc:
+        cdc = run_cdc_bench(
+            spark, args.cdc_events, args.cdc_convs, args.cdc_batches,
+            num_buckets=max(16, n_threads),
+        )
+        out["cdc"] = cdc
+        out["queries"]["cdc_replay"] = cdc["seconds"]
+        total += cdc["seconds"]
+
+    out["value"] = round(total, 2)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

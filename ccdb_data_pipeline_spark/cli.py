@@ -1,0 +1,79 @@
+"""spark-submit entry point: init | ingest | replay | compact | bench.
+
+Usage (production: spark-submit --py-files engine.zip -m or a thin runner;
+locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
+
+  init    --table DIR [--buckets N]                create empty lake table
+  seed    --table DIR --parquet PATH               bootstrap initial snapshot
+  ingest  --table DIR --binlog DIR --checkpoint DIR [--max-files N] [--v2]
+                                                   tail segments -> MERGE
+  replay  --table DIR --binlog DIR                 batch replay (no stream)
+  compact --table DIR                              rewrite + drop tombstones
+  lineage --table DIR                              print the batch ledger
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .plans.apply import apply_changes, bootstrap_seed
+from .plans.lake import SnapshotParquetTable
+from .plans.lineage import lineage_rows
+from .schemas import CHANGE_SCHEMA, CHANGE_SCHEMA_V2, TRANSCRIPT_SCHEMA, TableSpec
+from .session import build_session
+from .streaming.stream import run_ingest
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
+    ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact", "lineage"])
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--binlog")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--parquet")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--max-files", type=int, default=16)
+    ap.add_argument("--v2", action="store_true", help="read binlog with the evolved v2 schema")
+    ap.add_argument("--master", default=None)
+    a = ap.parse_args(argv)
+
+    spark = build_session(app_name=f"cdc-{a.cmd}", master=a.master)
+    table = SnapshotParquetTable(spark, a.table, TableSpec(num_buckets=a.buckets))
+
+    if a.cmd == "init":
+        table.create(TRANSCRIPT_SCHEMA)
+        print(json.dumps({"created": a.table, "buckets": a.buckets}))
+    elif a.cmd == "seed":
+        bootstrap_seed(table, spark.read.parquet(a.parquet))
+        print(json.dumps({"seeded_rows": table.read().count()}))
+    elif a.cmd == "ingest":
+        schema = CHANGE_SCHEMA_V2 if a.v2 else CHANGE_SCHEMA
+        run_ingest(
+            spark, a.binlog, table, a.checkpoint,
+            schema=schema, max_files_per_trigger=a.max_files,
+            on_batch=lambda s: print(
+                json.dumps({"batch": s.batch_id, "skipped": s.skipped, "rows": s.n_source,
+                            "lsn": [s.lsn_min, s.lsn_max], "snapshot": s.snapshot_id[:12]}),
+                file=sys.stderr,
+            ),
+        )
+        print(json.dumps({"table_rows": table.read().count(), "last_lsn": table.last_lsn}))
+    elif a.cmd == "replay":
+        batch = spark.read.schema(CHANGE_SCHEMA_V2 if a.v2 else CHANGE_SCHEMA).parquet(a.binlog)
+        stats = apply_changes(table, batch, batch_id=table.last_batch_id + 1)
+        print(json.dumps({"applied": stats.n_source, "lsn": [stats.lsn_min, stats.lsn_max]}))
+    elif a.cmd == "compact":
+        table.compact()
+        print(json.dumps({"compacted": True, "version": table.current_version()}))
+    elif a.cmd == "lineage":
+        for r in lineage_rows(table):
+            r["committed_at"] = str(r["committed_at"])
+            print(json.dumps(r))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

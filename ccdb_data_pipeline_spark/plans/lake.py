@@ -270,6 +270,12 @@ class SnapshotParquetTable:
             source.select(*data_cols, spec.lsn_col, spec.op_col), new_schema
         )
         src = src.withColumn(BUCKET, self._bucket_expr())
+        # one materialization feeds both the stats agg and the resolve join —
+        # without it the upstream normalize (pandas UDF) + dedup shuffle run
+        # twice per batch
+        from pyspark import StorageLevel
+
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
         # --- per-bucket batch stats: one small agg drives lineage + the
         #     affected-bucket list (<= num_buckets rows to the driver).
@@ -286,6 +292,7 @@ class SnapshotParquetTable:
             .collect()
         )
         if not per_bucket:
+            src.unpersist()
             return self._commit_empty(batch_id, summary_extra)
         affected = sorted(int(r[BUCKET]) for r in per_bucket)
         stats = MergeStats(
@@ -324,7 +331,10 @@ class SnapshotParquetTable:
             m["schemas"][str(new_sid)] = new_schema.jsonValue()
             m["schema"] = new_schema.jsonValue()
             m["current_schema_id"] = new_sid
-        files = self._write_data(resolved, version, sid=new_sid)
+        try:
+            files = self._write_data(resolved, version, sid=new_sid)
+        finally:
+            src.unpersist()
 
         buckets = dict(m0["buckets"])
         for b in affected:
