@@ -62,4 +62,15 @@ def apply_changes(
     # when the batch arrives as a handful of fat segment files
     if normalize:
         deduped = normalize_payload(deduped, spec)
-    return table.merge(deduped, batch_id, summary_extra=extra)
+    stats = table.merge(deduped, batch_id, summary_extra=extra)
+    # merge-on-read maintenance: fold delta layers periodically so read
+    # amplification stays bounded (tombstones retained — reclaiming them is
+    # an explicit, lateness-horizon-aware compact(drop_tombstones=True))
+    if (
+        spec.compact_every
+        and table.mode == "mor"
+        and not stats.skipped
+        and (batch_id + 1) % spec.compact_every == 0
+    ):
+        table.compact(drop_tombstones=False)
+    return stats

@@ -106,6 +106,10 @@ class SnapshotParquetTable:
         return T.StructType.fromJson(self.manifest()["schema"])
 
     @property
+    def mode(self) -> str:
+        return self.manifest().get("mode", "cow")
+
+    @property
     def last_batch_id(self) -> int:
         return self.manifest()["last_batch_id"]
 
@@ -131,6 +135,7 @@ class SnapshotParquetTable:
             "schema": schema.jsonValue(),
             "schemas": {"0": schema.jsonValue()},
             "current_schema_id": 0,
+            "mode": self.spec.merge_mode,
             "num_buckets": self.spec.num_buckets,
             "key_cols": list(self.spec.key_cols),
             "bucket_col": self.spec.bucket_col,
@@ -175,19 +180,49 @@ class SnapshotParquetTable:
 
     def read(self, version: int | None = None, include_internal: bool = False,
              buckets: list[int] | None = None) -> DataFrame:
-        """Snapshot read (time travel via ``version``). Excludes tombstones."""
+        """Snapshot read (time travel via ``version``). Excludes tombstones.
+
+        In merge-on-read mode, buckets holding unfolded delta files are
+        LWW-resolved per key at read time (buckets whose files are all base
+        files scan straight through — compaction restores the cheap path)."""
         m = self.manifest(version)
-        entries = []
+        clean: list[dict] = []
+        dirty: list[dict] = []
         for b, files in m["buckets"].items():
-            if buckets is None or int(b) in buckets:
-                entries.extend(files)
-        df = self._read_files(entries, m)
-        if df is None:
+            if buckets is not None and int(b) not in buckets:
+                continue
+            if any(e.get("delta") for e in files):
+                dirty.extend(files)
+            else:
+                clean.extend(files)
+        parts = []
+        df_clean = self._read_files(clean, m)
+        if df_clean is not None:
+            parts.append(df_clean)
+        df_dirty = self._read_files(dirty, m)
+        if df_dirty is not None:
+            parts.append(self._resolve_versions(df_dirty))
+        if not parts:
             df = self.spark.createDataFrame([], self._internal_schema(T.StructType.fromJson(m["schema"])))
+        else:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
         df = df.filter(~F.col(DELETED))
         if not include_internal:
             df = df.select(*[f.name for f in T.StructType.fromJson(m["schema"]).fields])
         return df
+
+    def _resolve_versions(self, df: DataFrame) -> DataFrame:
+        """Collapse multi-version rows (base + delta layers) to the LWW winner
+        per key: greatest ``(_ts_applied, _lsn_applied)`` — the read-side twin
+        of the write-side resolve, map-side-combining like lww_latest."""
+        keys = list(self.spec.key_cols)
+        others = [c for c in df.columns if c not in keys]
+        ord_ = F.struct(F.col(TS_APPLIED), F.col(LSN_APPLIED))
+        win = F.max_by(F.struct(*[F.col(c) for c in others]), ord_)
+        out = df.groupBy(*[F.col(k) for k in keys]).agg(win.alias("_w"))
+        return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
 
     # ------------------------------------------------------------ bootstrap
 
@@ -214,7 +249,8 @@ class SnapshotParquetTable:
         m["committed_at"] = time.time()
         self._commit(m)
 
-    def _write_data(self, df: DataFrame, version: int, sid: int | None = None) -> dict[int, list[dict]]:
+    def _write_data(self, df: DataFrame, version: int, sid: int | None = None,
+                    delta: bool = False) -> dict[int, list[dict]]:
         """Write df (with BUCKET col) partitioned by bucket; return
         bucket -> file entries. One commit dir per version keeps uncommitted
         writes invisible (they're simply never referenced by a manifest)."""
@@ -236,9 +272,10 @@ class SnapshotParquetTable:
             b = int(base.split("=", 1)[1])
             for fn in filenames:
                 if fn.endswith(".parquet"):
-                    files.setdefault(b, []).append(
-                        {"path": os.path.join(rel, base, fn), "schema_id": sid}
-                    )
+                    e = {"path": os.path.join(rel, base, fn), "schema_id": sid}
+                    if delta:
+                        e["delta"] = True
+                    files.setdefault(b, []).append(e)
         return files
 
     # ------------------------------------------------------------ MERGE
@@ -307,18 +344,7 @@ class SnapshotParquetTable:
             lsn_max=max(r["lsn_max"] for r in per_bucket),
         )
 
-        # --- read ONLY affected buckets of the target
-        entries = [e for b in affected for e in m0["buckets"].get(str(b), [])]
-        tgt = self._read_files(entries, m0)
-        if tgt is not None and schema_changed:
-            tgt = align_to_schema(
-                tgt.select(*[f.name for f in tgt.schema.fields if f.name not in (BUCKET,)]),
-                self._internal_schema(new_schema),
-            )
-
-        resolved = self._resolve(tgt, src, new_schema)
-
-        # --- rewrite affected buckets, commit new manifest
+        # --- schema-era bookkeeping, then the mode-specific apply
         version = m0["version"] + 1
         if schema_changed:
             # register the evolved schema era first so files get the new id
@@ -331,14 +357,33 @@ class SnapshotParquetTable:
             m["schemas"][str(new_sid)] = new_schema.jsonValue()
             m["schema"] = new_schema.jsonValue()
             m["current_schema_id"] = new_sid
-        try:
-            files = self._write_data(resolved, version, sid=new_sid)
-        finally:
-            src.unpersist()
 
         buckets = dict(m0["buckets"])
-        for b in affected:
-            buckets[str(b)] = files.get(b, [])
+        try:
+            if m0.get("mode", "cow") == "mor":
+                # merge-on-read: append LWW-versioned delta files — O(batch)
+                # write, no target read, no resolve join; readers (and
+                # compaction) fold layers via _resolve_versions
+                delta = self._as_delta_rows(src, new_schema)
+                files = self._write_data(delta, version, sid=new_sid, delta=True)
+                for b in affected:
+                    buckets[str(b)] = list(buckets.get(str(b), [])) + files.get(b, [])
+            else:
+                # copy-on-write: read ONLY affected buckets of the target,
+                # resolve, rewrite those buckets
+                entries = [e for b in affected for e in m0["buckets"].get(str(b), [])]
+                tgt = self._read_files(entries, m0)
+                if tgt is not None and schema_changed:
+                    tgt = align_to_schema(
+                        tgt.select(*[f.name for f in tgt.schema.fields if f.name not in (BUCKET,)]),
+                        self._internal_schema(new_schema),
+                    )
+                resolved = self._resolve(tgt, src, new_schema)
+                files = self._write_data(resolved, version, sid=new_sid)
+                for b in affected:
+                    buckets[str(b)] = files.get(b, [])
+        finally:
+            src.unpersist()
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
@@ -384,6 +429,30 @@ class SnapshotParquetTable:
         m["committed_at"] = time.time()
         self._commit(m)
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_id=m["snapshot_id"], version=m["version"])
+
+    def _as_delta_rows(self, src: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project winning change events into internal-schema version rows:
+        payload (nulled on delete — the tombstone carries only the deleting
+        writer's dominance pair) + (_ts_applied, _lsn_applied, _deleted)."""
+        spec = self.spec
+        epoch = F.to_timestamp(F.lit(EPOCH))
+        is_del = F.col(spec.op_col) == "D"
+        cols = [F.col(k) for k in spec.key_cols]
+        for f in schema.fields:
+            if f.name in spec.key_cols:
+                continue
+            cols.append(
+                F.when(is_del, F.lit(None).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        cols += [
+            F.coalesce(F.col(spec.ts_col), epoch).alias(TS_APPLIED),
+            F.col(spec.lsn_col).cast("long").alias(LSN_APPLIED),
+            is_del.alias(DELETED),
+            F.col(BUCKET),
+        ]
+        return src.select(*cols)
 
     def _resolve(self, tgt: DataFrame | None, src: DataFrame, schema: T.StructType) -> DataFrame:
         """Full-outer LWW resolve of target rows vs winning source events."""
@@ -464,6 +533,10 @@ class SnapshotParquetTable:
         m = dict(m0)
         if df is None:
             return
+        if any(e.get("delta") for e in entries):
+            # fold merge-on-read layers to one winner per key BEFORE any
+            # tombstone filtering (a tombstone must first beat older versions)
+            df = self._resolve_versions(df)
         if drop_tombstones:
             df = df.filter(~F.col(DELETED))
         df = df.withColumn(BUCKET, self._bucket_expr())

@@ -95,6 +95,16 @@ class TableSpec:
     lsn_col: str = "lsn"
     op_col: str = "op"
     num_buckets: int = 16
+    # merge strategy: "cow" (copy-on-write — each batch rewrites affected
+    # buckets; reads are plain scans) or "mor" (merge-on-read — each batch
+    # appends LWW-versioned delta files; reads resolve the winner per key;
+    # compaction folds deltas back into the base). MoR makes apply cost
+    # O(batch) instead of O(affected-bucket data): the right trade for a
+    # high-rate CDC tail (Iceberg's own copy-on-write vs merge-on-read knob).
+    merge_mode: str = "cow"
+    # in MoR mode, auto-compact after this many committed merge batches
+    # (0 = only on explicit compact()); bounds read amplification.
+    compact_every: int = 0
     # payload string columns normalized ""->null, EXCEPT the carve-out —
     # the reference nulls every empty field then restores the narrative
     # (index_ccdb.py:32-36); our narrative analog is `text`.
