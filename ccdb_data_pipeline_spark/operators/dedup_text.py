@@ -25,17 +25,24 @@ from ..functions.normalize import normalize_ws_sql
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalize_ws_sql(F.col(text_col)), " ")).alias("pos", "w"),
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Shingling happens ARRAY-SIDE (transform over the token array) so the
+    whole operator is a single narrow projection + explode: no per-doc
+    window sort and no (id, shingle) distinct shuffle — dedup within a doc
+    is array_distinct before the explode. At 10^8 docs this stage is
+    shuffle-free; the first shuffle in any consumer is its own groupBy."""
+    arr = F.split(normalize_ws_sql(F.col(text_col)), " ")
+    shingles = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.lead("w", i).over(w) for i in range(n)]
-    sh = words.select(
-        F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_last")
-    ).filter(F.col("_last").isNotNull())
-    return sh.select(id_col, "shingle").distinct()
 
 
 def minhash_signatures(
@@ -115,8 +122,12 @@ def minhash_lsh_dedup(
     threshold_bp: int = 2000,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Full MinHash->LSH->verify pipeline: near-dup pairs with exact Jaccard."""
-    sh = word_shingles(df, id_col, text_col, n=n)
+    """Full MinHash->LSH->verify pipeline: near-dup pairs with exact Jaccard.
+
+    The shingle set feeds three consumers (signatures + both verify sides),
+    so it is persisted for the life of the returned plan — one tokenize pass
+    instead of three (Spark evicts the block LRU after the query runs)."""
+    sh = word_shingles(df, id_col, text_col, n=n).persist()
     sig = minhash_signatures(sh, id_col, n_hashes=n_hashes, hash_mode=hash_mode)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, band_size=band_size)
     return jaccard_verify(sh, cand, id_col, threshold_bp=threshold_bp)
@@ -133,7 +144,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard within blocking groups (e.g. same lang+source):
     the non-approximate baseline. All-pairs only WITHIN a block — blocking
     keeps the pair space linear-ish; for unblocked scale use minhash_lsh."""
-    sh = word_shingles(df, id_col, text_col, n=n)
+    sh = word_shingles(df, id_col, text_col, n=n).persist()
     blocks = df.select(id_col, *block_cols)
     a = blocks.select(F.col(id_col).alias("id_a"), *block_cols)
     b = blocks.select(F.col(id_col).alias("id_b"), *block_cols)
