@@ -18,17 +18,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=4_000_000)
     ap.add_argument("--convs", type=int, default=40_000)
-    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--low", default="local[4]")
-    ap.add_argument("--high", default="local[16]")
+    ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--low", default="local[8]")
+    ap.add_argument("--high", default="local[32]")
     args = ap.parse_args()
 
     results: dict[str, list[dict]] = {args.low: [], args.high: []}
     for i in range(args.reps):
         for m in (args.low, args.high):
             load = open("/proc/loadavg").read().split()[0]
-            r = run_once(m, args.events, args.convs, args.batches)["cdc"]
+            r = run_once(m, args.events, args.convs, args.batches,
+                         mode=args.mode, warmup=args.warmup)["cdc"]
             r["load"] = float(load)
             results[m].append(r)
             print(f"rep {i} {m}: {r['events_per_sec']:,} ev/s (wall {r['seconds']}s, load {load})",

@@ -780,6 +780,57 @@ def ann_ivf_assign(spark, sf_dir):
 
 
 @q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.e AS qv, b.e AS cv
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {_COS_SQL} AS cos_bp
+    FROM pairs
+    WHERE {_COS_SQL} >= 3000
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (IVF-cluster blocking:
+    the pair space is per-block, not n^2; at scale block on ivf_assign)."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold_bp=3000
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "suggest_typeahead",
+    """
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_distinct([lower(lang), lower(source),
+                                      lower(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[1])])),
+             '|') AS typeahead
+    FROM documents ORDER BY doc_id
+    """,
+)
+def suggest_typeahead(spark, sf_dir):
+    """S10 completion-suggester analog: the sink mapping's copy_to fields
+    (ccdb_mapping.json:62-107 feeds typeahead_dropdown) re-expressed as a
+    derived, deduped, sorted suggest set per document."""
+    d = _t(spark, sf_dir, "documents")
+    first_word = F.lower(F.element_at(F.split(normalize_ws(F.col("text")), " "), 1))
+    arr = F.array_sort(
+        F.array_distinct(F.array(F.lower("lang"), F.lower("source"), first_word))
+    )
+    return d.select(
+        "doc_id", F.array_join(arr, "|").alias("typeahead")
+    ).orderBy("doc_id")
+
+
+@q(
     "lang_id_quality",
     r"""
     WITH s AS (

@@ -87,6 +87,36 @@ def ivf_assign(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold_bp: int = 9500,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold in basis points). With ``block_col`` (an IVF cluster id /
+    label), the self-join is an equi-join within blocks — the pair space is
+    sum of squared block sizes, not n^2; unblocked, assign clusters first
+    (ivf_assign) and block on the assignment."""
+    cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    a = df.select(*cols)
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    joined = a.join(b, on="_blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_bp", F.round(cosine(F.col("_va"), F.col("_vb")) * 10000).cast("long"))
+        .filter(F.col("cos_bp") >= threshold_bp)
+        .select("id_a", "id_b", "cos_bp")
+    )
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries_assigned: DataFrame,
