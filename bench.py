@@ -42,7 +42,8 @@ HEADLINE = [
 
 
 def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_buckets: int,
-                  mode: str = "mor", warmup_batches: int = 2) -> dict:
+                  mode: str = "mor", warmup_batches: int = 2,
+                  dedupe_on_write: bool = True) -> dict:
     """Time the apply path (generation + bootstrap excluded).
 
     The headline number is SUSTAINED throughput: the first ``warmup_batches``
@@ -72,7 +73,8 @@ def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_bucket
 
         table = SnapshotParquetTable(
             spark, os.path.join(work, "table"),
-            TableSpec(num_buckets=num_buckets, merge_mode=mode),
+            TableSpec(num_buckets=num_buckets, merge_mode=mode,
+                      dedupe_on_write=dedupe_on_write),
         )
         table.create(TRANSCRIPT_SCHEMA)
         seed = gen_seed_pandas(n_convs=min(n_convs, 20000))
@@ -98,6 +100,7 @@ def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_bucket
         compact_s = time.time() - t_c
         return {
             "mode": mode,
+            "write_path": "write-dedup" if dedupe_on_write else "raw-append",
             "n_events": n_events,
             "n_batches": n_batches,
             "warmup_batches": warmup_batches,
@@ -121,6 +124,7 @@ def main() -> None:
     ap.add_argument("--cdc-convs", type=int, default=20_000)
     ap.add_argument("--cdc-batches", type=int, default=8)
     ap.add_argument("--cdc-mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--cdc-write-path", default="fused", choices=["fused", "raw"])
     ap.add_argument("--cdc-warmup-batches", type=int, default=2)
     args = ap.parse_args()
 
@@ -170,6 +174,7 @@ def main() -> None:
             spark, args.cdc_events, args.cdc_convs, args.cdc_batches,
             num_buckets=max(16, n_threads), mode=args.cdc_mode,
             warmup_batches=args.cdc_warmup_batches,
+            dedupe_on_write=(args.cdc_write_path == "fused"),
         )
         out["cdc"] = cdc
         out["queries"]["cdc_replay"] = cdc["seconds"]

@@ -21,6 +21,7 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--write-path", default="fused", choices=["fused", "raw"])
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--low", default="local[8]")
     ap.add_argument("--high", default="local[32]")
@@ -31,7 +32,8 @@ def main() -> None:
         for m in (args.low, args.high):
             load = open("/proc/loadavg").read().split()[0]
             r = run_once(m, args.events, args.convs, args.batches,
-                         mode=args.mode, warmup=args.warmup)["cdc"]
+                         mode=args.mode, warmup=args.warmup,
+                         write_path=args.write_path)["cdc"]
             r["load"] = float(load)
             results[m].append(r)
             print(f"rep {i} {m}: {r['events_per_sec']:,} ev/s (wall {r['seconds']}s, load {load})",

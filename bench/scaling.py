@@ -22,12 +22,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_once(master: str, events: int, convs: int, batches: int,
-             mode: str = "mor", warmup: int = 2) -> dict:
+             mode: str = "mor", warmup: int = 2, write_path: str = "fused") -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"), "--cdc-only",
         "--master", master, "--cdc-events", str(events),
         "--cdc-convs", str(convs), "--cdc-batches", str(batches),
         "--cdc-mode", mode, "--cdc-warmup-batches", str(warmup),
+        "--cdc-write-path", write_path,
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]

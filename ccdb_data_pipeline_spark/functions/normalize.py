@@ -61,6 +61,28 @@ def normalize_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
     return out
 
 
+def normalize_pandas_frame(pdf: pd.DataFrame, spec: TableSpec, payload_str_cols: list[str]) -> pd.DataFrame:
+    """The SAME normalization policy as normalize_payload, applied to a
+    pandas frame inside an Arrow batch (shared by the fused mapInPandas
+    apply path so the two code paths cannot drift): ""->null for payload
+    string columns except the carve-outs; whitespace collapse on the
+    configured text columns."""
+    for c in payload_str_cols:
+        if c in spec.empty_to_null_exempt or c not in pdf.columns:
+            continue
+        col = pdf[c]
+        mask = col.notna() & (col == "")
+        if mask.any():
+            pdf.loc[mask, c] = None
+    for c in spec.normalize_ws_cols:
+        if c in pdf.columns:
+            col = pdf[c]
+            mask = col.notna()
+            if mask.any():
+                pdf.loc[mask, c] = col[mask].astype(str).str.split().str.join(" ")
+    return pdf
+
+
 def has_text(c: Column) -> Column:
     """has_narrative analog (index_ccdb.py:26-29)."""
     return c.isNotNull() & (c != "")

@@ -55,14 +55,19 @@ def apply_changes(
         )
 
     df = drop_malformed(batch_df, spec)
-    deduped = lww_latest(df, spec)
-    # normalize AFTER dedup: winners only (payload-independent LWW makes the
-    # reorder semantics-preserving) — at a 70%-update event mix this cuts the
-    # Arrow UDF work ~3x, and it runs post-shuffle at full parallelism even
-    # when the batch arrives as a handful of fat segment files
-    if normalize:
-        deduped = normalize_payload(deduped, spec)
-    stats = table.merge(deduped, batch_id, summary_extra=extra)
+    if table.mode == "mor":
+        # fused single-shuffle apply: dedup + normalization happen inside
+        # the bucket-partitioned Arrow pass (see merge_events docstring)
+        stats = table.merge_events(df, batch_id, normalize=normalize, summary_extra=extra)
+    else:
+        deduped = lww_latest(df, spec)
+        # normalize AFTER dedup: winners only (payload-independent LWW makes
+        # the reorder semantics-preserving) — at a 70%-update event mix this
+        # cuts the Arrow UDF work ~3x, and it runs post-shuffle at full
+        # parallelism even when the batch arrives as a few fat segment files
+        if normalize:
+            deduped = normalize_payload(deduped, spec)
+        stats = table.merge(deduped, batch_id, summary_extra=extra)
     # merge-on-read maintenance: fold delta layers periodically so read
     # amplification stays bounded (tombstones retained — reclaiming them is
     # an explicit, lateness-horizon-aware compact(drop_tombstones=True))

@@ -136,6 +136,7 @@ class SnapshotParquetTable:
             "schemas": {"0": schema.jsonValue()},
             "current_schema_id": 0,
             "mode": self.spec.merge_mode,
+            "write_path": "fused" if self.spec.dedupe_on_write else "raw",
             "num_buckets": self.spec.num_buckets,
             "key_cols": list(self.spec.key_cols),
             "bucket_col": self.spec.bucket_col,
@@ -201,7 +202,15 @@ class SnapshotParquetTable:
             parts.append(df_clean)
         df_dirty = self._read_files(dirty, m)
         if df_dirty is not None:
-            parts.append(self._resolve_versions(df_dirty))
+            resolved = self._resolve_versions(df_dirty)
+            if m.get("write_path", "fused") == "raw":
+                # raw write path: normalization deferred to materialization —
+                # applied to WINNERS only (idempotent, so a compacted row
+                # passing through again is unchanged)
+                from ..functions.normalize import normalize_payload
+
+                resolved = normalize_payload(resolved, self.spec)
+            parts.append(resolved)
         if not parts:
             df = self.spark.createDataFrame([], self._internal_schema(T.StructType.fromJson(m["schema"])))
         else:
@@ -419,6 +428,203 @@ class SnapshotParquetTable:
         stats.version = version
         return stats
 
+    def merge_events(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        normalize: bool = True,
+        summary_extra: dict | None = None,
+    ) -> MergeStats:
+        """Fused single-shuffle apply for merge-on-read mode — the high-rate
+        streaming path.
+
+        Plan shape (the one you'd want on a 1000-executor cluster):
+          scan -> project to internal version rows (map)
+               -> repartition(num_buckets, _bucket)          [the ONE shuffle]
+               -> mapInPandas: LWW winner per key + normalization, one Arrow
+                  pass over each bucket partition (no per-row Python)
+               -> observe(batch stats)  -> write partitionBy(_bucket)
+        Batch-level lineage comes from the observe() node (computed inside
+        the same job — no second pass); per-bucket LSN ranges and row counts
+        come from the written parquet footers (free column statistics).
+
+        Contrast with merge(): no pre-shuffle groupBy dedup and no second
+        repartition for the write — two full-batch shuffles removed. The
+        generic merge() remains for copy-on-write mode and for pre-deduped
+        sources (the Iceberg MERGE contract).
+        """
+        import pandas as _pd
+        from pyspark.sql import Observation
+
+        from ..functions.normalize import normalize_pandas_frame
+
+        m0 = self.manifest()
+        if m0.get("mode", "cow") != "mor":
+            raise ValueError("merge_events requires merge_mode='mor'")
+        if batch_id <= m0["last_batch_id"]:
+            return MergeStats(batch_id=batch_id, skipped=True, version=m0["version"])
+        spec = self.spec
+
+        # --- schema evolution (column add / widen) from the raw batch schema
+        tgt_schema = T.StructType.fromJson(m0["schema"])
+        data_cols = [c for c in events.columns if c not in (spec.op_col, spec.lsn_col)]
+        batch_payload = T.StructType([events.schema[c] for c in data_cols])
+        new_schema = evolve_schema(tgt_schema, batch_payload)
+        schema_changed = new_schema != tgt_schema
+
+        src = align_to_schema(
+            events.select(*data_cols, spec.lsn_col, spec.op_col), new_schema
+        ).withColumn(BUCKET, self._bucket_expr())
+
+        internal = self._internal_schema(new_schema)
+        out_schema = T.StructType(
+            list(internal.fields)
+            + [T.StructField(BUCKET, T.LongType(), False), T.StructField("_op", T.StringType(), True)]
+        )
+        keys = list(spec.key_cols)
+        payload_str_cols = [
+            f.name
+            for f in new_schema.fields
+            if f.dataType.simpleString() == "string" and f.name not in keys
+        ]
+        sort_cols = [TS_APPLIED, LSN_APPLIED]
+
+        out_cols = [f.name for f in out_schema.fields]
+
+        def _fold(it):
+            frames = list(it)
+            if not frames:
+                return
+            pdf = frames[0] if len(frames) == 1 else _pd.concat(frames, ignore_index=True)
+            pdf = pdf.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep="last")
+            if normalize:
+                pdf = normalize_pandas_frame(pdf, spec, payload_str_cols)
+            yield pdf[out_cols]
+
+        with_op = self._as_delta_rows(
+            src, new_schema, extra=[F.col(spec.op_col).alias("_op")]
+        ).repartition(self.spec.num_buckets, F.col(BUCKET))
+        if m0.get("write_path", "fused") == "raw":
+            # raw append: every version row, JVM-only apply path; dedup and
+            # normalization defer to read-time resolve / compaction
+            folded = with_op
+        else:
+            folded = with_op.mapInPandas(_fold, schema=out_schema)
+
+        obs = Observation(f"cdc-batch-{batch_id}")
+        folded = folded.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min(LSN_APPLIED).alias("lsn_min"),
+            F.max(LSN_APPLIED).alias("lsn_max"),
+            F.sum(F.when(F.col("_op") == "I", 1).otherwise(0)).alias("n_i"),
+            F.sum(F.when(F.col("_op") == "U", 1).otherwise(0)).alias("n_u"),
+            F.sum(F.when(F.col("_op") == "D", 1).otherwise(0)).alias("n_d"),
+        ).drop("_op")
+
+        # --- schema-era bookkeeping + write (no extra repartition: rows are
+        #     already hash-distributed by bucket)
+        version = m0["version"] + 1
+        new_sid = (
+            max(int(k) for k in m0["schemas"]) + 1 if schema_changed else m0["current_schema_id"]
+        )
+        rel = os.path.join("data", f"c{version:010d}")
+        out_dir = os.path.join(self.root, rel)
+        folded.write.mode("overwrite").partitionBy(BUCKET).parquet(out_dir)
+        got = obs.get
+        if not got["n"]:
+            return self._commit_empty(batch_id, summary_extra)
+
+        files, per_bucket = self._scan_written(out_dir, rel, new_sid)
+        affected = sorted(files)
+        stats = MergeStats(
+            batch_id=batch_id,
+            skipped=False,
+            n_source=int(got["n"]),
+            n_insert=int(got["n_i"] or 0),
+            n_update=int(got["n_u"] or 0),
+            n_delete=int(got["n_d"] or 0),
+            n_buckets=len(affected),
+            lsn_min=int(got["lsn_min"]),
+            lsn_max=int(got["lsn_max"]),
+        )
+
+        m = dict(m0)
+        m["schemas"] = dict(m0["schemas"])
+        if schema_changed:
+            m["schemas"][str(new_sid)] = new_schema.jsonValue()
+            m["schema"] = new_schema.jsonValue()
+            m["current_schema_id"] = new_sid
+        buckets = dict(m0["buckets"])
+        for b in affected:
+            buckets[str(b)] = list(buckets.get(str(b), [])) + files.get(b, [])
+        m["version"] = version
+        m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["buckets"] = buckets
+        m["last_batch_id"] = batch_id
+        m["last_lsn"] = max(m0["last_lsn"], stats.lsn_max or -1)
+        m["summary"] = {
+            "op": "merge",
+            "batch_id": batch_id,
+            "n_source": stats.n_source,
+            "n_insert": stats.n_insert,
+            "n_update": stats.n_update,
+            "n_delete": stats.n_delete,
+            "lsn_min": stats.lsn_min,
+            "lsn_max": stats.lsn_max,
+            "affected_buckets": affected,
+            "per_bucket": per_bucket,
+            **(summary_extra or {}),
+        }
+        m["committed_at"] = time.time()
+        self._commit(m)
+        stats.snapshot_id = m["snapshot_id"]
+        stats.version = version
+        return stats
+
+    def _scan_written(
+        self, out_dir: str, rel: str, sid: int
+    ) -> tuple[dict[int, list[dict]], list[dict]]:
+        """Collect file entries + per-bucket lineage (rows, LSN range) from
+        the parquet footers of a just-written commit dir — column statistics
+        the writer already produced, no data read."""
+        import pyarrow.parquet as _pq
+
+        lsn_idx = None
+        files: dict[int, list[dict]] = {}
+        per_bucket: list[dict] = []
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            base = os.path.basename(dirpath)
+            if not base.startswith(f"{BUCKET}="):
+                continue
+            b = int(base.split("=", 1)[1])
+            n_rows = 0
+            lsn_min = None
+            lsn_max = None
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                files.setdefault(b, []).append(
+                    {"path": os.path.join(rel, base, fn), "schema_id": sid, "delta": True}
+                )
+                md = _pq.read_metadata(full)
+                n_rows += md.num_rows
+                if lsn_idx is None:
+                    lsn_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                        LSN_APPLIED
+                    ]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(lsn_idx).statistics
+                    if st is not None and st.has_min_max:
+                        lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
+                        lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
+            per_bucket.append(
+                {"bucket": b, "n_rows": n_rows, "lsn_min": lsn_min, "lsn_max": lsn_max}
+            )
+        return files, per_bucket
+
     def _commit_empty(self, batch_id: int, summary_extra: dict | None) -> MergeStats:
         m = dict(self.manifest())
         m["version"] += 1
@@ -430,10 +636,13 @@ class SnapshotParquetTable:
         self._commit(m)
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_id=m["snapshot_id"], version=m["version"])
 
-    def _as_delta_rows(self, src: DataFrame, schema: T.StructType) -> DataFrame:
+    def _as_delta_rows(
+        self, src: DataFrame, schema: T.StructType, extra: list | None = None
+    ) -> DataFrame:
         """Project winning change events into internal-schema version rows:
         payload (nulled on delete — the tombstone carries only the deleting
-        writer's dominance pair) + (_ts_applied, _lsn_applied, _deleted)."""
+        writer's dominance pair) + (_ts_applied, _lsn_applied, _deleted).
+        ``extra`` appends rider columns (e.g. the op code for lineage)."""
         spec = self.spec
         epoch = F.to_timestamp(F.lit(EPOCH))
         is_del = F.col(spec.op_col) == "D"
@@ -452,7 +661,7 @@ class SnapshotParquetTable:
             is_del.alias(DELETED),
             F.col(BUCKET),
         ]
-        return src.select(*cols)
+        return src.select(*cols, *(extra or []))
 
     def _resolve(self, tgt: DataFrame | None, src: DataFrame, schema: T.StructType) -> DataFrame:
         """Full-outer LWW resolve of target rows vs winning source events."""
@@ -537,6 +746,11 @@ class SnapshotParquetTable:
             # fold merge-on-read layers to one winner per key BEFORE any
             # tombstone filtering (a tombstone must first beat older versions)
             df = self._resolve_versions(df)
+            if m0.get("write_path", "fused") == "raw":
+                # materialize the deferred normalization into the base files
+                from ..functions.normalize import normalize_payload
+
+                df = normalize_payload(df, self.spec)
         if drop_tombstones:
             df = df.filter(~F.col(DELETED))
         df = df.withColumn(BUCKET, self._bucket_expr())

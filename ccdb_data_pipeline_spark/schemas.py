@@ -105,6 +105,14 @@ class TableSpec:
     # in MoR mode, auto-compact after this many committed merge batches
     # (0 = only on explicit compact()); bounds read amplification.
     compact_every: int = 0
+    # MoR write-path depth (the Hudi/Iceberg ingest-latency menu):
+    #   True  — fused apply: LWW-dedup + normalize inside the bucket
+    #           partition (one Arrow pass) before writing delta files;
+    #   False — raw append: write every version row JVM-only (no Python in
+    #           the apply path at all); dedup AND normalization defer to
+    #           read-time resolve / compaction. Maximum apply throughput,
+    #           higher read amplification until compaction runs.
+    dedupe_on_write: bool = True
     # payload string columns normalized ""->null, EXCEPT the carve-out —
     # the reference nulls every empty field then restores the narrative
     # (index_ccdb.py:32-36); our narrative analog is `text`.

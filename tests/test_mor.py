@@ -140,6 +140,25 @@ def test_mor_schema_evolution(spark, tmp_path, seed_pdf, changes_pdf):
     assert_tables_equal(table_to_pandas(t.read()), replay(seed_pdf, [changes_pdf, v2]))
 
 
+def test_mor_raw_append_matches_oracle(spark, tmp_path, seed_pdf, changes_pdf):
+    """dedupe_on_write=False (raw append, JVM-only apply): dedup AND
+    normalization defer to read-time resolve; final state must still equal
+    the oracle, before and after compaction."""
+    t = _mk(spark, tmp_path, seed_pdf, dedupe_on_write=False)
+    assert t.manifest()["write_path"] == "raw"
+    parts = np.array_split(changes_pdf, 3)
+    for i, p in enumerate(parts):
+        stats = apply_changes(t, spark.createDataFrame(p, CHANGE_SCHEMA), batch_id=i)
+        assert not stats.skipped
+    expected = replay(seed_pdf, [changes_pdf])
+    assert_tables_equal(table_to_pandas(t.read()), expected)
+    t.compact(drop_tombstones=False)
+    assert_tables_equal(table_to_pandas(t.read()), expected)
+    # post-compact, clean buckets scan without resolve and stay normalized
+    m = t.manifest()
+    assert not any(e.get("delta") for fs in m["buckets"].values() for e in fs)
+
+
 def test_mor_matches_cow_exactly(spark, tmp_path, seed_pdf, changes_pdf):
     cow = SnapshotParquetTable(spark, str(tmp_path / "cow"), TableSpec(num_buckets=8))
     cow.create(TRANSCRIPT_SCHEMA)
