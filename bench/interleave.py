@@ -22,6 +22,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
     ap.add_argument("--write-path", default="fused", choices=["fused", "raw"])
+    ap.add_argument("--text-words", type=int, default=0)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--low", default="local[8]")
     ap.add_argument("--high", default="local[32]")
@@ -33,7 +34,7 @@ def main() -> None:
             load = open("/proc/loadavg").read().split()[0]
             r = run_once(m, args.events, args.convs, args.batches,
                          mode=args.mode, warmup=args.warmup,
-                         write_path=args.write_path)["cdc"]
+                         write_path=args.write_path, text_words=args.text_words)["cdc"]
             r["load"] = float(load)
             results[m].append(r)
             print(f"rep {i} {m}: {r['events_per_sec']:,} ev/s (wall {r['seconds']}s, load {load})",
@@ -43,10 +44,14 @@ def main() -> None:
     out = {"events": args.events, "configs": {}}
     for m, rs in results.items():
         tps = [r["events_per_sec"] for r in rs]
+        peaks = [r.get("peak_events_per_sec", 0) for r in rs]
         out["configs"][m] = {
             "best": max(tps),
             "median": int(statistics.median(tps)),
+            "peak": max(peaks),
             "all": tps,
+            "all_peaks": peaks,
+            "batch_seconds": [r.get("batch_seconds") for r in rs],
             "loads": [r["load"] for r in rs],
         }
     lo, hi = out["configs"][args.low], out["configs"][args.high]
@@ -54,6 +59,9 @@ def main() -> None:
     out["efficiency_best"] = round(hi["best"] / lo["best"] / 4, 3)
     out["speedup_median"] = round(hi["median"] / lo["median"], 3)
     out["efficiency_median"] = round(hi["median"] / lo["median"] / 4, 3)
+    if lo.get("peak") and hi.get("peak"):
+        out["speedup_peak"] = round(hi["peak"] / lo["peak"], 3)
+        out["efficiency_peak"] = round(hi["peak"] / lo["peak"] / 4, 3)
     print(json.dumps(out, indent=1))
 
 

@@ -22,13 +22,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_once(master: str, events: int, convs: int, batches: int,
-             mode: str = "mor", warmup: int = 2, write_path: str = "fused") -> dict:
+             mode: str = "mor", warmup: int = 2, write_path: str = "fused",
+             text_words: int = 0) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"), "--cdc-only",
         "--master", master, "--cdc-events", str(events),
         "--cdc-convs", str(convs), "--cdc-batches", str(batches),
         "--cdc-mode", mode, "--cdc-warmup-batches", str(warmup),
-        "--cdc-write-path", write_path,
+        "--cdc-write-path", write_path, "--cdc-text-words", str(text_words),
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]

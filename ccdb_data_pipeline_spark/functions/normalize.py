@@ -21,15 +21,29 @@ from pyspark.sql import types as T
 from ..schemas import TableSpec
 
 
+# rows whose text would be CHANGED by " ".join(s.split()): any leading or
+# trailing whitespace, any doubled space, or any whitespace char that is not
+# a plain space (tab/newline/unicode). Everything else is already normal —
+# the split/join (the expensive part, ~40us/row on kilobyte texts) runs only
+# on the small matching fraction.
+_WS_IRREGULAR = r"^\s|\s$|\s\s|[^\S ]"
+
+
+def _normalize_ws_series(s: pd.Series) -> pd.Series:
+    needs = s.notna() & s.str.contains(_WS_IRREGULAR, regex=True, na=False)
+    if not needs.any():
+        return s
+    out = s.copy()
+    out[needs] = s[needs].str.split().str.join(" ")
+    return out
+
+
 @F.pandas_udf(T.StringType())
 def normalize_ws(s: pd.Series) -> pd.Series:
     """Collapse unicode whitespace runs to single spaces and trim — exact
     semantics of Python ``" ".join(s.split())`` (s3_utils.py:144-145),
     vectorized over Arrow batches. Nulls pass through; "" stays ""."""
-    mask = s.notna()
-    out = s.copy()
-    out[mask] = s[mask].str.split().str.join(" ")
-    return out
+    return _normalize_ws_series(s)
 
 
 def normalize_ws_sql(c: Column) -> Column:
@@ -76,10 +90,7 @@ def normalize_pandas_frame(pdf: pd.DataFrame, spec: TableSpec, payload_str_cols:
             pdf.loc[mask, c] = None
     for c in spec.normalize_ws_cols:
         if c in pdf.columns:
-            col = pdf[c]
-            mask = col.notna()
-            if mask.any():
-                pdf.loc[mask, c] = col[mask].astype(str).str.split().str.join(" ")
+            pdf[c] = _normalize_ws_series(pdf[c])
     return pdf
 
 

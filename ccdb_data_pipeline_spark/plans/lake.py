@@ -501,9 +501,17 @@ class SnapshotParquetTable:
                 pdf = normalize_pandas_frame(pdf, spec, payload_str_cols)
             yield pdf[out_cols]
 
-        with_op = self._as_delta_rows(
-            src, new_schema, extra=[F.col(spec.op_col).alias("_op")]
-        ).repartition(self.spec.num_buckets, F.col(BUCKET))
+        # salt the single shuffle on (bucket, hash(turn_idx) % write_salt):
+        # keys stay partition-local (dedup correctness) but a Zipf-hot
+        # conversation's turns spread over write_salt sub-partitions, so the
+        # Arrow fold's wall time is no longer the hot bucket (see TableSpec)
+        salt = F.pmod(F.xxhash64(F.col(spec.key_cols[-1])), F.lit(spec.write_salt))
+        with_op = (
+            self._as_delta_rows(src, new_schema, extra=[F.col(spec.op_col).alias("_op")])
+            .withColumn("_salt", salt)
+            .repartition(spec.num_buckets * spec.write_salt, F.col(BUCKET), F.col("_salt"))
+            .drop("_salt")
+        )
         if m0.get("write_path", "fused") == "raw":
             # raw append: every version row, JVM-only apply path; dedup and
             # normalization defer to read-time resolve / compaction

@@ -113,6 +113,14 @@ class TableSpec:
     #           read-time resolve / compaction. Maximum apply throughput,
     #           higher read amplification until compaction runs.
     dedupe_on_write: bool = True
+    # sub-bucket write salt: the fused apply repartitions to
+    # num_buckets * write_salt partitions on (bucket, hash(turn_idx) % salt).
+    # A Zipf-hot conv_id concentrates ~6% of a batch in ONE bucket partition;
+    # without salt that partition is the wall-clock floor of the whole Arrow
+    # fold stage. Salting by turn_idx keeps every (conv_id, turn_idx) key's
+    # rows together (dedup stays partition-local) while splitting a hot
+    # conversation's turns across salt sub-partitions.
+    write_salt: int = 4
     # payload string columns normalized ""->null, EXCEPT the carve-out —
     # the reference nulls every empty field then restores the narrative
     # (index_ccdb.py:32-36); our narrative analog is `text`.

@@ -71,9 +71,16 @@ def _unit(x: np.ndarray, salt: int) -> np.ndarray:
 
 
 def change_fields_for_lsns(
-    lsns: np.ndarray, n_convs: int, seed: int = 42, v2: bool = False
+    lsns: np.ndarray, n_convs: int, seed: int = 42, v2: bool = False,
+    text_words: int | None = None,
 ) -> pd.DataFrame:
-    """Compute the full change-event row for each LSN (pure hash function)."""
+    """Compute the full change-event row for each LSN (pure hash function).
+
+    ``text_words`` scales the text payload to ~that many words per turn by
+    concatenating deterministically-chosen pool sentences (default: one
+    sentence, ~10 words). Realistic transcript turns are 100-500 words —
+    bench runs should use a realistic size so per-event compute, shuffle
+    and write bytes reflect the production workload, not a toy one."""
     lsns = lsns.astype(np.int64)
     u = lsns.astype(np.uint64) ^ np.uint64(seed * 0x5851F42D4C957F2D % 2**64)
 
@@ -100,6 +107,11 @@ def change_fields_for_lsns(
     tool = np.where(_unit(u, 10) < 0.7, None, tool)
 
     text = _POOL[(_mix(u, 11) % np.uint64(len(_POOL))).astype(np.int64)].copy()
+    if text_words:
+        extra_sentences = max(0, round(text_words / 10) - 1)
+        for j in range(extra_sentences):
+            part = _POOL[(_mix(u, 1009 + 101 * j) % np.uint64(len(_POOL))).astype(np.int64)]
+            text = np.char.add(np.char.add(text, " "), part)
     suffix = (_mix(u, 12) % np.uint64(1_000_000)).astype(np.int64).astype(str)
     text = np.char.add(np.char.add(text.astype(str), " t"), suffix)
     text = np.where(lsns % 97 == 0, "", text)
@@ -294,7 +306,8 @@ def _to_parquet(pdf: pd.DataFrame, path: str, spark_schema) -> None:
 
 
 def gen_changes_spark(spark, n_events: int, n_convs: int, seed: int = 42,
-                      start_lsn: int = 1, v2: bool = False):
+                      start_lsn: int = 1, v2: bool = False,
+                      text_words: int | None = None):
     """Distributed generation of the same (hash-deterministic) stream — for
     bench-scale inputs. mapInPandas keeps it vectorized end-to-end."""
     schema = CHANGE_SCHEMA_V2 if v2 else CHANGE_SCHEMA
@@ -302,6 +315,7 @@ def gen_changes_spark(spark, n_events: int, n_convs: int, seed: int = 42,
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             lsns = b["id"].to_numpy(dtype=np.int64) + start_lsn
-            yield change_fields_for_lsns(lsns, n_convs, seed, v2=v2)
+            yield change_fields_for_lsns(lsns, n_convs, seed, v2=v2,
+                                         text_words=text_words)
 
     return spark.range(0, n_events).mapInPandas(gen, schema=schema)
