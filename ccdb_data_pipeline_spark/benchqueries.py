@@ -53,9 +53,9 @@ def _cents(c) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(round(l_quantity * 100) AS BIGINT))                                   AS sum_qty_c,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))                              AS sum_base_c,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)                                   AS sum_qty_c,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)                              AS sum_base_c,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
            COUNT(*)                                                                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -87,7 +87,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     """
     SELECT o.o_orderkey,
-           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_c,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
            strftime(o.o_orderdate, '%Y-%m-%d')                 AS orderdate,
            o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -122,7 +122,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_region_revenue",
     """
     SELECT n.n_name AS nation,
-           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_c,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
            COUNT(*) AS n_items
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -159,7 +159,7 @@ def q5_region_revenue(spark, sf_dir):
     WITH per_nation AS (
       SELECT n.n_name AS nation, r.r_name AS region,
              COUNT(*) AS n_customers,
-             SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_c
+             CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                       JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY nation, region
@@ -286,7 +286,7 @@ def cdc_lww_latest(spark, sf_dir):
     """
     SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
            COUNT(*) AS n,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
     FROM events GROUP BY op ORDER BY op
     """,
 )
@@ -356,7 +356,7 @@ def cdc_merge_apply(spark, sf_dir):
     "date_rollup",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
-           COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+           COUNT(*) AS n, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
     FROM events GROUP BY dt, event_type ORDER BY dt, event_type
     """,
 )
@@ -400,8 +400,8 @@ def tumbling_hour_agg(spark, sf_dir):
       FROM events
     ), s AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM g
     )
     SELECT user_id, session_no, COUNT(*) AS n_events, min(ts) AS session_start
@@ -492,7 +492,7 @@ def row_limit_sorted(spark, sf_dir):
       FROM events WHERE event_id % 2 = 1
     )
     SELECT event_type, COUNT(*) AS n, COUNT(value_c) AS n_with_value,
-           SUM(value_c) AS value_c_sum
+           CAST(SUM(value_c) AS BIGINT) AS value_c_sum
     FROM u GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -521,11 +521,11 @@ def union_evolution(spark, sf_dir):
     "events_pivot",
     """
     SELECT user_id % 10 AS cohort,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events GROUP BY cohort ORDER BY cohort
     """,
 )
