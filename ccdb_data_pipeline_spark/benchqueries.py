@@ -706,13 +706,53 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@q("dedup_simhash")  # rows-only: 64-bit bit-vote majority not ANSI-SQL-expressible
+@q(
+    "dedup_simhash",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+    hx AS (SELECT doc_id, md5(w) AS hx FROM toks),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                            & (1 << (b % 4))) <> 0
+                      THEN 1 ELSE -1 END) AS v
+      FROM hx CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+                        CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS chunk_key
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk_key = b.chunk_key
+                                 AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 signatures + banded Hamming<=8 near-pairs (deterministic)."""
+    """SimHash-64 signatures + banded Hamming<=8 near-pairs (deterministic).
+    md5 hash mode for cross-engine oracle parity (bit b = bit (b%4) of hex
+    nibble (b//4) of the token's md5); production default is xxhash64."""
     from .operators.dedup_text import simhash64, simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    sim = simhash64(d, "doc_id", "text")
+    sim = simhash64(d, "doc_id", "text", hash_mode="md5")
     return simhash_near_pairs(sim, "doc_id", max_hamming=8).orderBy("id_a", "id_b")
 
 
@@ -901,9 +941,47 @@ def mm_blob_meta(spark, sf_dir):
     return blob_meta(to_blob(d, "text"), id_col="doc_id").orderBy("doc_id")
 
 
-@q("doc_fingerprint")  # rows-only: rolling-hash winnowing is stateful per doc
+@q(
+    "doc_fingerprint",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i,
+             ((((((((CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT) % 1000000007) * 257
+               + unicode(substr(t, CAST(i AS INT) + 1, 1))) % 1000000007) * 257
+               + unicode(substr(t, CAST(i AS INT) + 2, 1))) % 1000000007) * 257
+               + unicode(substr(t, CAST(i AS INT) + 3, 1))) % 1000000007) * 257
+               + unicode(substr(t, CAST(i AS INT) + 4, 1))) % 1000000007 AS h
+      FROM norm CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 5 + 2)) AS i) pos
+      WHERE len(t) >= 5
+    ),
+    wm AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+      FROM kg
+    ),
+    picks AS (
+      SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= GREATEST(n_h - 4 + 1, 1)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_fp, MIN(wmin) AS fp_min, bit_xor(wmin) AS fp_xor
+      FROM picks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_fp, 0) AS INTEGER) AS n_fingerprints,
+           CAST(COALESCE(a.fp_min, 0) AS BIGINT) AS fp_min,
+           CAST(COALESCE(a.fp_xor, 0) AS BIGINT) AS fp_xor
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+    """,
+)
 def doc_fingerprint(spark, sf_dir):
-    """Winnowing fingerprints (Schleimer et al.) via mapInPandas."""
+    """Winnowing fingerprints (Schleimer et al.) via numpy-vectorized
+    mapInPandas; the polynomial k-gram hash (base 257 mod 1e9+7 over code
+    points) is mirrored exactly by the DuckDB oracle."""
     from .functions.text_analysis import fingerprint_winnow
 
     d = _t(spark, sf_dir, "documents")

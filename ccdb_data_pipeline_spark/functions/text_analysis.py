@@ -4,9 +4,10 @@ where genuinely stateful (rolling-hash winnowing)."""
 
 from __future__ import annotations
 
-import hashlib
+import re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,22 +93,35 @@ _FP_SCHEMA = T.StructType(
 )
 
 
+# polynomial k-gram hash parameters, chosen so DuckDB BIGINT arithmetic can
+# mirror them exactly (h*BASE + code < 2^30 * 2^9 + 2^21 — never overflows):
+# h = fold(codepoints, h -> (h*BASE + code) % MOD)
+_WINNOW_MOD = 1_000_000_007
+_WINNOW_BASE = 257
+_WS_RUN = re.compile(r"\s+")
+
+
 def _winnow_one(text: str, k: int = 5, w: int = 4) -> tuple[int, int, int]:
-    """Winnowing (Schleimer et al.): k-gram rolling hashes, window-min set."""
-    s = " ".join(str(text).split())
-    if len(s) < k:
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram polynomial hashes,
+    window-min fingerprint set — fully numpy-vectorized (no per-k-gram
+    hashing calls; the k-gram hash array is built in k vectorized passes
+    and the window minimum via a stride-tricks sliding view)."""
+    s = _WS_RUN.sub(" ", str(text)).strip()
+    n = len(s)
+    if n < k:
         return 0, 0, 0
-    hs = []
-    for i in range(len(s) - k + 1):
-        h = int.from_bytes(hashlib.md5(s[i : i + k].encode()).digest()[:8], "big") >> 1
-        hs.append(h)
-    picks = set()
-    for i in range(max(1, len(hs) - w + 1)):
-        picks.add(min(hs[i : i + w]))
-    x = 0
-    for p in picks:
-        x ^= p
-    return len(picks), min(picks), x
+    # utf-32-le reinterpretation = vectorized per-character code points
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        h = (h * _WINNOW_BASE + codes[j : j + m]) % _WINNOW_MOD
+    if m >= w:
+        wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    else:
+        wins = h.min(keepdims=True)
+    picks = np.unique(wins)
+    return int(picks.size), int(picks[0]), int(np.bitwise_xor.reduce(picks))
 
 
 def fingerprint_winnow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

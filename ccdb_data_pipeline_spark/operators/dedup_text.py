@@ -154,17 +154,60 @@ def ngram_jaccard_pairs(
 
 # ----------------------------------------------------------------- SimHash
 
+# bit masks as literals (bit 63 = two's-complement min-long; summing each
+# distinct mask at most once reconstructs the signed 64-bit hash exactly)
+_SIMHASH_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+
+def _token_vote_array(key, hash_mode: str):
+    """64-element ±1 vote array for one token's hash. For ``xxhash64`` the
+    key is the 64-bit hash itself; for ``md5`` (oracle-parity mode) the key
+    is the 32-char hex digest and bit b is bit (b mod 4) of hex nibble
+    (b div 4) — a definition DuckDB can reproduce with substr+strpos."""
+    if hash_mode == "md5":
+        exprs = []
+        for b in range(64):
+            val = F.conv(key.substr(b // 4 + 1, 1), 16, 10).cast("int")
+            exprs.append(
+                F.when(val.bitwiseAND(F.lit(1 << (b % 4))) != 0, F.lit(1)).otherwise(F.lit(-1))
+            )
+        return F.array(*exprs)
+    return F.array(
+        *[
+            F.when(key.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1))
+            for m in _SIMHASH_MASKS
+        ]
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc from word-token hashes — pure JVM expressions
-    (no UDF): per (doc, bit) majority vote via explode + conditional sum.
+    (no UDF) computed ARRAY-SIDE: per token a 64-element ±1 vote vector,
+    folded per doc with element-wise zip_with sums, then the majority bits
+    are reassembled into the signed 64-bit signature.
 
-    At scale the explode emits 64 rows per token; for very long docs prefer
-    the banded variant below on pre-tokenized input. Returns (id, simhash)."""
-    # bit masks as literals (bit 63 = two's-complement min-long; summing each
-    # distinct mask at most once reconstructs the signed 64-bit hash exactly)
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    One row per doc end-to-end — no explode at all (the earlier explode
+    formulation emitted 64 rows per token, a 64x shuffle amplification on
+    long docs). Everything here is a narrow per-row projection: the operator
+    is shuffle-free regardless of doc length. Returns (id, simhash)."""
+    toks = F.split(normalize_ws_sql(F.col(text_col)), " ")
+    keys = F.transform(toks, (lambda w: F.md5(w)) if hash_mode == "md5" else (lambda w: F.xxhash64(w)))
+    votes = F.aggregate(
+        keys,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, k: F.zip_with(acc, _token_vote_array(k, hash_mode), lambda a, v: a + v),
+    )
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
+    contrib = F.zip_with(votes, mask_arr, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    sim = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash64_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Reference formulation of simhash64 via explode + conditional sum —
+    kept only as the parity baseline for tests (64 rows per token through
+    the shuffle; superseded by the array-side simhash64 above)."""
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in _SIMHASH_MASKS])
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalize_ws_sql(F.col(text_col)), " ")).alias("w")
     ).withColumn("h", F.xxhash64("w"))

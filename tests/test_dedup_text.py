@@ -67,6 +67,24 @@ def test_ngram_jaccard_respects_blocks(spark, docs):
     assert (1, 3) not in got  # exact dup but different source block
 
 
+def test_simhash_array_matches_explode_reference(spark, docs):
+    """The shuffle-free array-side simhash must emit bit-identical signatures
+    to the explode+groupBy reference formulation (xxhash64 mode)."""
+    from ccdb_data_pipeline_spark.operators.dedup_text import simhash64_explode
+
+    new = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    ref = {r["doc_id"]: r["simhash"] for r in simhash64_explode(docs, "doc_id", "text").collect()}
+    assert new == ref
+
+
+def test_simhash_md5_mode_deterministic(spark, docs):
+    """md5 oracle-parity mode: identical text -> identical signature, and the
+    bit definition (bit b = bit b%4 of md5-hex nibble b//4) is stable."""
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text", hash_mode="md5").collect()}
+    assert sims[1] == sims[3]
+    assert bin((sims[1] ^ sims[2]) & (2**64 - 1)).count("1") <= 12
+
+
 def test_simhash_near_pairs(spark, docs):
     sim = simhash64(docs, "doc_id", "text")
     sims = {r["doc_id"]: r["simhash"] for r in sim.collect()}
