@@ -44,22 +44,28 @@ def apply_changes(
     if batch_id <= table.last_batch_id:
         return MergeStats(batch_id=batch_id, skipped=True, version=table.manifest()["version"])
 
-    extra: dict = {}
-    if count_malformed:
-        bad = None
-        for k in spec.key_cols:
-            c = F.col(k).isNull()
-            bad = c if bad is None else (bad | c)
-        extra["n_malformed"] = int(
-            batch_df.agg(F.sum(F.when(bad, 1).otherwise(0)).alias("n")).collect()[0]["n"] or 0
-        )
-
-    df = drop_malformed(batch_df, spec)
     if table.mode == "mor":
-        # fused single-shuffle apply: dedup + normalization happen inside
-        # the bucket-partitioned Arrow pass (see merge_events docstring)
-        stats = table.merge_events(df, batch_id, normalize=normalize, summary_extra=extra)
+        # fused single-shuffle apply: malformed counting+dropping, dedup and
+        # normalization all happen inside the ONE write job (the observe node
+        # sits before the bad-key filter — see merge_events docstring); no
+        # separate pre-pass over the batch
+        stats = table.merge_events(batch_df, batch_id, normalize=normalize)
     else:
+        obs = None
+        if count_malformed:
+            # ride the malformed count on merge()'s own stats job via an
+            # observe node attached BEFORE the filter — no extra pass
+            from pyspark.sql import Observation
+
+            bad = None
+            for k in spec.key_cols:
+                c = F.col(k).isNull()
+                bad = c if bad is None else (bad | c)
+            obs = Observation(f"malformed-{batch_id}")
+            batch_df = batch_df.observe(
+                obs, F.sum(F.when(bad, 1).otherwise(0)).alias("n_malformed")
+            )
+        df = drop_malformed(batch_df, spec)
         deduped = lww_latest(df, spec)
         # normalize AFTER dedup: winners only (payload-independent LWW makes
         # the reorder semantics-preserving) — at a 70%-update event mix this
@@ -67,6 +73,9 @@ def apply_changes(
         # parallelism even when the batch arrives as a few fat segment files
         if normalize:
             deduped = normalize_payload(deduped, spec)
+        # lazily evaluated after merge()'s stats job has run the plan (and
+        # therefore populated the observation) but before the manifest commit
+        extra = (lambda: {"n_malformed": int(obs.get["n_malformed"] or 0)}) if obs else None
         stats = table.merge(deduped, batch_id, summary_extra=extra)
     # merge-on-read maintenance: fold delta layers periodically so read
     # amplification stays bounded (tombstones retained — reclaiming them is

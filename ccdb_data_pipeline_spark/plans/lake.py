@@ -49,11 +49,32 @@ class MergeStats:
     n_insert: int = 0
     n_update: int = 0
     n_delete: int = 0
+    n_malformed: int = 0
     n_buckets: int = 0
     lsn_min: int | None = None
     lsn_max: int | None = None
     snapshot_id: str = ""
     version: int = -1
+
+
+def _footer_stats(pairs) -> list[tuple[int, int, int | None, int | None]]:
+    """(bucket, path) -> (bucket, n_rows, lsn_min, lsn_max) from parquet
+    footers only (no data pages). Module-level so Spark can ship it to
+    executors without capturing the table object."""
+    import pyarrow.parquet as _pq
+
+    out = []
+    for b, full in pairs:
+        md = _pq.read_metadata(full)
+        lsn_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[LSN_APPLIED]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lsn_idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out.append((b, md.num_rows, lo, hi))
+    return out
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -289,8 +310,10 @@ class SnapshotParquetTable:
 
     # ------------------------------------------------------------ MERGE
 
-    def merge(self, source: DataFrame, batch_id: int, summary_extra: dict | None = None) -> MergeStats:
+    def merge(self, source: DataFrame, batch_id: int, summary_extra=None) -> MergeStats:
         """Apply one deduped change batch (unique per key) exactly-once.
+        ``summary_extra`` may be a dict or a zero-arg callable evaluated after
+        the stats job has run (so it can read Observations riding that job).
 
         MERGE INTO semantics (J1/J2/J3 of SURVEY.md section 2.3):
         WHEN MATCHED AND src dominates AND op='D'   -> tombstone
@@ -420,7 +443,7 @@ class SnapshotParquetTable:
                 }
                 for r in per_bucket
             ],
-            **(summary_extra or {}),
+            **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()
         self._commit(m)
@@ -433,20 +456,25 @@ class SnapshotParquetTable:
         events: DataFrame,
         batch_id: int,
         normalize: bool = True,
-        summary_extra: dict | None = None,
+        summary_extra=None,
     ) -> MergeStats:
         """Fused single-shuffle apply for merge-on-read mode — the high-rate
         streaming path.
 
         Plan shape (the one you'd want on a 1000-executor cluster):
           scan -> project to internal version rows (map)
+               -> observe(batch stats incl. malformed count) -> filter bad keys
                -> repartition(num_buckets, _bucket)          [the ONE shuffle]
                -> mapInPandas: LWW winner per key + normalization, one Arrow
                   pass over each bucket partition (no per-row Python)
-               -> observe(batch stats)  -> write partitionBy(_bucket)
-        Batch-level lineage comes from the observe() node (computed inside
-        the same job — no second pass); per-bucket LSN ranges and row counts
-        come from the written parquet footers (free column statistics).
+               -> write partitionBy(_bucket)
+        Batch-level lineage comes from the observe() node attached BEFORE the
+        fold and the malformed filter — computed inside the same job, no
+        second pass, and the counts are SOURCE events (n_source/n_i/n_u/n_d
+        pre-dedup, same semantics as merge()/CoW) with null-key rows counted
+        as n_malformed then dropped. Per-bucket LSN ranges and row counts
+        come from the written parquet footers (post-dedup winners — free
+        column statistics, read in parallel on executors).
 
         Contrast with merge(): no pre-shuffle groupBy dedup and no second
         repartition for the write — two full-batch shuffles removed. The
@@ -501,14 +529,36 @@ class SnapshotParquetTable:
                 pdf = normalize_pandas_frame(pdf, spec, payload_str_cols)
             yield pdf[out_cols]
 
+        # batch lineage observation on the SOURCE rows — before the malformed
+        # filter, the shuffle, and the fold, so it costs nothing extra (same
+        # job as the write) and counts source events, with null-key rows
+        # tallied as n_malformed and every other aggregate conditioned on the
+        # row being well-formed
+        bad = None
+        for k in spec.key_cols:
+            c = F.col(k).isNull()
+            bad = c if bad is None else (bad | c)
+        ok = ~bad
+        with_op = self._as_delta_rows(src, new_schema, extra=[F.col(spec.op_col).alias("_op")])
+        obs = Observation(f"cdc-batch-{batch_id}")
+        with_op = with_op.observe(
+            obs,
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_malformed"),
+            F.min(F.when(ok, F.col(LSN_APPLIED))).alias("lsn_min"),
+            F.max(F.when(ok, F.col(LSN_APPLIED))).alias("lsn_max"),
+            F.sum(F.when(ok & (F.col("_op") == "I"), 1).otherwise(0)).alias("n_i"),
+            F.sum(F.when(ok & (F.col("_op") == "U"), 1).otherwise(0)).alias("n_u"),
+            F.sum(F.when(ok & (F.col("_op") == "D"), 1).otherwise(0)).alias("n_d"),
+        ).filter(ok)
+
         # salt the single shuffle on (bucket, hash(turn_idx) % write_salt):
         # keys stay partition-local (dedup correctness) but a Zipf-hot
         # conversation's turns spread over write_salt sub-partitions, so the
         # Arrow fold's wall time is no longer the hot bucket (see TableSpec)
         salt = F.pmod(F.xxhash64(F.col(spec.key_cols[-1])), F.lit(spec.write_salt))
         with_op = (
-            self._as_delta_rows(src, new_schema, extra=[F.col(spec.op_col).alias("_op")])
-            .withColumn("_salt", salt)
+            with_op.withColumn("_salt", salt)
             .repartition(spec.num_buckets * spec.write_salt, F.col(BUCKET), F.col("_salt"))
             .drop("_salt")
         )
@@ -518,17 +568,7 @@ class SnapshotParquetTable:
             folded = with_op
         else:
             folded = with_op.mapInPandas(_fold, schema=out_schema)
-
-        obs = Observation(f"cdc-batch-{batch_id}")
-        folded = folded.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.min(LSN_APPLIED).alias("lsn_min"),
-            F.max(LSN_APPLIED).alias("lsn_max"),
-            F.sum(F.when(F.col("_op") == "I", 1).otherwise(0)).alias("n_i"),
-            F.sum(F.when(F.col("_op") == "U", 1).otherwise(0)).alias("n_u"),
-            F.sum(F.when(F.col("_op") == "D", 1).otherwise(0)).alias("n_d"),
-        ).drop("_op")
+        folded = folded.drop("_op")
 
         # --- schema-era bookkeeping + write (no extra repartition: rows are
         #     already hash-distributed by bucket)
@@ -540,8 +580,11 @@ class SnapshotParquetTable:
         out_dir = os.path.join(self.root, rel)
         folded.write.mode("overwrite").partitionBy(BUCKET).parquet(out_dir)
         got = obs.get
+        n_malformed = int(got["n_malformed"] or 0)
         if not got["n"]:
-            return self._commit_empty(batch_id, summary_extra)
+            extra = dict(summary_extra() if callable(summary_extra) else (summary_extra or {}))
+            extra.setdefault("n_malformed", n_malformed)
+            return self._commit_empty(batch_id, extra)
 
         files, per_bucket = self._scan_written(out_dir, rel, new_sid)
         affected = sorted(files)
@@ -552,6 +595,7 @@ class SnapshotParquetTable:
             n_insert=int(got["n_i"] or 0),
             n_update=int(got["n_u"] or 0),
             n_delete=int(got["n_d"] or 0),
+            n_malformed=n_malformed,
             n_buckets=len(affected),
             lsn_min=int(got["lsn_min"]),
             lsn_max=int(got["lsn_max"]),
@@ -579,11 +623,12 @@ class SnapshotParquetTable:
             "n_insert": stats.n_insert,
             "n_update": stats.n_update,
             "n_delete": stats.n_delete,
+            "n_malformed": stats.n_malformed,
             "lsn_min": stats.lsn_min,
             "lsn_max": stats.lsn_max,
             "affected_buckets": affected,
             "per_bucket": per_bucket,
-            **(summary_extra or {}),
+            **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()
         self._commit(m)
@@ -591,55 +636,68 @@ class SnapshotParquetTable:
         stats.version = version
         return stats
 
+    # below this file count the footer stats are read on the driver — a Spark
+    # job's fixed scheduling cost (~50ms) isn't worth it for a handful of files
+    _FOOTER_SCAN_DRIVER_MAX = 32
+
     def _scan_written(
         self, out_dir: str, rel: str, sid: int
     ) -> tuple[dict[int, list[dict]], list[dict]]:
         """Collect file entries + per-bucket lineage (rows, LSN range) from
         the parquet footers of a just-written commit dir — column statistics
-        the writer already produced, no data read."""
-        import pyarrow.parquet as _pq
+        the writer already produced, no data read.
 
-        lsn_idx = None
+        The directory walk is one listing; the footer reads (the expensive
+        part at num_buckets*write_salt files per batch on object storage) run
+        as a Spark job across executors, so commit latency is bounded by
+        parallelism, not file count. Small batches stay driver-side."""
         files: dict[int, list[dict]] = {}
-        per_bucket: list[dict] = []
+        pairs: list[tuple[int, str]] = []  # (bucket, absolute path)
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             base = os.path.basename(dirpath)
             if not base.startswith(f"{BUCKET}="):
                 continue
             b = int(base.split("=", 1)[1])
-            n_rows = 0
-            lsn_min = None
-            lsn_max = None
             for fn in filenames:
                 if not fn.endswith(".parquet"):
                     continue
-                full = os.path.join(dirpath, fn)
                 files.setdefault(b, []).append(
                     {"path": os.path.join(rel, base, fn), "schema_id": sid, "delta": True}
                 )
-                md = _pq.read_metadata(full)
-                n_rows += md.num_rows
-                if lsn_idx is None:
-                    lsn_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
-                        LSN_APPLIED
-                    ]
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(lsn_idx).statistics
-                    if st is not None and st.has_min_max:
-                        lsn_min = st.min if lsn_min is None else min(lsn_min, st.min)
-                        lsn_max = st.max if lsn_max is None else max(lsn_max, st.max)
-            per_bucket.append(
-                {"bucket": b, "n_rows": n_rows, "lsn_min": lsn_min, "lsn_max": lsn_max}
-            )
+                pairs.append((b, os.path.join(dirpath, fn)))
+        if not pairs:
+            return files, []
+        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+            stats = _footer_stats(pairs)
+        else:
+            sc = self.spark.sparkContext
+            n_slices = min(len(pairs), sc.defaultParallelism)
+            stats = sc.parallelize(pairs, n_slices).mapPartitions(
+                lambda it: _footer_stats(it)
+            ).collect()
+        agg: dict[int, list] = {}
+        for b, n, lo, hi in stats:
+            cur = agg.get(b)
+            if cur is None:
+                agg[b] = [n, lo, hi]
+            else:
+                cur[0] += n
+                cur[1] = lo if cur[1] is None else (cur[1] if lo is None else min(cur[1], lo))
+                cur[2] = hi if cur[2] is None else (cur[2] if hi is None else max(cur[2], hi))
+        per_bucket = [
+            {"bucket": b, "n_rows": v[0], "lsn_min": v[1], "lsn_max": v[2]}
+            for b, v in sorted(agg.items())
+        ]
         return files, per_bucket
 
-    def _commit_empty(self, batch_id: int, summary_extra: dict | None) -> MergeStats:
+    def _commit_empty(self, batch_id: int, summary_extra=None) -> MergeStats:
         m = dict(self.manifest())
         m["version"] += 1
         m["parent_snapshot_id"] = m["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["last_batch_id"] = batch_id
-        m["summary"] = {"op": "merge", "batch_id": batch_id, "n_source": 0, **(summary_extra or {})}
+        extra = summary_extra() if callable(summary_extra) else (summary_extra or {})
+        m["summary"] = {"op": "merge", "batch_id": batch_id, "n_source": 0, **extra}
         m["committed_at"] = time.time()
         self._commit(m)
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_id=m["snapshot_id"], version=m["version"])

@@ -170,3 +170,30 @@ def test_mor_matches_cow_exactly(spark, tmp_path, seed_pdf, changes_pdf):
         apply_changes(cow, df, batch_id=i)
         apply_changes(mor, df, batch_id=i)
     assert_tables_equal(table_to_pandas(mor.read()), table_to_pandas(cow.read()))
+
+
+def test_mor_fused_counts_and_drops_malformed(spark, tmp_path, seed_pdf):
+    """Fused apply: null-key rows are tallied by the in-job observe node
+    (source-event lineage) and never reach the table."""
+    t = _mk(spark, tmp_path, seed_pdf)
+    pdf = pd.DataFrame(
+        {
+            "lsn": [1, 2, 3],
+            "op": ["U", "U", "U"],
+            "conv_id": [None, "conv-ok", "conv-ok"],
+            "turn_idx": np.array([0, 0, 0], dtype=np.int32),
+            "role": ["user"] * 3,
+            "text": ["x", "y", "z"],
+            "tool": [None] * 3,
+            "ts": [datetime(2025, 6, 1), datetime(2025, 6, 1), datetime(2025, 6, 2)],
+        }
+    )
+    stats = apply_changes(t, spark.createDataFrame(pdf, CHANGE_SCHEMA), batch_id=0)
+    # n_source counts well-formed SOURCE events (pre-dedup), malformed tallied
+    assert stats.n_source == 2 and stats.n_malformed == 1
+    assert stats.lsn_min == 2 and stats.lsn_max == 3
+    rows = lineage_rows(t)
+    assert rows[0]["n_malformed"] == 1
+    out = table_to_pandas(t.read())
+    assert (out["conv_id"] == "conv-ok").sum() == 1  # LWW winner only
+    assert out[out["conv_id"] == "conv-ok"].iloc[0]["text"] == "z"
