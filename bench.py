@@ -176,11 +176,14 @@ def main() -> None:
 
     total = 0.0
     if not args.cdc_only:
+        from ccdb_data_pipeline_spark.operators.dedup_text import release_caches
+
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).collect()
             dt = time.time() - t0
+            release_caches()  # free shingle-frame cache blocks between queries
             out["queries"][name] = round(dt, 2)
             total += dt
 

@@ -540,6 +540,66 @@ def events_pivot(spark, sf_dir):
 
 
 # =====================================================================
+# Converter ops (SURVEY 2.1 S4-S8, P1): CSV/NDJSON round-trips, verified
+# against the source parquet (round-trip == identity modulo CSV typing)
+# =====================================================================
+
+
+@q(
+    "csv_roundtrip",
+    """
+    SELECT CAST(r_regionkey AS BIGINT) AS region_key, r_name AS region_name
+    FROM region ORDER BY region_key
+    """,
+)
+def csv_roundtrip(spark, sf_dir):
+    """S4 CSV scan w/ header + S8 CSV sink w/ header override + P1
+    positional rename: region -> CSV (public header) -> scan -> rename ->
+    typed select must reproduce the source rows (the reference's csv2json
+    golden round-trip, /root/reference/common/tests/test_csv2json.py:28-59)."""
+    import os
+    import tempfile
+
+    from .sources.convert import read_csv, write_csv
+
+    r = _t(spark, sf_dir, "region")
+    out = os.path.join(tempfile.gettempdir(), f"cdc-csvrt-{os.getpid()}")
+    write_csv(r, out, header_names=["Region Key", "Region Name"])
+    back = read_csv(spark, out, fields=["region_key", "region_name"])
+    return back.select(
+        F.col("region_key").cast("long"), "region_name"
+    ).orderBy("region_key")
+
+
+@q(
+    "ndjson_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+           n_name AS nation_name, CAST(n_regionkey AS BIGINT) AS region_key
+    FROM nation ORDER BY nation_key
+    """,
+)
+def ndjson_roundtrip(spark, sf_dir):
+    """S5 NDJSON scan + S6 NDJSON sink: nation -> line-delimited JSON shards
+    -> scan -> typed select reproduces the source (csv2json.py:26-35 sink,
+    index_ccdb.py:98-100 scan)."""
+    import os
+    import tempfile
+
+    from .sources.convert import read_ndjson, write_ndjson
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = os.path.join(tempfile.gettempdir(), f"cdc-ndjrt-{os.getpid()}")
+    write_ndjson(n, out)
+    back = read_ndjson(spark, out)
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("nation_key"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").cast("long").alias("region_key"),
+    ).orderBy("nation_key")
+
+
+# =====================================================================
 # Training-data ops: dedup + text analysis (first wave)
 # =====================================================================
 

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_ws_sql
 
+# persisted shingle frames awaiting release: MEMORY_AND_DISK blocks that
+# spilled to disk are NOT evicted by LRU and would otherwise live for the
+# app lifetime in a long-running session. Callers release them with
+# release_caches() once the returned plan has been consumed.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist shingle frames cached by minhash_lsh_dedup /
+    ngram_jaccard_pairs since the last call. Invoke after collecting or
+    writing the plans those functions returned."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
@@ -126,8 +140,9 @@ def minhash_lsh_dedup(
 
     The shingle set feeds three consumers (signatures + both verify sides),
     so it is persisted for the life of the returned plan — one tokenize pass
-    instead of three (Spark evicts the block LRU after the query runs)."""
+    instead of three. Call release_caches() after consuming the result."""
     sh = word_shingles(df, id_col, text_col, n=n).persist()
+    _ACTIVE_CACHES.append(sh)
     sig = minhash_signatures(sh, id_col, n_hashes=n_hashes, hash_mode=hash_mode)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, band_size=band_size)
     return jaccard_verify(sh, cand, id_col, threshold_bp=threshold_bp)
@@ -143,8 +158,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard within blocking groups (e.g. same lang+source):
     the non-approximate baseline. All-pairs only WITHIN a block — blocking
-    keeps the pair space linear-ish; for unblocked scale use minhash_lsh."""
+    keeps the pair space linear-ish; for unblocked scale use minhash_lsh.
+    Call release_caches() after consuming the result."""
     sh = word_shingles(df, id_col, text_col, n=n).persist()
+    _ACTIVE_CACHES.append(sh)
     blocks = df.select(id_col, *block_cols)
     a = blocks.select(F.col(id_col).alias("id_a"), *block_cols)
     b = blocks.select(F.col(id_col).alias("id_b"), *block_cols)

@@ -48,6 +48,22 @@ def evolve_schema(target: T.StructType, batch: T.StructType) -> T.StructType:
     return T.StructType(out)
 
 
+def strict_to_timestamp(c, fmt: str | None = None):
+    """F1 parity with the reference's raising ``ensure_date``
+    (/root/reference/salesforce/query.py:28-29, tested at
+    salesforce/tests/test_query.py:13-16): a NON-NULL value that fails to
+    parse raises (failing the job) instead of silently casting to null, so a
+    malformed timestamp is never indistinguishable from an absent one.
+    Nulls pass through as nulls."""
+    c = F.col(c) if isinstance(c, str) else c
+    # try_to_timestamp nulls on bad input in BOTH ANSI modes, so the raise
+    # below is ours (stable message) rather than an ANSI-mode-dependent cast
+    parsed = F.try_to_timestamp(c, F.lit(fmt)) if fmt else F.try_to_timestamp(c)
+    bad = c.isNotNull() & parsed.isNull()
+    err = F.concat(F.lit("unparseable timestamp: '"), c.cast("string"), F.lit("'"))
+    return F.when(bad, F.raise_error(err).cast("timestamp")).otherwise(parsed)
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project/cast df to exactly ``schema`` (missing columns -> null).
     Extra df columns not in schema are preserved at the end (engine

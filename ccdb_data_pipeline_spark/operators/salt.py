@@ -48,12 +48,21 @@ def detect_hot_keys(
     return [(r[key_col], r["n"] / total) for r in hot]
 
 
-def salted_repartition(df: DataFrame, key_col: str, n_partitions: int, n_salt: int = 8) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, key_col: str, n_partitions: int, n_salt: int = 8,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
     """Spread a hot key over n_salt shuffle partitions by repartitioning on
     (key, salt). Use before per-row heavy work (normalization, enrichment)
-    when input files are few/fat; drop the salt column afterwards."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(n_salt)))
-    out = salted.repartition(n_partitions, F.col(key_col), F.col("_salt"))
+    when input files are few/fat; drop the salt column afterwards.
+
+    The salt is a hash of ``salt_cols`` (default: every column), so row
+    placement is a pure function of row content — deterministic across
+    retries and runs, unlike a rand()-based salt. Rows identical in
+    salt_cols co-locate, which is harmless (they are duplicates there)."""
+    cols = salt_cols or df.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt))
+    out = df.withColumn("_salt", salt).repartition(n_partitions, F.col(key_col), F.col("_salt"))
     return out.drop("_salt")
 
 

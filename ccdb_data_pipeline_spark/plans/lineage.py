@@ -41,7 +41,9 @@ def lineage_rows(table: SnapshotParquetTable) -> list[dict]:
                 "n_malformed": int(s.get("n_malformed", 0)),
                 "n_partitions": len(s.get("per_bucket", [])),
                 "snapshot_id": m["snapshot_id"],
-                "committed_at": _dt.datetime.utcfromtimestamp(m["committed_at"]),
+                "committed_at": _dt.datetime.fromtimestamp(
+                    m["committed_at"], tz=_dt.timezone.utc
+                ).replace(tzinfo=None),
             }
         )
     return rows
@@ -63,3 +65,38 @@ def lineage_detail_rows(table: SnapshotParquetTable) -> list[dict]:
 def last_committed_lsn(table: SnapshotParquetTable) -> int:
     """Resume cutoff — `SELECT max(lsn) FROM lineage` analog."""
     return table.last_lsn
+
+
+class SizeRegressionError(AssertionError):
+    """The published table shrank more than its commit's deletes explain."""
+
+
+def check_size_sentinel(table: SnapshotParquetTable, version: int | None = None) -> dict:
+    """A5 regression sentinel — the reference keeps a prev_json_size.txt and
+    fails a publish whose output shrank (complaints/ccdb/tests/__fixtures__).
+    Lake analog: live rows of snapshot v must satisfy
+    ``rows(v) >= rows(parent) - n_delete(v)`` (attempted deletes upper-bound
+    effective ones, so any deeper shrink means silent data loss). Audit
+    tool — runs two snapshot counts, off the ingest critical path."""
+    m = table.manifest(version)
+    v = m["version"]
+    if m.get("parent_snapshot_id") is None or v == 0:
+        return {"version": v, "ok": True, "reason": "no parent snapshot"}
+    parent_v = v - 1
+    n_delete = int(m.get("summary", {}).get("n_delete", 0) or 0)
+    rows_now = table.read(version=v).count()
+    rows_prev = table.read(version=parent_v).count()
+    ok = rows_now >= rows_prev - n_delete
+    out = {
+        "version": v,
+        "rows": rows_now,
+        "parent_rows": rows_prev,
+        "n_delete": n_delete,
+        "ok": ok,
+    }
+    if not ok:
+        raise SizeRegressionError(
+            f"snapshot v{v} has {rows_now} live rows < parent {rows_prev} - "
+            f"{n_delete} deletes — output shrank unexplained"
+        )
+    return out

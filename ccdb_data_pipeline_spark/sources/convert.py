@@ -72,13 +72,14 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def json_array(df: DataFrame, order_by: list[str] | None = None) -> str:
     """One JSON array document (S7). Collects to the driver — only for
     result sets known to be small (the reference's use case: a single
-    downloadable artifact)."""
+    downloadable artifact).
+
+    With ``order_by`` the frame is coalesced to ONE partition and sorted
+    within it before the collect_list agg: an ungrouped agg over a
+    multi-partition sorted frame would fetch shuffle blocks in
+    non-deterministic order and silently unsort the array."""
     if order_by:
-        df = df.orderBy(*order_by)
-        rows = df.agg(
-            F.to_json(F.collect_list(F.struct(*df.columns))).alias("j")
-        ).collect()
-        return rows[0]["j"]
+        df = df.coalesce(1).sortWithinPartitions(*order_by)
     row = df.agg(F.to_json(F.collect_list(F.struct(*df.columns))).alias("j")).collect()
     return row[0]["j"]
 

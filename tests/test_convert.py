@@ -77,6 +77,15 @@ def test_json_array_single_document(spark, csv_path):
     assert doc[1]["narrative"].startswith("ünïcødé")
 
 
+def test_json_array_ordered_across_partitions(spark):
+    """Regression: the sorted frame spanning many partitions must still emit
+    an ordered array (ungrouped aggs fetch shuffle blocks in nondeterministic
+    order — json_array coalesces to one partition before aggregating)."""
+    df = spark.range(0, 500).selectExpr("id", "concat('k', lpad(id, 4, '0')) AS k").repartition(16)
+    doc = json.loads(json_array(df, order_by=["k"]))
+    assert [r["id"] for r in doc] == list(range(500))
+
+
 def test_write_csv_header_override(spark, tmp_path, csv_path):
     df = read_csv(spark, csv_path, fields=FIELDS)
     out = str(tmp_path / "pub.csv")

@@ -75,3 +75,83 @@ def test_cli_end_to_end(tmp_path):
     ledger = cli("lineage", "--table", t)
     assert len(ledger) >= 1 and ledger[0]["batch_id"] == 0
     assert cli("compact", "--table", t)[0]["compacted"] is True
+
+
+def test_salted_repartition_deterministic(spark, changes):
+    """Salt is a pure function of row content: two runs place every row in
+    the same partition (no rand() in the engine's placement anywhere)."""
+    from pyspark.sql import functions as F
+
+    from ccdb_data_pipeline_spark.operators.salt import salted_repartition
+
+    df = changes.dropna(subset=["conv_id"])
+    a = salted_repartition(df, "conv_id", 16, n_salt=4).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    b = salted_repartition(df, "conv_id", 16, n_salt=4).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pa = {r["lsn"]: r["pid"] for r in a.select("lsn", "pid").collect()}
+    pb = {r["lsn"]: r["pid"] for r in b.select("lsn", "pid").collect()}
+    assert pa == pb
+
+
+def test_strict_to_timestamp_raises_on_malformed(spark):
+    """F1: reference ensure_date raises on bad input (salesforce/query.py:28);
+    nulls pass, parseable strings parse, garbage fails the job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from ccdb_data_pipeline_spark.operators.evolve import strict_to_timestamp
+
+    ok = spark.createDataFrame([("2025-06-01 10:00:00",), (None,)], "s string")
+    got = ok.select(strict_to_timestamp("s").alias("ts")).collect()
+    assert got[0]["ts"] is not None and got[1]["ts"] is None
+
+    bad = spark.createDataFrame([("not-a-date",)], "s string")
+    with pytest.raises(Exception) as ei:
+        bad.select(strict_to_timestamp("s").alias("ts")).collect()
+    assert "unparseable timestamp" in str(ei.value)
+
+
+def test_size_sentinel(spark, tmp_path):
+    """A5: live rows must not shrink beyond a commit's deletes; a doctored
+    manifest (hiding its deletes) trips the sentinel."""
+    import numpy as np
+    import pandas as pd
+
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.plans.lineage import SizeRegressionError, check_size_sentinel
+    from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+    from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"), TableSpec(num_buckets=4))
+    t.create(TRANSCRIPT_SCHEMA)
+    seed = gen_seed_pandas(n_convs=20, seed=1)
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    conv, turn = seed.iloc[0]["conv_id"], int(seed.iloc[0]["turn_idx"])
+    pdf = pd.DataFrame(
+        {
+            "lsn": [1],
+            "op": ["D"],
+            "conv_id": [conv],
+            "turn_idx": np.array([turn], dtype=np.int32),
+            "role": [None],
+            "text": [None],
+            "tool": [None],
+            "ts": [pd.Timestamp("2025-06-01")],
+        }
+    )
+    apply_changes(t, spark.createDataFrame(pdf, CHANGE_SCHEMA), batch_id=0)
+    assert check_size_sentinel(t)["ok"]  # delete explains the shrink
+
+    # doctor the committed manifest to hide the delete -> sentinel trips
+    m = t.manifest()
+    path = t._manifest_path(m["version"])
+    doc = json.loads(open(path).read())
+    doc["summary"]["n_delete"] = 0
+    open(path, "w").write(json.dumps(doc))
+    t._manifest = None
+    with pytest.raises(SizeRegressionError):
+        check_size_sentinel(t)
