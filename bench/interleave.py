@@ -26,15 +26,20 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--low", default="local[8]")
     ap.add_argument("--high", default="local[32]")
+    ap.add_argument("--binlog-cache", default="/dev/shm/binlog-cache")
     args = ap.parse_args()
 
+    import os
+    if args.binlog_cache:
+        os.makedirs(args.binlog_cache, exist_ok=True)
     results: dict[str, list[dict]] = {args.low: [], args.high: []}
     for i in range(args.reps):
         for m in (args.low, args.high):
             load = open("/proc/loadavg").read().split()[0]
             r = run_once(m, args.events, args.convs, args.batches,
                          mode=args.mode, warmup=args.warmup,
-                         write_path=args.write_path, text_words=args.text_words)["cdc"]
+                         write_path=args.write_path, text_words=args.text_words,
+                         binlog_cache=args.binlog_cache, compact=False)["cdc"]
             r["load"] = float(load)
             results[m].append(r)
             print(f"rep {i} {m}: {r['events_per_sec']:,} ev/s (wall {r['seconds']}s, load {load})",

@@ -23,7 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_once(master: str, events: int, convs: int, batches: int,
              mode: str = "mor", warmup: int = 2, write_path: str = "fused",
-             text_words: int = 0) -> dict:
+             text_words: int = 0, binlog_cache: str | None = None,
+             compact: bool = True) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"), "--cdc-only",
         "--master", master, "--cdc-events", str(events),
@@ -31,6 +32,10 @@ def run_once(master: str, events: int, convs: int, batches: int,
         "--cdc-mode", mode, "--cdc-warmup-batches", str(warmup),
         "--cdc-write-path", write_path, "--cdc-text-words", str(text_words),
     ]
+    if binlog_cache:
+        cmd += ["--cdc-binlog-cache", binlog_cache]
+    if not compact:
+        cmd += ["--cdc-no-compact"]
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)

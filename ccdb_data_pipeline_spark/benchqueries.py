@@ -880,6 +880,53 @@ def ann_ivf_assign(spark, sf_dir):
 
 
 @q(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    asg_scored AS (
+      SELECT v.vec_id, v.cv, cent._cid, {_COS_SQL} AS cos_bp FROM v, cent
+    ),
+    assigned AS (
+      SELECT vec_id, cv, _cid AS centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_bp DESC, _cid) AS rn
+        FROM asg_scored
+      ) WHERE rn = 1
+    ),
+    qset AS (SELECT vec_id AS qid, cv AS qv, centroid_id
+             FROM assigned WHERE vec_id < 50),
+    pairs AS (
+      SELECT q.qid, c.vec_id AS cid, q.qv, c.cv
+      FROM assigned c JOIN qset q USING (centroid_id)
+      WHERE c.vec_id <> q.qid
+    ),
+    scored AS (SELECT qid, cid, {_COS_SQL} AS cos_bp FROM pairs)
+    SELECT qid, cid AS neighbor_id, cos_bp, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_bp DESC, cid) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY qid, rank
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """Cluster-pruned ANN (1-probe IVF): shuffle-free nearest-centroid
+    assignment, then an equi-join on centroid_id replaces the brute-force
+    cross join — at 10^9 vectors with the cluster id as partition key this
+    is a 1/K partition-pruned scan per probe."""
+    from .operators.similarity import ivf_assign, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(e, cent, id_col="vec_id", vec_col="embedding")
+    return ivf_topk(
+        assigned, assigned.filter(F.col("vec_id") < 50),
+        id_col="vec_id", vec_col="embedding", k=5,
+    ).orderBy("qid", "rank")
+
+
+@q(
     "dedup_embedding_cosine",
     f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

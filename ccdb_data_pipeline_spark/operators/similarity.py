@@ -63,6 +63,19 @@ def brute_force_topk(
     )
 
 
+def _centroid_array(centroids: DataFrame, centroid_id_col: str, vec_col: str) -> DataFrame:
+    """Fold the (small, by IVF construction) centroid set into a single-row
+    frame holding array<struct<c,v>> — broadcast-cross-joined onto the corpus
+    so assignment is a pure map-side fold, no corpus shuffle at any K."""
+    return F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col(centroid_id_col).cast("long").alias("c"), F.col(vec_col).alias("v")
+            ).alias("s")
+        ).agg(F.collect_list("s").alias("_cents"))
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -70,19 +83,28 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (broadcast centroids,
-    single pass, argmax via max_by — map-side combinable)."""
-    cent = F.broadcast(
-        centroids.select(F.col(centroid_id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    """Assign each vector to its max-cosine centroid, shuffle-free: the
+    centroid set rides along as one broadcast array column and the argmax is
+    an in-row ``aggregate`` fold — zero corpus shuffle (the old
+    crossJoin+groupBy plan shuffled corpus×K rows). Ties break to the
+    smallest centroid id. All corpus columns are retained (map-side op), so
+    downstream cluster-pruned search needs no join-back for the vector."""
+    scored = corpus.crossJoin(_centroid_array(centroids, centroid_id_col, vec_col))
+    bp = lambda c: F.round(  # noqa: E731 — cosine in basis points vs one centroid
+        _dot(F.col(vec_col), c["v"]) / (F.col("_nrm") * _norm(c["v"])) * 10000
+    ).cast("long")
+    # array_max over struct(bp, -cid) is lexicographic: max bp, then min cid
+    best = F.array_max(
+        F.transform(F.col("_cents"), lambda c: F.struct(bp(c).alias("bp"), (-c["c"]).alias("ncid")))
     )
-    scored = corpus.crossJoin(cent).withColumn(
-        "cos_bp", F.round(cosine(F.col(vec_col), F.col("_cvec")) * 10000).cast("long")
-    )
+    keep = [n for n in corpus.columns]
     return (
-        scored.groupBy(id_col)
-        .agg(
-            F.max_by(F.col("_cid"), F.struct(F.col("cos_bp"), -F.col("_cid"))).alias(centroid_id_col),
-            F.max(F.col("cos_bp")).alias("centroid_cos_bp"),
+        scored.withColumn("_nrm", _norm(F.col(vec_col)))
+        .withColumn("_best", best)
+        .select(
+            *keep,
+            (-F.col("_best")["ncid"]).alias(centroid_id_col),
+            F.col("_best")["bp"].alias("centroid_cos_bp"),
         )
     )
 

@@ -56,7 +56,8 @@ def test_ivf_assign_is_argmax(spark, vecs):
 def test_ivf_topk_searches_within_cluster(spark, vecs):
     m, df = vecs
     cent = df.filter("vec_id < 4").selectExpr("vec_id as centroid_id", "embedding")
-    assigned = ivf_assign(df, cent).join(df, "vec_id")
+    # map-side assign retains all corpus columns — no join-back needed
+    assigned = ivf_assign(df, cent)
     queries = assigned.filter("vec_id IN (10, 11)")
     got = ivf_topk(assigned, queries, k=3).collect()
     clusters = {r["vec_id"]: r["centroid_id"] for r in assigned.select("vec_id", "centroid_id").collect()}
