@@ -647,15 +647,17 @@ def token_quality(spark, sf_dir):
     stopword ratio in basis points (quality-scoring signals)."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    n_ws = F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    # single-char classes count via translate (byte-table lookup in codegen),
+    # not regex — only the two genuinely multi-char patterns pay regex cost
+    n_ws = F.length(t) - F.length(F.translate(t, " ", "")) + 1
     n_bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
     n_stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|a|and|of|to)\b"))
     return d.select(
         "doc_id",
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
-        F.regexp_count(t, F.lit("[0-9]")).alias("n_digits"),
-        F.regexp_count(t, F.lit("[.,;:!?]")).alias("n_punct"),
+        (F.length(t) - F.length(F.translate(t, "0123456789", ""))).alias("n_digits"),
+        (F.length(t) - F.length(F.translate(t, ".,;:!?", ""))).alias("n_punct"),
         F.round(n_stop * 10000.0 / F.greatest(n_ws, F.lit(1))).cast("long").alias("stopword_bp"),
     ).orderBy("doc_id")
 

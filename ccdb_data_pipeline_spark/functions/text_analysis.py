@@ -61,8 +61,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " "))
-    n_digits = F.regexp_count(t, F.lit("[0-9]"))
-    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    # single-char classes via translate (codegen byte-table), not regex
+    n_digits = F.length(t) - F.length(F.translate(t, "0123456789", ""))
+    n_punct = F.length(t) - F.length(F.translate(t, ".,;:!?", ""))
     n_stop = F.regexp_count(F.lower(t), F.lit(r"\b(the|a|and|of|to|is|in)\b"))
     tok = F.greatest(n_tokens, F.lit(1))
     score = (

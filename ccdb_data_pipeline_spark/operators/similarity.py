@@ -139,6 +139,49 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_assign_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Multi-probe assignment for the QUERY side of IVF search: each query
+    row fans out to its ``nprobe`` nearest centroids (one output row per
+    probe, ``probe_rank`` 1-based). Same shuffle-free shape as
+    ``ivf_assign`` — broadcast centroid array, in-row sort, slice, explode.
+    The fan-out multiplies only the (small) query side; the corpus is never
+    reshaped, so the downstream equi-join stays partition-pruned per probe."""
+    scored = queries.crossJoin(_centroid_array(centroids, centroid_id_col, vec_col))
+    bp = lambda c: F.round(  # noqa: E731
+        _dot(F.col(vec_col), c["v"]) / (F.col("_nrm") * _norm(c["v"])) * 10000
+    ).cast("long")
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(bp(c).alias("bp"), (-c["c"]).alias("ncid")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    keep = [n for n in queries.columns]
+    return (
+        scored.withColumn("_nrm", _norm(F.col(vec_col)))
+        .select(*keep, F.posexplode(ranked).alias("_pos", "_p"))
+        .select(
+            *keep,
+            (-F.col("_p")["ncid"]).alias(centroid_id_col),
+            F.col("_p")["bp"].alias("centroid_cos_bp"),
+            (F.col("_pos") + 1).alias("probe_rank"),
+        )
+    )
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries_assigned: DataFrame,
@@ -147,8 +190,11 @@ def ivf_topk(
     centroid_id_col: str = "centroid_id",
     k: int = 5,
 ) -> DataFrame:
-    """Search only within the query's probe cluster (1-probe IVF): equi-join
-    on centroid_id replaces the cross join — the scale path."""
+    """Search only within the query's probe cluster(s): equi-join on
+    centroid_id replaces the cross join — the scale path. Pass the query
+    side through ``ivf_assign`` for 1-probe or ``ivf_assign_probes`` for
+    multi-probe (higher recall; each corpus row lives in exactly one
+    cluster, so probes never produce duplicate (qid, cid) pairs)."""
     q = queries_assigned.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), centroid_id_col
     )

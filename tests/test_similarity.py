@@ -6,6 +6,7 @@ import pytest
 from ccdb_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     ivf_assign,
+    ivf_assign_probes,
     ivf_topk,
 )
 
@@ -51,6 +52,37 @@ def test_ivf_assign_is_argmax(spark, vecs):
         cos = [(round(float((mm[c] @ mm[v]) / (norms[c] * norms[v])) * 10000), -c) for c in range(4)]
         best = max(range(4), key=lambda c: cos[c])
         assert got[v] == best, f"vec {v}"
+
+
+def test_ivf_multiprobe_probes_true_top_centroids_and_raises_recall(spark, vecs):
+    m, df = vecs
+    cent = df.filter("vec_id < 4").selectExpr("vec_id as centroid_id", "embedding")
+    queries = df.filter("vec_id IN (10, 11, 25)")
+    probes = ivf_assign_probes(queries, cent, nprobe=2).collect()
+
+    mm = m.astype("float64")
+    norms = np.linalg.norm(mm, axis=1)
+    by_q = {}
+    for r in probes:
+        by_q.setdefault(r["vec_id"], {})[r["probe_rank"]] = r["centroid_id"]
+    for qid, pr in by_q.items():
+        cos = [(round(float((mm[c] @ mm[qid]) / (norms[c] * norms[qid])) * 10000), -c) for c in range(4)]
+        order = sorted(range(4), key=lambda c: cos[c], reverse=True)
+        assert [pr[1], pr[2]] == order[:2], f"query {qid}"
+
+    # multi-probe recall@3 vs brute force is >= 1-probe recall@3
+    assigned = ivf_assign(df, cent)
+    exact = _np_topk(m, [10, 11, 25], 3)
+    def recall(qframe):
+        got = {}
+        for r in ivf_topk(assigned, qframe, k=3).collect():
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & {i for i, _ in exact[q]}) for q in exact)
+        return hits
+    one = recall(assigned.filter("vec_id IN (10, 11, 25)"))
+    multi = recall(ivf_assign_probes(queries, cent, nprobe=2).drop("probe_rank"))
+    assert multi >= one
+    assert multi > 0
 
 
 def test_ivf_topk_searches_within_cluster(spark, vecs):
