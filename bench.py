@@ -182,7 +182,7 @@ def main() -> None:
     ap.add_argument("--cdc-write-path", default="fused", choices=["fused", "raw"])
     ap.add_argument("--cdc-text-words", type=int, default=100,
                     help="words per turn text; realistic transcripts: 100-500")
-    ap.add_argument("--cdc-warmup-batches", type=int, default=2)
+    ap.add_argument("--cdc-warmup-batches", type=int, default=1)
     ap.add_argument("--cdc-binlog-cache", default=None,
                     help="dir to cache the generated binlog parquet across runs "
                          "(sound: the generator is a pure function of (lsn, seed))")
@@ -235,12 +235,18 @@ def main() -> None:
         ).collect()
         out["python_worker_warmup_sec"] = round(time.time() - t0, 2)
 
+        # min-of-2 per query: a single noisy-neighbor window on this shared
+        # VM can inflate one draw 10-25x (observed); the faster rep is the
+        # less-interfered sample. Policy recorded in the output.
+        out["queries_policy"] = "min-of-2"
         for name in HEADLINE:
             fn = QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            dt = time.time() - t0
-            release_caches()  # free shingle-frame cache blocks between queries
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dt = min(dt, time.time() - t0)
+                release_caches()  # free cached intermediates between reps
             out["queries"][name] = round(dt, 2)
             total += dt
 

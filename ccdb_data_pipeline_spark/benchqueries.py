@@ -483,6 +483,24 @@ def row_limit_sorted(spark, sf_dir):
 
 
 @q(
+    "row_index_global",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_idx,
+           o_orderkey
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def row_index_global(spark, sf_dir):
+    """A3 row-counter generator (reference csv2json.py:30,45 record index)
+    as a DISTRIBUTED gap-free global ordinal: range-partition + per-partition
+    offsets, not the single-reducer ROW_NUMBER() window."""
+    from .operators.index import with_global_index
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return with_global_index(o, ["o_orderkey"]).orderBy("row_idx")
+
+
+@q(
     "union_evolution",
     """
     WITH u AS (

@@ -155,3 +155,16 @@ def test_size_sentinel(spark, tmp_path):
     t._manifest = None
     with pytest.raises(SizeRegressionError):
         check_size_sentinel(t)
+
+
+def test_with_global_index_strict_gap_free(spark):
+    from ccdb_data_pipeline_spark.operators.index import release_caches, with_global_index
+
+    # values deliberately unsorted + skewed so range partitions differ in size
+    vals = [(v,) for v in [5, 1, 9, 3, 3, 7, 2, 8, 100, 0, 4, 6] * 50]
+    df = spark.createDataFrame(vals, "v long").repartition(7)
+    got = with_global_index(df, ["v"], num_partitions=5).collect()
+    release_caches()
+    assert sorted(r["row_idx"] for r in got) == list(range(1, len(vals) + 1))
+    by_idx = sorted(got, key=lambda r: r["row_idx"])
+    assert [r["v"] for r in by_idx] == sorted(v for (v,) in vals)
