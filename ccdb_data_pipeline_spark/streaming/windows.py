@@ -54,6 +54,33 @@ def stream_tumbling_counts(
     )
 
 
+def stream_session_counts(
+    changes: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Event-time session windows per conversation (native
+    ``session_window``): a session closes when no event arrives within
+    ``gap``; with a watermark the state for closed sessions is evicted and
+    each session emits exactly once in append mode — the streaming form of
+    the batch ``sessionize`` query (benchqueries.py). Late events inside
+    the gap extend/merge sessions; state is O(open sessions)."""
+    return (
+        changes.filter(F.col(key_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _PROGRESS_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),

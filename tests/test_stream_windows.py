@@ -135,3 +135,38 @@ def test_stream_conv_progress_stateful_running_totals(spark, segments, tmp_path)
         assert r.n_events == t["n_events"], r.conv_id
         assert r.max_lsn == t["max_lsn"], r.conv_id
         assert r.max_turn_idx == t["max_turn_idx"], r.conv_id
+
+
+def test_stream_session_windows_close_on_watermark(spark, tmp_path):
+    from ccdb_data_pipeline_spark.streaming.windows import stream_session_counts
+
+    B = pd.Timestamp("2025-06-01 00:00:00")
+    rows = []
+    for lsn, (conv, minutes) in enumerate(
+        [("A", 0), ("A", 10), ("A", 20), ("B", 5), ("B", 15),
+         ("A", 100), ("A", 105), ("C", 600)], start=1
+    ):
+        rows.append(dict(lsn=lsn, op="I", conv_id=conv, turn_idx=0, role="user",
+                         text="t", tool=None, ts=B + pd.Timedelta(minutes=minutes)))
+    path = str(tmp_path / "sess-binlog")
+    write_segments(pd.DataFrame(rows), path, n_segments=2, replay_segment=None)
+
+    out = stream_session_counts(_stream(spark, path, max_files=1), gap="30 minutes",
+                                watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, pd.Timestamp(r.session_start)): (pd.Timestamp(r.session_end), r.n_events)
+        for r in spark.table("sessions_out").toPandas().itertuples()
+    }
+    # C's session (end 630min + gap) is still open at wm 480min: not emitted
+    m = pd.Timedelta(minutes=1)
+    assert got == {
+        ("A", B): (B + 50 * m, 3),          # 0,10,20 chained; end = last + gap
+        ("B", B + 5 * m): (B + 45 * m, 2),  # 5,15
+        ("A", B + 100 * m): (B + 135 * m, 2),  # new session after >30min gap
+    }
