@@ -353,6 +353,136 @@ def cdc_merge_apply(spark, sf_dir):
 
 
 @q(
+    "cdc_snapshot_diff",
+    """
+    WITH w AS (SELECT max(event_id) // 2 AS c FROM events),
+    s1 AS (
+      SELECT user_id, event_type, value, ts, event_id FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e WHERE event_id <= (SELECT c FROM w)
+      ) WHERE rn = 1 AND event_id % 10 <> 0
+    ),
+    s2 AS (
+      SELECT user_id, event_type, value, ts, event_id FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e
+      ) WHERE rn = 1 AND event_id % 10 <> 0
+    ),
+    j AS (
+      SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+             coalesce(s1.event_type, s2.event_type) AS event_type,
+             s1.value AS v1, s1.ts AS t1, s1.event_id AS e1,
+             s2.value AS v2, s2.ts AS t2, s2.event_id AS e2
+      FROM s1 FULL OUTER JOIN s2
+        ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+    )
+    SELECT 'insert' AS change_type, user_id, event_type,
+           CAST(round(v2 * 100) AS BIGINT) AS value_c, t2 AS ts, e2 AS lsn
+    FROM j WHERE e1 IS NULL
+    UNION ALL
+    SELECT 'delete', user_id, event_type,
+           CAST(round(v1 * 100) AS BIGINT), t1, e1
+    FROM j WHERE e2 IS NULL
+    UNION ALL
+    SELECT 'update_preimage', user_id, event_type,
+           CAST(round(v1 * 100) AS BIGINT), t1, e1
+    FROM j WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2
+    UNION ALL
+    SELECT 'update_postimage', user_id, event_type,
+           CAST(round(v2 * 100) AS BIGINT), t2, e2
+    FROM j WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e1 <> e2
+    ORDER BY change_type, user_id, event_type
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Change-feed emission (CDC-out, the table_changes analog over the raw
+    stream): diff the LWW-visible state at watermark W1=max_lsn/2 against the
+    state at W2=max_lsn, emitting Delta-CDF-style typed change rows — insert /
+    delete / update pre+post image pairs. Every 10th LSN is treated as a
+    delete event (deterministic pseudo-op), so a key whose final winner is a
+    delete drops out of the visible state.
+
+    Scale shape: two map-side-combining LWW aggs + ONE full-outer join on the
+    key, pre/post pair emitted by a conditional array + explode — a single
+    join pass, no per-change-type rescan (mirrors
+    SnapshotParquetTable.table_changes, plans/lake.py)."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+
+    def visible(df):
+        latest = lww_latest(df, _EVENTS_SPEC)
+        return latest.filter(F.col("event_id") % 10 != 0)
+
+    a = visible(ev.filter(F.col("event_id") <= w1)).alias("a")
+    b = visible(ev).alias("b")
+    keys = ["user_id", "event_type"]
+    j = a.join(b, on=keys, how="full_outer")
+
+    def img(side, tag):
+        return F.struct(
+            F.lit(tag).alias("change_type"),
+            _cents(F.col(f"{side}.value")).alias("value_c"),
+            F.col(f"{side}.ts").alias("ts"),
+            F.col(f"{side}.event_id").alias("lsn"),
+        )
+
+    e1, e2 = F.col("a.event_id"), F.col("b.event_id")
+    arr = (
+        F.when(e1.isNull(), F.array(img("b", "insert")))
+        .when(e2.isNull(), F.array(img("a", "delete")))
+        .when(e1 != e2, F.array(img("a", "update_preimage"), img("b", "update_postimage")))
+    )  # otherwise NULL -> explode drops unchanged keys
+    return (
+        j.select(*keys, F.explode(arr).alias("_c"))
+        .select(
+            F.col("_c.change_type").alias("change_type"),
+            *keys,
+            F.col("_c.value_c").alias("value_c"),
+            F.col("_c.ts").alias("ts"),
+            F.col("_c.lsn").alias("lsn"),
+        )
+        .orderBy("change_type", "user_id", "event_type")
+    )
+
+
+@q(
+    "key_skew_report",
+    """
+    WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS k FROM counts)
+    SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+           CAST((10000 * c.n) // t.t AS BIGINT) AS share_bp,
+           CAST((1000 * c.n * t.k) // t.t AS BIGINT) AS hot_x1000
+    FROM counts c CROSS JOIN tot t
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def key_skew_report(spark, sf_dir):
+    """Skew diagnostics feeding the salting/AQE decisions (operators/salt.py):
+    per-key counts -> top heavy hitters with share (basis points) and
+    hotness-vs-mean (x1000). Two-level agg (map-side partials), scalar totals
+    broadcast back — no all-to-one shuffle of the key counts."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.floor(10000 * F.col("n") / F.col("t")).cast("long").alias("share_bp"),
+            F.floor(1000 * F.col("n") * F.col("k") / F.col("t")).cast("long").alias("hot_x1000"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
+
+
+@q(
     "date_rollup",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,

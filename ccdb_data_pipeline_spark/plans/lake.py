@@ -829,11 +829,172 @@ class SnapshotParquetTable:
         m["committed_at"] = time.time()
         self._commit(m)
 
+    def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed between two committed snapshots (the CDC-out twin of
+        the CDC-in apply path — Delta CDF / Iceberg changelog analog; the
+        reference has no equivalent, its sink is terminal at index_ccdb.py).
+
+        Returns one row per change with ``_change_type`` in
+        {insert, delete, update_preimage, update_postimage} plus
+        ``_from_version`` / ``_to_version`` stamps.
+
+        Scale design: only buckets whose file lists DIFFER between the two
+        manifests are read (an untouched bucket cannot contain a change), so
+        the cost is O(touched buckets), not O(table). Inside touched buckets
+        the two visible states full-outer join on the key; rows whose LWW
+        markers ``(_ts_applied, _lsn_applied)`` are identical on both sides
+        are unchanged carry-overs of the CoW rewrite and are dropped
+        map-side. The pre/post image pair is emitted via one conditional
+        array + explode — a single join pass, no second scan."""
+        m2v = self.current_version() if to_version is None else to_version
+        if from_version > m2v:
+            raise ValueError(f"from_version {from_version} > to_version {m2v}")
+        m1, m2 = self.manifest(from_version), self.manifest(m2v)
+        touched = sorted(
+            int(b)
+            for b in set(m1["buckets"]) | set(m2["buckets"])
+            if m1["buckets"].get(b) != m2["buckets"].get(b)
+        )
+        schema = T.StructType.fromJson(m2["schema"])
+        user_cols = [f.name for f in schema.fields]
+        keys = list(self.spec.key_cols)
+        payload = [c for c in user_cols if c not in keys]
+        ct = T.StructField("_change_type", T.StringType())
+        out_schema = T.StructType(
+            [ct]
+            + [f for f in schema.fields]
+            + [
+                T.StructField("_from_version", T.LongType()),
+                T.StructField("_to_version", T.LongType()),
+            ]
+        )
+        if not touched:
+            return self.spark.createDataFrame([], out_schema)
+        s1 = self.read(version=from_version, include_internal=True, buckets=touched)
+        s2 = self.read(version=m2v, include_internal=True, buckets=touched)
+        # align the older state to the newer schema (column adds / widens
+        # between the two versions must not break the diff)
+        tgt = T.StructType(
+            schema.fields
+            + [
+                T.StructField(TS_APPLIED, T.TimestampType()),
+                T.StructField(LSN_APPLIED, T.LongType()),
+            ]
+        )
+        s1 = align_to_schema(s1, tgt).select(*user_cols, TS_APPLIED, LSN_APPLIED)
+        s2 = s2.select(*user_cols, TS_APPLIED, LSN_APPLIED)
+        a, b = s1.alias("a"), s2.alias("b")
+        j = a.join(b, on=keys, how="full_outer")
+        def img(side: str, tag: str):
+            return F.struct(
+                F.lit(tag).alias("_change_type"),
+                *[F.col(f"{side}.{c}").alias(c) for c in payload],
+            )
+        marker = lambda s: F.struct(F.col(f"{s}.{TS_APPLIED}"), F.col(f"{s}.{LSN_APPLIED}"))  # noqa: E731
+        absent_a = F.col(f"a.{LSN_APPLIED}").isNull() & F.col(f"a.{TS_APPLIED}").isNull()
+        absent_b = F.col(f"b.{LSN_APPLIED}").isNull() & F.col(f"b.{TS_APPLIED}").isNull()
+        arr = (
+            F.when(absent_a, F.array(img("b", "insert")))
+            .when(absent_b, F.array(img("a", "delete")))
+            .when(
+                marker("a") != marker("b"),
+                F.array(img("a", "update_preimage"), img("b", "update_postimage")),
+            )
+        )  # otherwise -> NULL; explode drops null arrays (unchanged rows)
+        ex = j.select(*keys, F.explode(arr).alias("_c"))
+        return ex.select(
+            F.col("_c._change_type").alias("_change_type"),
+            *keys,
+            *[F.col(f"_c.{c}").alias(c) for c in payload],
+            F.lit(from_version).cast("long").alias("_from_version"),
+            F.lit(m2v).cast("long").alias("_to_version"),
+        ).select(*[f.name for f in out_schema.fields])
+
+    def expire_snapshots(self, retain_last: int = 2) -> dict:
+        """Retention maintenance (Iceberg ``expire_snapshots`` analog):
+        drop manifests older than the newest ``retain_last`` versions and
+        delete data files no retained manifest references.
+
+        Files are reference-counted across ALL retained manifests before
+        deletion — MoR base files written at version k stay live as long as
+        any retained manifest still lists them, so time travel within the
+        retention window is untouched. Returns reclaim stats."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        cur = self.current_version()
+        min_keep = max(0, cur - retain_last + 1)
+        kept_refs: set[str] = set()
+        for v in range(min_keep, cur + 1):
+            if not os.path.exists(self._manifest_path(v)):
+                continue
+            m = self.manifest(v)
+            for fs in m["buckets"].values():
+                for e in fs:
+                    kept_refs.add(e["path"])
+        n_files = n_manifests = bytes_reclaimed = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dn, filenames in os.walk(data_root):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel not in kept_refs:
+                    bytes_reclaimed += os.path.getsize(full)
+                    os.remove(full)
+                    n_files += 1
+        # prune now-empty commit/bucket dirs (bottom-up)
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirnames and not filenames:
+                os.rmdir(dirpath)
+        v = min_keep - 1
+        while v >= 0 and os.path.exists(self._manifest_path(v)):
+            os.remove(self._manifest_path(v))
+            n_manifests += 1
+            v -= 1
+        return {
+            "n_data_files_deleted": n_files,
+            "n_manifests_deleted": n_manifests,
+            "bytes_reclaimed": bytes_reclaimed,
+            "min_retained_version": min_keep,
+        }
+
+    def remove_orphans(self) -> dict:
+        """Delete data files referenced by NO manifest (crash debris from
+        writes whose commit never happened — the rollback-by-omission design
+        makes them invisible but they still hold bytes)."""
+        refs: set[str] = set()
+        mdir = os.path.join(self.root, "manifests")
+        for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+            if fn.startswith("m-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+                for fs in m["buckets"].values():
+                    for e in fs:
+                        refs.add(e["path"])
+        n_files = bytes_reclaimed = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dn, filenames in os.walk(data_root):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                if os.path.relpath(full, self.root) not in refs:
+                    bytes_reclaimed += os.path.getsize(full)
+                    os.remove(full)
+                    n_files += 1
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirnames and not filenames:
+                os.rmdir(dirpath)
+        return {"n_data_files_deleted": n_files, "bytes_reclaimed": bytes_reclaimed}
+
     def history(self) -> list[dict]:
         """All committed snapshots (oldest first) — lineage/audit surface."""
         out = []
         v = self.current_version()
         while v >= 0:
+            if not os.path.exists(self._manifest_path(v)):
+                break  # older snapshots expired (expire_snapshots)
             m = self.manifest(v)
             out.append(m)
             v -= 1
