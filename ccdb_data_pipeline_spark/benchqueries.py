@@ -483,6 +483,128 @@ def key_skew_report(spark, sf_dir):
 
 
 @q(
+    "asof_click_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, value, event_id FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+        FROM events e WHERE event_type = 'click') WHERE rn = 1
+    ),
+    buys AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT b.event_id AS buy_lsn, b.user_id, b.ts,
+           CAST(round(b.value * 100) AS BIGINT) AS buy_value_c,
+           c.ts AS click_ts, c.event_id AS click_lsn,
+           CAST(round(c.value * 100) AS BIGINT) AS click_value_c
+    FROM buys b ASOF LEFT JOIN clicks c
+      ON b.user_id = c.user_id AND c.ts <= b.ts
+    ORDER BY buy_lsn
+    """,
+)
+def asof_click_attribution(spark, sf_dir):
+    """As-of (point-in-time) join: each purchase event attributed to the
+    user's most recent click at or before it (LEFT semantics — purchases
+    with no prior click keep nulls). The operator Spark lacks natively,
+    implemented in operators/asof.py as one union + one keyed window (single
+    shuffle), verified against DuckDB's native ASOF JOIN. Clicks are
+    pre-deduped per (user_id, ts) by greatest LSN so equal-ts matches are
+    deterministic in both engines."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.struct("value", "event_id"), "event_id").alias("_w"))
+        .select(
+            "user_id", "ts",
+            F.col("_w.value").alias("value"),
+            F.col("_w.event_id").alias("event_id"),
+        )
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        buys, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value", "event_id"], prefix="click_",
+    )
+    return j.select(
+        F.col("event_id").alias("buy_lsn"),
+        "user_id",
+        "ts",
+        _cents(F.col("value")).alias("buy_value_c"),
+        F.col("click_ts").alias("click_ts"),
+        F.col("click_event_id").alias("click_lsn"),
+        _cents(F.col("click_value")).alias("click_value_c"),
+    ).orderBy("buy_lsn")
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """F6: JSON payload parse in the hot path — extract a typed field from
+    the semi-structured props column JVM-side (get_json_object, codegen'd;
+    no Python), then aggregate. The reference parses every document from
+    JSON per row (index_ccdb.py:98-100)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "rollup_order_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def rollup_order_revenue(spark, sf_dir):
+    """Multi-level aggregation (GROUPING SETS / ROLLUP): per (status,
+    priority), per status, and grand total in ONE pass — Spark expands the
+    grouping sets map-side with partial aggregation, no re-scan per level."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_c"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "rev_c",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@q(
     "date_rollup",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,

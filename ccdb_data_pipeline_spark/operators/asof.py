@@ -1,0 +1,85 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For every left row, attach the most recent right row for the same key
+whose timestamp is <= the left row's timestamp (a LEFT ASOF JOIN in
+DuckDB/QuestDB terms; pandas ``merge_asof``). The transcript-CDC use is
+aligning a turn to the latest tool/config/state event at or before it.
+
+Spark-first plan (no per-row Python, no range cross-join):
+union both sides tagged with a side bit, ONE hash shuffle on the key,
+ONE within-partition sort on (ts, side, tiebreak), then a running
+``last(payload, ignorenulls=True)`` window carries the newest right
+payload forward onto each left row. Cost is a single Exchange +
+WindowExec over n_left + n_right rows — the same shape Spark uses for
+any keyed window, so it inherits AQE/skew handling. Contrast the naive
+``l JOIN r ON key AND r.ts <= l.ts`` + argmax, which explodes to the
+full per-key cross product before pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """LEFT ASOF JOIN: newest right row with ``right_ts <= left_ts`` per key.
+
+    right_cols: right payload columns to attach (default: all non-key,
+    non-ts columns). Attached columns are renamed ``{prefix}{col}`` plus
+    ``{prefix}ts`` for the matched right timestamp; unmatched left rows
+    get nulls (LEFT semantics).
+
+    right_tiebreak: column that orders right rows sharing the same
+    (key, ts) — the greatest wins (e.g. an LSN). Without it, equal-ts
+    duplicates on the right make the match nondeterministic; pre-dedupe
+    or pass a tiebreak.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c) for c in right_cols]
+    )
+    tie = (
+        F.col(right_tiebreak).cast("double")
+        if right_tiebreak is not None
+        else F.lit(0.0)
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        tie.alias("_tie"),
+        payload.alias("_p"),
+    )
+    l_ = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(float("inf")).alias("_tie"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+    )
+    u = l_.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_ats", "_side", "_tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last("_p", ignorenulls=True).over(w)
+    out = u.withColumn("_m", carried).filter(F.col("_side") == 1)
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        F.col("_m.ts").alias(f"{prefix}ts"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
