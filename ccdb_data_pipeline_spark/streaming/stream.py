@@ -24,6 +24,24 @@ from ..plans.lake import MergeStats, SnapshotParquetTable
 from ..schemas import CHANGE_SCHEMA
 
 
+def _emit_batch_changes(
+    table: SnapshotParquetTable, feed_dir: str, batch_id: int, version: int
+) -> None:
+    """Write the typed change feed for one applied batch to
+    ``<feed_dir>/b-<batch_id>`` (idempotent: mode=overwrite + Spark's own
+    _SUCCESS marker makes a half-written replay self-healing)."""
+    import os
+
+    out = os.path.join(feed_dir, f"b-{batch_id:010d}")
+    table.table_changes(version - 1, version).write.mode("overwrite").parquet(out)
+
+
+def _feed_complete(feed_dir: str, batch_id: int) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(feed_dir, f"b-{batch_id:010d}", "_SUCCESS"))
+
+
 def start_ingest(
     spark: SparkSession,
     segments_dir: str,
@@ -34,8 +52,19 @@ def start_ingest(
     available_now: bool = True,
     normalize: bool = True,
     on_batch: Callable[[MergeStats], None] | None = None,
+    emit_changes_dir: str | None = None,
 ):
-    """Start the CDC ingest stream; returns the StreamingQuery."""
+    """Start the CDC ingest stream; returns the StreamingQuery.
+
+    emit_changes_dir: when set, each applied micro-batch also publishes its
+    Delta-CDF-style typed change feed (insert / delete / update pre+post
+    images, via ``table_changes`` over the batch's snapshot pair) to
+    ``<dir>/b-<batch_id>`` — the CDC-out leg for downstream consumers.
+    Exactly-once composes with the ingest's: a crash between table commit
+    and feed write leaves the batch skipped-on-replay, and the replay
+    re-emits the missing feed from the committed snapshots (manifest lookup
+    by batch_id), so the feed converges to exactly one complete dir per
+    applied batch."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -44,6 +73,20 @@ def start_ingest(
 
     def _fb(batch_df, batch_id: int) -> None:
         stats = apply_changes(table, batch_df, batch_id, normalize=normalize)
+        if emit_changes_dir is not None:
+            if not stats.skipped:
+                _emit_batch_changes(table, emit_changes_dir, batch_id, stats.version)
+            elif not _feed_complete(emit_changes_dir, batch_id):
+                # replayed batch whose feed never landed (crash between the
+                # table commit and the feed write): recover the batch's
+                # version from the committed manifests and re-emit
+                for m in table.history():
+                    s = m.get("summary", {})
+                    if s.get("op") == "merge" and int(s.get("batch_id", -1)) == batch_id:
+                        _emit_batch_changes(
+                            table, emit_changes_dir, batch_id, m["version"]
+                        )
+                        break
         if on_batch is not None:
             on_batch(stats)
 
