@@ -1005,6 +1005,55 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# reuse the (already-registered) minhash pair SQL as the edge CTE so the two
+# oracles can never drift apart
+_MINHASH_PAIRS_BODY = ORACLE["dedup_minhash_lsh"].rsplit("ORDER BY", 1)[0]
+
+
+@q(
+    "dedup_components",
+    "WITH RECURSIVE p AS (" + _MINHASH_PAIRS_BODY + """),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+    SELECT c.doc_id, c.component, CAST(s.n AS BIGINT) AS n_cluster
+    FROM comp c JOIN (SELECT component, COUNT(*) AS n FROM comp GROUP BY component) s
+      ON s.component = c.component
+    ORDER BY c.component, c.doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from near-dup PAIRS: MinHash+LSH candidate edges ->
+    distributed connected components (alternating large-star/small-star,
+    operators/components.py — O(log n) contraction rounds regardless of
+    component diameter, each round two groupBy shuffles) -> one canonical
+    min-id label per cluster plus the cluster size. This is the missing step
+    between pair detection and an actual keep-one-per-cluster dedup policy.
+    Oracle: DuckDB recursive transitive closure over the identical pair CTE."""
+    from .operators.components import connected_components
+    from .operators.dedup_text import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=8, band_size=2, threshold_bp=2000, hash_mode="md5"
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_cluster"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.col("n_cluster").cast("long").alias("n_cluster"),
+        )
+        .orderBy("component", "doc_id")
+    )
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""

@@ -1,0 +1,86 @@
+"""Distributed connected components — turns near-dup PAIRS into dup CLUSTERS.
+
+The dedup operators (MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine) emit candidate pairs; deduplication policy needs the
+transitive closure: one canonical id per connected component so a
+keep-one-per-cluster rule can run as a groupBy.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+two groupBy shuffles over the edge list, and the edge graph contracts
+toward a forest of stars rooted at each component's minimum node id in
+O(log n) rounds REGARDLESS of component diameter. This is the
+scale-correct choice over naive min-label propagation, whose round count
+is the graph diameter (a 10^6-long chain needs 10^6 joins; star
+contraction needs ~20). No driver-side graph state: the driver sees only
+a per-round convergence scalar (edge count + hash checksum).
+
+  large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+  small-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v ≤ u,
+                 plus (u, m)
+
+At fixpoint every edge points directly at its component root.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("u"), F.col("v")).filter(F.col("u") != F.col("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _star(nb: DataFrame, large: bool) -> DataFrame:
+    """One star-contraction round over the symmetric neighbor list."""
+    mins = (
+        nb.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    j = nb.join(mins, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = j.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(mins.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Return (node, component) for every node in ``edges``; component =
+    the minimum node id in its connected component. Node ids must be
+    orderable (int or string). Isolated nodes don't appear in an edge
+    list — union them in as (node, node) downstream if needed."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = _symmetric(e)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _star(_symmetric(_star(_symmetric(cur), large=True)), large=False)
+        # convergence probe: count + order-free checksum of the edge set
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        cur = cur.localCheckpoint(eager=True)  # truncate the iterative lineage
+    assign = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(assign, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return assign.union(roots)
