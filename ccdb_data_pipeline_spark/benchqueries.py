@@ -448,6 +448,73 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 
 @q(
+    "point_lookup",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners
+    WHERE rn = 1 AND event_type <> 'error' AND user_id IN (1, 7, 42)
+    ORDER BY user_id, event_type
+    """,
+)
+def point_lookup(spark, sf_dir):
+    """Bucket-pruned point lookup through the REAL lake backend: ingest the
+    event stream into a SnapshotParquetTable keyed (user_id, event_type)
+    ('error' events route to DELETE), sorted-compact, then ``read_keys``
+    fetches three conversations' worth of state touching only the buckets
+    those keys hash into (plans/lake.py read_keys; the reference serves the
+    same shape via per-document index GETs, index_ccdb.py:103-105). The
+    oracle replays LWW over the raw stream and filters to the same keys —
+    per-key state equality proves the pruned read path loses nothing."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.lake import SnapshotParquetTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    deduped = lww_latest(tagged, spec)
+    root = os.path.join(tempfile.gettempdir(), f"cdc-ptlk-{uuid.uuid4().hex}")
+    t = SnapshotParquetTable(spark, root, spec)
+    t.create(
+        deduped.drop(spec.op_col, spec.lsn_col).schema
+    )
+    t.merge(deduped, batch_id=0)
+    t.compact(sort_within_bucket=True)
+    return (
+        t.read_keys([1, 7, 42])
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
     "key_skew_report",
     """
     WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

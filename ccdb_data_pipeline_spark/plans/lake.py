@@ -243,6 +243,34 @@ class SnapshotParquetTable:
             df = df.select(*[f.name for f in T.StructType.fromJson(m["schema"]).fields])
         return df
 
+    def read_keys(self, values: list, version: int | None = None) -> DataFrame:
+        """Point lookup: scan only the buckets the given ``bucket_col`` values
+        hash into (the Iceberg bucket-partition point-read). At 10^10 rows /
+        4096 buckets a k-conversation lookup touches k buckets (~2.4M rows
+        each) instead of the whole table, and the pushed ``IN`` predicate
+        skips row groups within those buckets — tight row-group stats come
+        from ``compact(sort_within_bucket=True)``.
+
+        The key→bucket mapping runs through the same JVM ``xxhash64`` the
+        writer uses (a tiny local DataFrame, one collect of ≤len(values)
+        ints) so driver and executors can never disagree on the hash."""
+        if not values:
+            return self.read(version).limit(0)
+        bcol = self.spec.bucket_col
+        field = next(f for f in self.schema.fields if f.name == bcol)
+        probe = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([field])
+        )
+        buckets = [
+            r[0]
+            for r in probe.select(
+                F.pmod(F.xxhash64(F.col(bcol)), F.lit(self.spec.num_buckets))
+            )
+            .distinct()
+            .collect()
+        ]
+        return self.read(version, buckets=buckets).filter(F.col(bcol).isin(values))
+
     def _resolve_versions(self, df: DataFrame) -> DataFrame:
         """Collapse multi-version rows (base + delta layers) to the LWW winner
         per key: greatest ``(_ts_applied, _lsn_applied)`` — the read-side twin
@@ -280,17 +308,23 @@ class SnapshotParquetTable:
         self._commit(m)
 
     def _write_data(self, df: DataFrame, version: int, sid: int | None = None,
-                    delta: bool = False) -> dict[int, list[dict]]:
+                    delta: bool = False, sort_cols: tuple[str, ...] = ()) -> dict[int, list[dict]]:
         """Write df (with BUCKET col) partitioned by bucket; return
         bucket -> file entries. One commit dir per version keeps uncommitted
-        writes invisible (they're simply never referenced by a manifest)."""
+        writes invisible (they're simply never referenced by a manifest).
+        ``sort_cols`` sorts rows within each bucket partition before writing
+        (no extra shuffle — rides the bucket repartition) so parquet
+        row-group min/max stats on the keys become tight and point-lookup
+        predicates skip row groups."""
         rel = os.path.join("data", f"c{version:010d}")
         out_dir = os.path.join(self.root, rel)
         if sid is None:
             sid = self.manifest().get("current_schema_id", 0)
+        part = df.repartition(F.col(BUCKET))
+        if sort_cols:
+            part = part.sortWithinPartitions(BUCKET, *sort_cols)
         (
-            df.repartition(F.col(BUCKET))
-            .write.mode("overwrite")
+            part.write.mode("overwrite")
             .partitionBy(BUCKET)
             .parquet(out_dir)
         )
@@ -797,10 +831,16 @@ class SnapshotParquetTable:
         _atomic_write(self._head_path, str(version))
         self._manifest = None
 
-    def compact(self, drop_tombstones: bool = True) -> None:
+    def compact(self, drop_tombstones: bool = True,
+                sort_within_bucket: bool = True) -> None:
         """Rewrite every bucket: merge small files, optionally reclaim
         tombstones (safe once lateness horizon passed) — the
-        rewrite_data_files analog of the archive re-merge (s3_utils.py:21-59)."""
+        rewrite_data_files analog of the archive re-merge (s3_utils.py:21-59).
+        ``sort_within_bucket`` clusters rows by the table key inside each
+        rewritten bucket (Iceberg rewrite_data_files sort-order analog):
+        free at write time (sort rides the existing bucket shuffle) and it
+        makes parquet row-group key stats tight, so ``read_keys`` point
+        lookups prune row groups, not just buckets."""
         m0 = self.manifest()
         entries = [e for fs in m0["buckets"].values() for e in fs]
         df = self._read_files(entries, m0)
@@ -820,7 +860,10 @@ class SnapshotParquetTable:
         if drop_tombstones:
             df = df.filter(~F.col(DELETED))
         df = df.withColumn(BUCKET, self._bucket_expr())
-        files = self._write_data(df, version, sid=m0["current_schema_id"])
+        files = self._write_data(
+            df, version, sid=m0["current_schema_id"],
+            sort_cols=self.spec.key_cols if sort_within_bucket else (),
+        )
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
