@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.apply import apply_changes
@@ -53,8 +54,23 @@ def start_ingest(
     normalize: bool = True,
     on_batch: Callable[[MergeStats], None] | None = None,
     emit_changes_dir: str | None = None,
+    dedupe_within_watermark: str | None = None,
 ):
     """Start the CDC ingest stream; returns the StreamingQuery.
+
+    dedupe_within_watermark: when set (e.g. ``"2 hours"``), suppress
+    re-delivered change events in-stream with
+    ``dropDuplicatesWithinWatermark`` keyed on the LSN — checkpointed
+    dedup state shared ACROSS micro-batches, sized by the watermark delay
+    instead of growing forever. This covers the at-least-once upstream the
+    offset log can't: the same events re-published under a NEW segment
+    file (a binlog tailer retrying an upload) look like fresh input to the
+    file source. The MERGE's (ts, lsn) dominance already makes such
+    replays value-idempotent — this knob stops them from burning a shuffle
+    + write per duplicate and from inflating per-batch lineage counts.
+    Duplicates older than the watermark horizon fall through to that
+    dominance check (documented Spark semantics: dedup is guaranteed only
+    within the delay), so correctness never depends on the delay chosen.
 
     emit_changes_dir: when set, each applied micro-batch also publishes its
     Delta-CDF-style typed change feed (insert / delete / update pre+post
@@ -70,6 +86,18 @@ def start_ingest(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # segments are parquet; latestFirst stays False so arrival order == mtime order
     changes = reader.parquet(segments_dir)
+    if dedupe_within_watermark is not None:
+        spec = table.spec
+        # Null event-time rows can't be compared to a watermark, and the
+        # stateful operator would drop them as late — route them around the
+        # dedup (their replays fall through to the MERGE's (ts, lsn)
+        # dominance, which is value-idempotent).
+        timed = (
+            changes.filter(F.col(spec.ts_col).isNotNull())
+            .withWatermark(spec.ts_col, dedupe_within_watermark)
+            .dropDuplicatesWithinWatermark([spec.lsn_col])
+        )
+        changes = timed.unionByName(changes.filter(F.col(spec.ts_col).isNull()))
 
     def _fb(batch_df, batch_id: int) -> None:
         stats = apply_changes(table, batch_df, batch_id, normalize=normalize)
