@@ -1481,3 +1481,92 @@ def doc_fingerprint(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return fingerprint_winnow(d, "doc_id", "text").orderBy("doc_id")
+
+
+# =====================================================================
+# Training-data assembly ops: ordered rollup + deterministic split
+# =====================================================================
+
+
+@q(
+    "trace_render",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS trace,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def trace_render(spark, sf_dir):
+    """Conversation/trace assembly: render each user's event stream into ONE
+    ordered document (the transcript-to-training-text step: turns collected
+    per conv_id, ordered by turn_idx, concatenated). Spark has no ordered
+    string_agg, so the stable composition is collect_list(struct(orderkeys,
+    payload)) -> array_sort (struct compare = lexicographic on the order
+    keys) -> transform -> array_join: one map-side-combining agg, the sort
+    happens per group AFTER collection (no window, no second shuffle), and
+    struct order keys make the result deterministic under ties."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("trace"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "stratified_split",
+    """
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN doc_id % 10 < 8 THEN 'train'
+                  WHEN doc_id % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM tagged GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10 by key modulus —
+    hash-free so the oracle agrees bit-for-bit; in production swap the
+    modulus for xxhash64(doc_id) with identical plan shape) + per-language
+    split audit. Pure map-side tagging (no shuffle to assign), one grouped
+    agg to audit — the split itself never materializes a row move, which is
+    the property that matters at 100 TB: splits are column predicates, not
+    data copies."""
+    d = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
