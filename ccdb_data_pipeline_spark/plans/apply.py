@@ -33,16 +33,58 @@ def bootstrap_seed(table: SnapshotParquetTable, seed_df: DataFrame, normalize: b
     table.bootstrap(seed_df)
 
 
+def _bad_key_pred(spec):
+    bad = None
+    for k in spec.key_cols:
+        c = F.col(k).isNull()
+        bad = c if bad is None else (bad | c)
+    return bad
+
+
+def quarantine_malformed(
+    batch_df: DataFrame, spec, quarantine_dir: str, batch_id: int
+) -> None:
+    """Dead-letter sink: park the batch's malformed rows (null key parts)
+    under ``<dir>/b-<batch_id>`` with the failing reason, instead of losing
+    them to the drop filter. Idempotent (overwrite per batch dir) so a
+    replayed batch rewrites, never duplicates, its quarantine shard. The
+    reference silently skips these rows (index_ccdb.py:104); a production
+    CDC tail needs them inspectable."""
+    import os
+
+    reason = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col(k).isNull(), F.lit(f"null:{k}"))
+            for k in spec.key_cols
+        ],
+    )
+    (
+        batch_df.filter(_bad_key_pred(spec))
+        .withColumn("_reason", reason)
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .parquet(os.path.join(quarantine_dir, f"b-{batch_id:010d}"))
+    )
+
+
+def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
+    """All dead-lettered rows across batches (glob over the batch dirs)."""
+    return spark.read.parquet(f"{quarantine_dir}/b-*")
+
+
 def apply_changes(
     table: SnapshotParquetTable,
     batch_df: DataFrame,
     batch_id: int,
     normalize: bool = True,
     count_malformed: bool = True,
+    quarantine_dir: str | None = None,
 ) -> MergeStats:
     spec = table.spec
     if batch_id <= table.last_batch_id:
         return MergeStats(batch_id=batch_id, skipped=True, version=table.manifest()["version"])
+    raw_df = batch_df
 
     if table.mode == "mor":
         # fused single-shuffle apply: malformed counting+dropping, dedup and
@@ -57,10 +99,7 @@ def apply_changes(
             # observe node attached BEFORE the filter — no extra pass
             from pyspark.sql import Observation
 
-            bad = None
-            for k in spec.key_cols:
-                c = F.col(k).isNull()
-                bad = c if bad is None else (bad | c)
+            bad = _bad_key_pred(spec)
             obs = Observation(f"malformed-{batch_id}")
             batch_df = batch_df.observe(
                 obs, F.sum(F.when(bad, 1).otherwise(0)).alias("n_malformed")
@@ -77,6 +116,13 @@ def apply_changes(
         # therefore populated the observation) but before the manifest commit
         extra = (lambda: {"n_malformed": int(obs.get["n_malformed"] or 0)}) if obs else None
         stats = table.merge(deduped, batch_id, summary_extra=extra)
+        if obs is not None and not stats.skipped:
+            stats.n_malformed = int(obs.get["n_malformed"] or 0)
+    # dead-letter the malformed rows AFTER the commit decided the batch is
+    # fresh; the write runs only when the (already-computed) count is
+    # non-zero, so the common clean batch pays nothing
+    if quarantine_dir is not None and not stats.skipped and stats.n_malformed > 0:
+        quarantine_malformed(raw_df, spec, quarantine_dir, batch_id)
     # merge-on-read maintenance: fold delta layers periodically so read
     # amplification stays bounded (tombstones retained — reclaiming them is
     # an explicit, lateness-horizon-aware compact(drop_tombstones=True))

@@ -55,6 +55,7 @@ def start_ingest(
     on_batch: Callable[[MergeStats], None] | None = None,
     emit_changes_dir: str | None = None,
     dedupe_within_watermark: str | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Start the CDC ingest stream; returns the StreamingQuery.
 
@@ -100,7 +101,10 @@ def start_ingest(
         changes = timed.unionByName(changes.filter(F.col(spec.ts_col).isNull()))
 
     def _fb(batch_df, batch_id: int) -> None:
-        stats = apply_changes(table, batch_df, batch_id, normalize=normalize)
+        stats = apply_changes(
+            table, batch_df, batch_id, normalize=normalize,
+            quarantine_dir=quarantine_dir,
+        )
         if emit_changes_dir is not None:
             if not stats.skipped:
                 _emit_batch_changes(table, emit_changes_dir, batch_id, stats.version)
