@@ -114,10 +114,27 @@ def apply_changes(
             deduped = normalize_payload(deduped, spec)
         # lazily evaluated after merge()'s stats job has run the plan (and
         # therefore populated the observation) but before the manifest commit
-        extra = (lambda: {"n_malformed": int(obs.get["n_malformed"] or 0)}) if obs else None
+        extra = None
+        if obs is not None:
+            got: dict = {}
+
+            def extra():
+                try:
+                    got["n_malformed"] = int(obs.get["n_malformed"] or 0)
+                except Exception:
+                    # when EVERY row is malformed the stats job can collapse
+                    # to an empty relation (AQE empty propagation) without
+                    # ever firing the observe node — count directly; this
+                    # extra pass happens only on the pathological all-bad
+                    # batch, never on the hot path
+                    got["n_malformed"] = raw_df.where(_bad_key_pred(spec)).count()
+                return dict(got)
+
         stats = table.merge(deduped, batch_id, summary_extra=extra)
         if obs is not None and not stats.skipped:
-            stats.n_malformed = int(obs.get["n_malformed"] or 0)
+            if "n_malformed" not in got:
+                extra()
+            stats.n_malformed = got["n_malformed"]
     # dead-letter the malformed rows AFTER the commit decided the batch is
     # fresh; the write runs only when the (already-computed) count is
     # non-zero, so the common clean batch pays nothing

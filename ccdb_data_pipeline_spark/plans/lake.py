@@ -613,7 +613,15 @@ class SnapshotParquetTable:
         rel = os.path.join("data", f"c{version:010d}")
         out_dir = os.path.join(self.root, rel)
         folded.write.mode("overwrite").partitionBy(BUCKET).parquet(out_dir)
-        got = obs.get
+        try:
+            got = obs.get
+        except Exception:
+            # zero well-formed rows: AQE collapses the write plan to an empty
+            # relation and the observe node never fires — recover the
+            # malformed tally with a direct count (all surviving source rows
+            # were bad by construction; pathological path, never hot)
+            got = {"n": 0, "n_malformed": src.count(), "lsn_min": None,
+                   "lsn_max": None, "n_i": 0, "n_u": 0, "n_d": 0}
         n_malformed = int(got["n_malformed"] or 0)
         if not got["n"]:
             extra = dict(summary_extra() if callable(summary_extra) else (summary_extra or {}))
