@@ -86,6 +86,31 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX — the alias-swap analog
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer already committed this snapshot version. The caller's
+    manifest view is stale: re-read the table state and retry the operation
+    (Iceberg's optimistic-concurrency CommitFailedException analog)."""
+
+
+def _atomic_write_exclusive(path: str, data: str) -> None:
+    """Compare-and-swap on a version slot: write a temp file, then ``link``
+    it to the final name — link(2) fails atomically if the slot is taken, so
+    two racing writers can never both believe they own one version."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot version slot already committed by another writer: {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
 class SnapshotParquetTable:
     """Bucket-partitioned parquet table with JSON manifests + HEAD pointer."""
 
@@ -140,7 +165,17 @@ class SnapshotParquetTable:
 
     def _commit(self, m: dict) -> None:
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
-        _atomic_write(self._manifest_path(m["version"]), json.dumps(m, indent=1))
+        try:
+            # exclusive-create CAS: exactly one writer wins each version slot
+            _atomic_write_exclusive(
+                self._manifest_path(m["version"]), json.dumps(m, indent=1)
+            )
+        except CommitConflictError:
+            # our cached view was stale (another handle merged/compacted);
+            # drop it so the caller's retry sees the winner's state. The
+            # loser's data files are unreferenced — remove_orphans reclaims.
+            self._manifest = None
+            raise
         _atomic_write(self._head_path, str(m["version"]))
         self._manifest = m
 
@@ -316,7 +351,10 @@ class SnapshotParquetTable:
         (no extra shuffle — rides the bucket repartition) so parquet
         row-group min/max stats on the keys become tight and point-lookup
         predicates skip row groups."""
-        rel = os.path.join("data", f"c{version:010d}")
+        # unique per write ATTEMPT (not just per version): two optimistic
+        # writers racing the same version slot must never share a directory,
+        # or the CAS loser's overwrite clobbers the winner's data files
+        rel = os.path.join("data", f"c{version:010d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
         if sid is None:
             sid = self.manifest().get("current_schema_id", 0)
@@ -610,7 +648,9 @@ class SnapshotParquetTable:
         new_sid = (
             max(int(k) for k in m0["schemas"]) + 1 if schema_changed else m0["current_schema_id"]
         )
-        rel = os.path.join("data", f"c{version:010d}")
+        # attempt-unique dir — see _write_data: racing CAS writers must not
+        # share a commit directory
+        rel = os.path.join("data", f"c{version:010d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
         folded.write.mode("overwrite").partitionBy(BUCKET).parquet(out_dir)
         try:
@@ -833,11 +873,27 @@ class SnapshotParquetTable:
     # ------------------------------------------------------------ maintenance
 
     def rollback(self, version: int) -> None:
-        """Re-point HEAD at an older snapshot (index_ccdb.py:170-178 analog)."""
+        """Restore an older snapshot (index_ccdb.py:170-178 alias-repoint
+        analog) by committing a NEW version whose state equals the target —
+        roll *forward*, never re-point HEAD backwards. Version slots stay
+        append-only (required by the exclusive-create CAS in ``_commit``:
+        a later writer must never target an already-taken slot), history
+        stays linear, and the abandoned commits remain time-travel-readable
+        until expired. Restoring the old ``last_batch_id`` / ``last_lsn``
+        re-opens the exactly-once ledger so the rolled-back batches can be
+        replayed."""
         if not os.path.exists(self._manifest_path(version)):
             raise ValueError(f"no manifest for version {version}")
-        _atomic_write(self._head_path, str(version))
-        self._manifest = None
+        old, cur = self.manifest(version), self.manifest()
+        if version == cur["version"]:
+            return
+        m = dict(old)
+        m["version"] = cur["version"] + 1
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["parent_snapshot_id"] = cur["snapshot_id"]
+        m["summary"] = {"op": "rollback", "rolled_back_to": version}
+        m["committed_at"] = time.time()
+        self._commit(m)
 
     def compact(self, drop_tombstones: bool = True,
                 sort_within_bucket: bool = True) -> None:

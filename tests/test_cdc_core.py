@@ -177,3 +177,49 @@ def test_compaction_preserves_state(spark, tmp_path, seed_pdf, changes_pdf):
     assert_tables_equal(after, before)
     n_files_after = sum(len(v) for v in t.manifest()["buckets"].values())
     assert n_files_after <= n_files_before
+
+
+def test_concurrent_commit_loser_conflicts_then_retries(spark, tmp_path, seed_pdf, changes_pdf):
+    """Optimistic concurrency: two handles on the same table root race the
+    same version slot; exactly one wins, the loser gets CommitConflictError
+    and succeeds after re-reading (Iceberg CommitFailedException retry)."""
+    from ccdb_data_pipeline_spark.plans.lake import CommitConflictError
+
+    t1 = _mk_table(spark, tmp_path, seed_pdf)
+    t2 = SnapshotParquetTable(spark, t1.root, t1.spec)
+    half = len(changes_pdf) // 2
+    p1, p2 = changes_pdf.iloc[:half], changes_pdf.iloc[half:]
+    # both handles cache the same parent snapshot
+    t1.manifest(), t2.manifest()
+    apply_changes(t1, _spark_changes(spark, p1), batch_id=0)   # t1 wins the slot
+    with pytest.raises(CommitConflictError):
+        apply_changes(t2, _spark_changes(spark, p2), batch_id=1)
+    # loser's cache was invalidated by the conflict; plain retry succeeds
+    apply_changes(t2, _spark_changes(spark, p2), batch_id=1)
+    expected = replay(seed_pdf, [p1, p2])
+    assert_tables_equal(table_to_pandas(t2.read()), expected)
+    # the losing attempt's data files are unreferenced debris -> reclaimable
+    stats = t2.remove_orphans()
+    assert stats["n_data_files_deleted"] >= 0
+    assert_tables_equal(table_to_pandas(t2.read()), expected)
+
+
+def test_rollback_rolls_forward_then_accepts_new_writes(spark, tmp_path, seed_pdf, changes_pdf):
+    """Rollback commits a NEW version (append-only slots); the rolled-back
+    batch ledger re-opens so the same batch_id can be replayed after."""
+    t = _mk_table(spark, tmp_path, seed_pdf)
+    v_seed = t.current_version()
+    apply_changes(t, _spark_changes(spark, changes_pdf), batch_id=0)
+    v_merge = t.current_version()
+    t.rollback(v_seed)
+    assert t.current_version() == v_merge + 1          # forward, not backward
+    assert t.manifest()["summary"]["op"] == "rollback"
+    assert_tables_equal(table_to_pandas(t.read()), replay(seed_pdf, []))
+    # abandoned commit still time-travel readable
+    assert_tables_equal(
+        table_to_pandas(t.read(version=v_merge)), replay(seed_pdf, [changes_pdf])
+    )
+    # ledger re-opened: replaying batch 0 must NOT be skipped, and lands clean
+    stats = apply_changes(t, _spark_changes(spark, changes_pdf), batch_id=0)
+    assert not stats.skipped
+    assert_tables_equal(table_to_pandas(t.read()), replay(seed_pdf, [changes_pdf]))
