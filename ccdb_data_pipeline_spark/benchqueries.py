@@ -448,6 +448,87 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 
 @q(
+    "scd2_history",
+    """
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER w AS version_no,
+           ts AS valid_from,
+           CASE WHEN event_type = 'error' THEN ts ELSE LEAD(ts) OVER w END AS valid_to,
+           (LEAD(ts) OVER w IS NULL AND event_type <> 'error') AS is_current,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ORDER BY user_id, event_type, version_no
+    """,
+)
+def scd2_history_q(spark, sf_dir):
+    """SCD Type-2 materialization of the change stream (operators/scd.py):
+    every change event becomes a versioned row with a validity interval
+    [valid_from, valid_to); 'error' events route to DELETE (the P4 mapping)
+    and become terminal tombstone versions. The reference keeps only the
+    LWW-latest document (index_ccdb.py:103); this is the history-table twin
+    a warehouse derives from the same feed. One shuffle: lead + row_number
+    share a single Window node."""
+    from .operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    h = scd2_history(
+        ev, ["user_id", "event_type"], ts_col="ts", lsn_col="event_id", op_col="op"
+    )
+    return h.select(
+        "user_id",
+        "event_type",
+        "version_no",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        _cents(F.col("value")).alias("value_c"),
+    ).orderBy("user_id", "event_type", "version_no")
+
+
+@q(
+    "scd2_as_of",
+    """
+    WITH h AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             CASE WHEN event_type = 'error' THEN ts ELSE LEAD(ts) OVER w END AS valid_to,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type, valid_from, valid_to, value_c
+    FROM h
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    ORDER BY user_id, event_type, valid_from
+    """,
+)
+def scd2_as_of(spark, sf_dir):
+    """Point-in-time (`AS OF`) read over the SCD2 history: the version whose
+    interval covers the probe timestamp — a plain filter over precomputed
+    validity, no replay and no extra shuffle (operators/scd.py
+    snapshot_as_of)."""
+    from .operators.scd import scd2_history, snapshot_as_of
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    h = scd2_history(
+        ev, ["user_id", "event_type"], ts_col="ts", lsn_col="event_id", op_col="op"
+    )
+    return snapshot_as_of(h, ["user_id", "event_type"], "2024-01-15 00:00:00").select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        _cents(F.col("value")).alias("value_c"),
+    ).orderBy("user_id", "event_type", "valid_from")
+
+
+@q(
     "point_lookup",
     """
     WITH winners AS (
