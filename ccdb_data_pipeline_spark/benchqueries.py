@@ -596,6 +596,36 @@ def point_lookup(spark, sf_dir):
 
 
 @q(
+    "distinct_quantiles",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_quantiles(spark, sf_dir):
+    """Distinct aggregation + EXACT interpolated percentiles per group
+    (SURVEY 2.4 'available built-in' gap — distinct-agg and quantile had no
+    driver-checked entry). Spark plans count(distinct) as a two-phase
+    partial/merge expand — no extra job — and `percentile` is the exact
+    sort-based aggregate, matching DuckDB's quantile_cont interpolation."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "key_skew_report",
     """
     WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

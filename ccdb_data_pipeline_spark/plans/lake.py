@@ -111,26 +111,65 @@ def _atomic_write_exclusive(path: str, data: str) -> None:
         os.unlink(tmp)
 
 
-class SnapshotParquetTable:
-    """Bucket-partitioned parquet table with JSON manifests + HEAD pointer."""
+class AuditFailedError(RuntimeError):
+    """A write-audit-publish audit rejected the staged snapshot; the branch
+    stays unpublished (main is untouched)."""
 
-    def __init__(self, spark: SparkSession, root: str, spec: TableSpec | None = None):
+
+class PublishConflictError(RuntimeError):
+    """The branch cannot fast-forward onto main: main has commits the branch
+    is not descended from. Rebase (re-apply the batches on a fresh branch) or
+    drop the branch."""
+
+
+class SnapshotParquetTable:
+    """Bucket-partitioned parquet table with JSON manifests + named refs.
+
+    ``ref`` selects which pointer this handle reads and advances: ``"main"``
+    is the published table (the ``HEAD`` file — the reference's live ES
+    alias, index_ccdb.py:45-71); any other name is a staging branch under
+    ``refs/`` (the not-yet-aliased new index). Version slots are GLOBAL and
+    append-only — every commit CAS-allocates the next free slot regardless
+    of ref — so branches and main can never clobber each other's manifests;
+    only the ref files differ."""
+
+    def __init__(self, spark: SparkSession, root: str, spec: TableSpec | None = None,
+                 ref: str = "main"):
         self.spark = spark
         self.root = root
         self.spec = spec or TableSpec()
+        self.ref = ref
         self._manifest: dict | None = None
 
     # ------------------------------------------------------------ manifest IO
 
     @property
     def _head_path(self) -> str:
-        return os.path.join(self.root, "HEAD")
+        if self.ref == "main":
+            return os.path.join(self.root, "HEAD")
+        return os.path.join(self.root, "refs", self.ref)
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "manifests", f"m-{version:010d}.json")
 
     def exists(self) -> bool:
-        return os.path.exists(self._head_path)
+        return os.path.exists(os.path.join(self.root, "HEAD"))
+
+    def _max_slot(self) -> int:
+        """Highest allocated version slot across ALL refs (one readdir —
+        the Iceberg metadata-listing analog). The CAS in ``_commit`` makes
+        slot allocation race-safe; this makes it race-FREE in the common
+        case so writers don't burn a conflict-retry per contended commit."""
+        mdir = os.path.join(self.root, "manifests")
+        mx = -1
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if fn.startswith("m-") and fn.endswith(".json"):
+                    mx = max(mx, int(fn[2:12]))
+        return mx
+
+    def _alloc_version(self) -> int:
+        return max(self._max_slot(), self.manifest()["version"]) + 1
 
     def current_version(self) -> int:
         with open(self._head_path) as f:
@@ -163,26 +202,83 @@ class SnapshotParquetTable:
     def last_lsn(self) -> int:
         return self.manifest()["last_lsn"]
 
-    def _commit(self, m: dict) -> None:
+    def _ref_lock(self, timeout: float = 30.0, stale_after: float = 120.0):
+        """Tiny mkdir-based mutex guarding the read-check-write of this
+        handle's ref file (mkdir is atomic on POSIX and most object-store
+        FUSE layers). Held for microseconds per commit; a lock older than
+        ``stale_after`` is presumed crashed and stolen."""
+        import contextlib
+
+        lock_dir = f"{self._head_path}.lock"
+
+        @contextlib.contextmanager
+        def _cm():
+            deadline = time.time() + timeout
+            while True:
+                try:
+                    os.mkdir(lock_dir)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lock_dir) > stale_after:
+                            os.rmdir(lock_dir)
+                            continue
+                    except OSError:
+                        pass
+                    if time.time() > deadline:
+                        raise TimeoutError(f"ref lock busy: {lock_dir}")
+                    time.sleep(0.01)
+            try:
+                yield
+            finally:
+                try:
+                    os.rmdir(lock_dir)
+                except OSError:
+                    pass
+
+        return _cm()
+
+    def _commit(self, m: dict, expected_ref: int | None = None) -> None:
+        """Two-phase commit, Iceberg-style: (1) persist the snapshot manifest
+        into a globally-unique version slot (exclusive-create; a slot taken
+        by another ref's concurrent writer just means we take the next one);
+        (2) compare-and-swap THIS ref to the new version — if the ref no
+        longer points at ``expected_ref``, a concurrent writer on the same
+        ref won, our snapshot is retracted and :class:`CommitConflictError`
+        tells the caller to re-read and retry (the loser's data files are
+        unreferenced; remove_orphans reclaims them)."""
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
-        try:
-            # exclusive-create CAS: exactly one writer wins each version slot
-            _atomic_write_exclusive(
-                self._manifest_path(m["version"]), json.dumps(m, indent=1)
-            )
-        except CommitConflictError:
-            # our cached view was stale (another handle merged/compacted);
-            # drop it so the caller's retry sees the winner's state. The
-            # loser's data files are unreferenced — remove_orphans reclaims.
-            self._manifest = None
-            raise
-        _atomic_write(self._head_path, str(m["version"]))
+        while True:
+            try:
+                _atomic_write_exclusive(
+                    self._manifest_path(m["version"]), json.dumps(m, indent=1)
+                )
+                break
+            except CommitConflictError:
+                m["version"] = self._max_slot() + 1
+        if expected_ref is None:
+            _atomic_write(self._head_path, str(m["version"]))
+            self._manifest = m
+            return
+        with self._ref_lock():
+            cur = self.current_version()
+            if cur != expected_ref:
+                # stale snapshot: based on a parent this ref moved past
+                os.remove(self._manifest_path(m["version"]))
+                self._manifest = None
+                raise CommitConflictError(
+                    f"ref {self.ref} moved {expected_ref} -> {cur} during commit; "
+                    "re-read and retry"
+                )
+            _atomic_write(self._head_path, str(m["version"]))
         self._manifest = m
 
     # ------------------------------------------------------------ create / read
 
     def create(self, schema: T.StructType) -> None:
         """DDL analog of index create w/ mapping (index_ccdb.py:150-168)."""
+        if self.exists():
+            raise ValueError(f"table already exists at {self.root}")
         os.makedirs(self.root, exist_ok=True)
         m = {
             "version": 0,
@@ -204,8 +300,19 @@ class SnapshotParquetTable:
         }
         self._commit(m)
 
-    def _bucket_expr(self):
-        return F.pmod(F.xxhash64(F.col(self.spec.bucket_col)), F.lit(self.spec.num_buckets))
+    @property
+    def num_buckets(self) -> int:
+        """Bucket count is TABLE state (manifest), not handle config — after
+        ``rebucket`` partition evolution every handle must hash with the new
+        count or writes land in the wrong bucket."""
+        if self.exists():
+            return int(self.manifest().get("num_buckets", self.spec.num_buckets))
+        return self.spec.num_buckets
+
+    def _bucket_expr(self, n: int | None = None):
+        return F.pmod(
+            F.xxhash64(F.col(self.spec.bucket_col)), F.lit(n or self.num_buckets)
+        )
 
     def _internal_schema(self, schema: T.StructType) -> T.StructType:
         fields = list(schema.fields) + [
@@ -296,11 +403,12 @@ class SnapshotParquetTable:
         probe = self.spark.createDataFrame(
             [(v,) for v in values], T.StructType([field])
         )
+        # hash with the bucket count THE TARGET SNAPSHOT was written under —
+        # a pre-rebucket version maps keys with the old count
+        n = int(self.manifest(version).get("num_buckets", self.spec.num_buckets))
         buckets = [
             r[0]
-            for r in probe.select(
-                F.pmod(F.xxhash64(F.col(bcol)), F.lit(self.spec.num_buckets))
-            )
+            for r in probe.select(F.pmod(F.xxhash64(F.col(bcol)), F.lit(n)))
             .distinct()
             .collect()
         ]
@@ -332,15 +440,16 @@ class SnapshotParquetTable:
             .withColumn(DELETED, F.lit(False))
             .withColumn(BUCKET, self._bucket_expr())
         )
-        files = self._write_data(df, version=self.current_version() + 1)
+        version = self._alloc_version()
+        files = self._write_data(df, version=version)
         m = dict(self.manifest())
-        m["version"] += 1
+        m["version"] = version
         m["parent_snapshot_id"] = m["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = {str(b): fs for b, fs in files.items()}
         m["summary"] = {"op": "bootstrap"}
         m["committed_at"] = time.time()
-        self._commit(m)
+        self._commit(m, expected_ref=self.manifest()["version"])
 
     def _write_data(self, df: DataFrame, version: int, sid: int | None = None,
                     delta: bool = False, sort_cols: tuple[str, ...] = ()) -> dict[int, list[dict]]:
@@ -367,6 +476,8 @@ class SnapshotParquetTable:
             .parquet(out_dir)
         )
         files: dict[int, list[dict]] = {}
+        flat: list[dict] = []
+        pairs: list[tuple[int, str]] = []
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             base = os.path.basename(dirpath)
             if not base.startswith(f"{BUCKET}="):
@@ -378,7 +489,28 @@ class SnapshotParquetTable:
                     if delta:
                         e["delta"] = True
                     files.setdefault(b, []).append(e)
+                    pairs.append((len(flat), os.path.join(dirpath, fn)))
+                    flat.append(e)
+        # per-file row counts + LSN ranges from the footers just written
+        # (Iceberg per-file metrics analog) — drives the publish row-floor
+        # audit and file-level pruning; footer-only reads, Spark-parallel
+        # above the driver threshold
+        for i, n, lo, hi in self._footer_scan(pairs):
+            flat[i].update(n_rows=n, lsn_min=lo, lsn_max=hi)
         return files
+
+    def _footer_scan(self, pairs: list[tuple[int, str]]):
+        """(tag, path) -> (tag, n_rows, lsn_min, lsn_max); driver-side for a
+        handful of files, executor-parallel beyond _FOOTER_SCAN_DRIVER_MAX."""
+        if not pairs:
+            return []
+        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+            return _footer_stats(pairs)
+        sc = self.spark.sparkContext
+        n_slices = min(len(pairs), sc.defaultParallelism)
+        return sc.parallelize(pairs, n_slices).mapPartitions(
+            lambda it: _footer_stats(it)
+        ).collect()
 
     # ------------------------------------------------------------ MERGE
 
@@ -449,7 +581,7 @@ class SnapshotParquetTable:
         )
 
         # --- schema-era bookkeeping, then the mode-specific apply
-        version = m0["version"] + 1
+        version = self._alloc_version()
         if schema_changed:
             # register the evolved schema era first so files get the new id
             new_sid = max(int(k) for k in m0["schemas"]) + 1
@@ -518,9 +650,9 @@ class SnapshotParquetTable:
             **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()
-        self._commit(m)
+        self._commit(m, expected_ref=m0["version"])
         stats.snapshot_id = m["snapshot_id"]
-        stats.version = version
+        stats.version = m["version"]
         return stats
 
     def merge_events(
@@ -631,7 +763,11 @@ class SnapshotParquetTable:
         salt = F.pmod(F.xxhash64(F.col(spec.key_cols[-1])), F.lit(spec.write_salt))
         with_op = (
             with_op.withColumn("_salt", salt)
-            .repartition(spec.num_buckets * spec.write_salt, F.col(BUCKET), F.col("_salt"))
+            .repartition(
+                int(m0.get("num_buckets", spec.num_buckets)) * spec.write_salt,
+                F.col(BUCKET),
+                F.col("_salt"),
+            )
             .drop("_salt")
         )
         if m0.get("write_path", "fused") == "raw":
@@ -644,7 +780,7 @@ class SnapshotParquetTable:
 
         # --- schema-era bookkeeping + write (no extra repartition: rows are
         #     already hash-distributed by bucket)
-        version = m0["version"] + 1
+        version = self._alloc_version()
         new_sid = (
             max(int(k) for k in m0["schemas"]) + 1 if schema_changed else m0["current_schema_id"]
         )
@@ -713,9 +849,9 @@ class SnapshotParquetTable:
             **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()
-        self._commit(m)
+        self._commit(m, expected_ref=m0["version"])
         stats.snapshot_id = m["snapshot_id"]
-        stats.version = version
+        stats.version = m["version"]
         return stats
 
     # below this file count the footer stats are read on the driver — a Spark
@@ -774,14 +910,15 @@ class SnapshotParquetTable:
 
     def _commit_empty(self, batch_id: int, summary_extra=None) -> MergeStats:
         m = dict(self.manifest())
-        m["version"] += 1
+        parent_version = m["version"]
+        m["version"] = self._alloc_version()
         m["parent_snapshot_id"] = m["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["last_batch_id"] = batch_id
         extra = summary_extra() if callable(summary_extra) else (summary_extra or {})
         m["summary"] = {"op": "merge", "batch_id": batch_id, "n_source": 0, **extra}
         m["committed_at"] = time.time()
-        self._commit(m)
+        self._commit(m, expected_ref=parent_version)
         return MergeStats(batch_id=batch_id, skipped=False, snapshot_id=m["snapshot_id"], version=m["version"])
 
     def _as_delta_rows(
@@ -888,12 +1025,157 @@ class SnapshotParquetTable:
         if version == cur["version"]:
             return
         m = dict(old)
-        m["version"] = cur["version"] + 1
+        m["version"] = self._alloc_version()
         m["snapshot_id"] = uuid.uuid4().hex
         m["parent_snapshot_id"] = cur["snapshot_id"]
         m["summary"] = {"op": "rollback", "rolled_back_to": version}
         m["committed_at"] = time.time()
-        self._commit(m)
+        self._commit(m, expected_ref=cur["version"])
+
+    # ------------------------------------------------------ write-audit-publish
+
+    def create_branch(self, name: str) -> "SnapshotParquetTable":
+        """Fork a staging branch at this handle's current snapshot (Iceberg
+        WAP branch / the reference's build-the-new-index-before-alias-swap,
+        index_ccdb.py:150-178). Returns a handle whose commits advance only
+        ``refs/<name>`` — main's readers never see them until publish."""
+        if name == "main":
+            raise ValueError("'main' is the published ref, not a branch name")
+        refs_dir = os.path.join(self.root, "refs")
+        os.makedirs(refs_dir, exist_ok=True)
+        _atomic_write_exclusive(
+            os.path.join(refs_dir, name), str(self.current_version())
+        )
+        return SnapshotParquetTable(self.spark, self.root, self.spec, ref=name)
+
+    def branches(self) -> dict[str, int]:
+        refs_dir = os.path.join(self.root, "refs")
+        out = {}
+        for fn in os.listdir(refs_dir) if os.path.isdir(refs_dir) else []:
+            with open(os.path.join(refs_dir, fn)) as f:
+                out[fn] = int(f.read().strip())
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Abort a staged line of work. The branch's manifests stay readable
+        (time travel) until expired; its data files become reclaimable once
+        no retained manifest references them."""
+        os.remove(os.path.join(self.root, "refs", name))
+
+    def _snapshot_index(self) -> dict[str, dict]:
+        """snapshot_id -> manifest over every allocated slot (one readdir +
+        manifest reads — driver-side metadata, never data files)."""
+        idx: dict[str, dict] = {}
+        mdir = os.path.join(self.root, "manifests")
+        for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+            if fn.startswith("m-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+                idx[m["snapshot_id"]] = m
+        return idx
+
+    def _is_ancestor(self, ancestor_sid: str, head: dict, idx: dict[str, dict]) -> bool:
+        sid = head["snapshot_id"]
+        while sid is not None:
+            if sid == ancestor_sid:
+                return True
+            m = idx.get(sid)
+            sid = m["parent_snapshot_id"] if m else None
+        return False
+
+    def publish_branch(self, name: str, audits=(), default_audits: bool = True) -> int:
+        """Atomically fast-forward main to a staged branch — the alias swap
+        (index_ccdb.py:45-71) with the audit gate the reference lacks (its
+        rollback fires only on TransportError; a *logically* bad index still
+        published). Audits run against the BRANCH snapshot before main
+        moves; any :class:`AuditFailedError` leaves main untouched.
+
+        Preconditions: main's current snapshot must be an ancestor of the
+        branch head (pure fast-forward — divergence raises
+        :class:`PublishConflictError`). Single-publisher per table is
+        assumed, as with Iceberg's registerTable-style ref swaps.
+
+        Returns the published version."""
+        if self.ref != "main":
+            raise ValueError("publish from the main handle")
+        branch_version = self.branches()[name]
+        self._manifest = None  # re-read: publish must see the latest main
+        main_m = self.manifest()
+        if branch_version == main_m["version"]:
+            self.drop_branch(name)
+            return branch_version
+        branch_m = self.manifest(branch_version)
+        idx = self._snapshot_index()
+        if not self._is_ancestor(main_m["snapshot_id"], branch_m, idx):
+            raise PublishConflictError(
+                f"main@v{main_m['version']} is not an ancestor of "
+                f"{name}@v{branch_version}"
+            )
+        if default_audits:
+            self._run_default_audits(branch_m, main_m, idx)
+        branch_view = SnapshotParquetTable(self.spark, self.root, self.spec, ref=name)
+        for audit in audits:
+            audit(branch_view, branch_m, main_m)
+        # fast-forward under the ref lock: a concurrent main commit between
+        # the audit and the swap must conflict, not be silently overwritten
+        with self._ref_lock():
+            if self.current_version() != main_m["version"]:
+                raise CommitConflictError("main advanced during publish; retry")
+            _atomic_write(self._head_path, str(branch_version))
+        self._manifest = None
+        self.drop_branch(name)
+        return branch_version
+
+    def _run_default_audits(self, branch_m: dict, main_m: dict, idx: dict) -> None:
+        """Built-in WAP invariants, all metadata-only (no table scan):
+
+        - ledger monotonicity: the branch must not rewind the exactly-once
+          ledger (batch_id / LSN high-water marks);
+        - row floor (the A5 size-regression sentinel, FIXTURES.md
+          prev_json_size.txt analog): live rows at the branch head must be
+          >= main's live rows minus the deletes the branch itself applied —
+          a shrunken table that deletes explain is a bad publish.
+        """
+        if branch_m["last_batch_id"] < main_m["last_batch_id"] or (
+            branch_m["last_lsn"] < main_m["last_lsn"]
+        ):
+            raise AuditFailedError(
+                "ledger rewind: branch last_batch_id/last_lsn behind main"
+            )
+        n_delete = 0
+        sid = branch_m["snapshot_id"]
+        while sid is not None and sid != main_m["snapshot_id"]:
+            m = idx.get(sid)
+            if m is None:
+                break
+            op = m.get("summary", {}).get("op")
+            if op in ("compact", "rebucket", "rollback"):
+                # compaction folds MoR version rows / reclaims tombstones and
+                # rollback rewinds by design — physical file-row counts are
+                # incomparable across such a commit, so the floor check would
+                # false-positive; state preservation is compact()'s own
+                # contract (test_compaction_preserves_state)
+                return
+            n_delete += int(m.get("summary", {}).get("n_delete", 0) or 0)
+            sid = m["parent_snapshot_id"]
+        rows_branch = self._live_row_floor(branch_m)
+        rows_main = self._live_row_floor(main_m)
+        if rows_branch < rows_main - n_delete:
+            raise AuditFailedError(
+                f"row-count regression: branch has {rows_branch} rows, main "
+                f"{rows_main}, only {n_delete} deletes on the branch"
+            )
+
+    def _live_row_floor(self, m: dict) -> int:
+        """Total committed rows from per-file lineage (file row counts are
+        recorded at write time — no scan). MoR delta layers may multi-count
+        a key's versions, identically for both sides of the audit compare,
+        so the floor is conservative, never false-positive on clean data."""
+        return sum(
+            int(e.get("n_rows", 0) or 0) for fs in m["buckets"].values() for e in fs
+        )
+
+    # ------------------------------------------------------------ maintenance
 
     def compact(self, drop_tombstones: bool = True,
                 sort_within_bucket: bool = True) -> None:
@@ -908,7 +1190,7 @@ class SnapshotParquetTable:
         m0 = self.manifest()
         entries = [e for fs in m0["buckets"].values() for e in fs]
         df = self._read_files(entries, m0)
-        version = m0["version"] + 1
+        version = self._alloc_version()
         m = dict(m0)
         if df is None:
             return
@@ -934,7 +1216,52 @@ class SnapshotParquetTable:
         m["buckets"] = {str(b): fs for b, fs in files.items()}
         m["summary"] = {"op": "compact"}
         m["committed_at"] = time.time()
-        self._commit(m)
+        self._commit(m, expected_ref=m0["version"])
+
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Partition evolution (Iceberg partition-spec evolution, applied
+        eagerly): rewrite the table under a new bucket count. At 10^10 rows
+        a table bootstrapped with 512 buckets eventually needs 4096 — per
+        bucket ~20M rows stops fitting one executor's scan, point lookups
+        touch too many rows, and the single merge shuffle loses parallelism.
+
+        One job: read all files -> fold MoR layers to winners (tombstones
+        KEPT — a delete must survive the rewrite or a late lower-dominance
+        update could resurrect the key) -> re-hash -> one shuffle into the
+        new layout -> atomic commit. Old snapshots stay readable with their
+        own bucket count (``read_keys`` hashes per-version); subsequent
+        merges pick up the new count from the manifest."""
+        m0 = self.manifest()
+        old = int(m0.get("num_buckets", self.spec.num_buckets))
+        if new_num_buckets == old:
+            return
+        if new_num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        entries = [e for fs in m0["buckets"].values() for e in fs]
+        df = self._read_files(entries, m0)
+        version = self._alloc_version()
+        m = dict(m0)
+        if df is not None:
+            if any(e.get("delta") for e in entries):
+                df = self._resolve_versions(df)
+                if m0.get("write_path", "fused") == "raw":
+                    from ..functions.normalize import normalize_payload
+
+                    df = normalize_payload(df, self.spec)
+            df = df.withColumn(BUCKET, self._bucket_expr(new_num_buckets))
+            files = self._write_data(
+                df, version, sid=m0["current_schema_id"], sort_cols=self.spec.key_cols
+            )
+            m["buckets"] = {str(b): fs for b, fs in files.items()}
+        else:
+            m["buckets"] = {}
+        m["version"] = version
+        m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["num_buckets"] = new_num_buckets
+        m["summary"] = {"op": "rebucket", "from": old, "to": new_num_buckets}
+        m["committed_at"] = time.time()
+        self._commit(m, expected_ref=m0["version"])
 
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed between two committed snapshots (the CDC-out twin of
@@ -1019,8 +1346,10 @@ class SnapshotParquetTable:
 
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """Retention maintenance (Iceberg ``expire_snapshots`` analog):
-        drop manifests older than the newest ``retain_last`` versions and
-        delete data files no retained manifest references.
+        keep the newest ``retain_last`` snapshots reachable from each live
+        ref (main + staging branches); expire every other manifest —
+        including entire dropped-branch chains — and delete data files no
+        retained manifest references.
 
         Files are reference-counted across ALL retained manifests before
         deletion — MoR base files written at version k stay live as long as
@@ -1028,16 +1357,30 @@ class SnapshotParquetTable:
         retention window is untouched. Returns reclaim stats."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
-        cur = self.current_version()
-        min_keep = max(0, cur - retain_last + 1)
+        # reachability-based retention (Iceberg expire_snapshots): keep the
+        # newest ``retain_last`` snapshots of EACH live ref's parent chain
+        # (published main + every staging branch). Commits reachable from no
+        # ref — dropped/aborted branches — expire regardless of age.
+        idx = self._snapshot_index()
+        by_version = {m["version"]: m for m in idx.values()}
+        with open(os.path.join(self.root, "HEAD")) as f:
+            heads = {int(f.read().strip())}
+        heads.update(self.branches().values())
+        kept_versions: set[int] = set()
+        for head_v in heads:
+            m = by_version.get(head_v)
+            depth = 0
+            while m is not None and depth < retain_last:
+                kept_versions.add(m["version"])
+                depth += 1
+                m = idx.get(m["parent_snapshot_id"]) if m["parent_snapshot_id"] else None
         kept_refs: set[str] = set()
-        for v in range(min_keep, cur + 1):
-            if not os.path.exists(self._manifest_path(v)):
-                continue
-            m = self.manifest(v)
+        for v in sorted(kept_versions):
+            m = by_version[v]
             for fs in m["buckets"].values():
                 for e in fs:
                     kept_refs.add(e["path"])
+        min_keep = min(kept_versions)
         n_files = n_manifests = bytes_reclaimed = 0
         data_root = os.path.join(self.root, "data")
         for dirpath, _dn, filenames in os.walk(data_root):
@@ -1054,11 +1397,10 @@ class SnapshotParquetTable:
         for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
             if dirpath != data_root and not dirnames and not filenames:
                 os.rmdir(dirpath)
-        v = min_keep - 1
-        while v >= 0 and os.path.exists(self._manifest_path(v)):
-            os.remove(self._manifest_path(v))
-            n_manifests += 1
-            v -= 1
+        for v in by_version:
+            if v not in kept_versions:
+                os.remove(self._manifest_path(v))
+                n_manifests += 1
         return {
             "n_data_files_deleted": n_files,
             "n_manifests_deleted": n_manifests,
@@ -1096,15 +1438,16 @@ class SnapshotParquetTable:
         return {"n_data_files_deleted": n_files, "bytes_reclaimed": bytes_reclaimed}
 
     def history(self) -> list[dict]:
-        """All committed snapshots (oldest first) — lineage/audit surface."""
+        """This ref's committed snapshots (oldest first), following the
+        parent-snapshot chain — version slots are global across refs, so
+        slot N-1 may belong to another branch; ancestry is the truth."""
+        idx = self._snapshot_index()
         out = []
-        v = self.current_version()
-        while v >= 0:
-            if not os.path.exists(self._manifest_path(v)):
+        sid = self.manifest()["snapshot_id"]
+        while sid is not None:
+            m = idx.get(sid)
+            if m is None:
                 break  # older snapshots expired (expire_snapshots)
-            m = self.manifest(v)
             out.append(m)
-            v -= 1
-            if m["parent_snapshot_id"] is None:
-                break
+            sid = m["parent_snapshot_id"]
         return list(reversed(out))
