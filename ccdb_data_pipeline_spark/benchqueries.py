@@ -1681,3 +1681,290 @@ def stratified_split(spark, sf_dir):
         )
         .orderBy("lang", "split")
     )
+
+
+# =====================================================================
+# Training-data quality gates (Gopher-style rules, repetition, scrubbing,
+# benchmark decontamination) + IVM algebra equivalence
+# =====================================================================
+
+
+@q(
+    "gopher_quality",
+    r"""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(round(10000.0 * (length(text) - len(ws) + 1) / len(ws)) AS BIGINT)
+                                                                 AS mean_word_len_bp,
+             CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_word_len,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '^[A-Za-z]+$'))) AS BIGINT)
+                                                                 AS n_alpha_words,
+             CAST(CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) > 0
+                  THEN 1 ELSE 0 END AS BIGINT)                   AS has_stopword
+      FROM w)
+    SELECT *,
+           CAST(CASE WHEN n_words BETWEEN 3 AND 100000
+                      AND mean_word_len_bp BETWEEN 10000 AND 120000
+                      AND 10000 * n_alpha_words >= 8000 * n_words
+                      AND has_stopword = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM sig ORDER BY doc_id
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 table A1
+    analogs): word count bounds, mean word length band, alpha-word
+    fraction, stopword presence -> keep/drop flag. Every signal is a
+    whole-stage-codegen JVM expression over the split array (no UDF, no
+    shuffle); ratios are emitted as basis-point BIGINTs for hash-stable
+    cross-engine compare. At 100 TB this is a map-only pass that fuses
+    with the scan."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    d = d.select("doc_id", "text", ws.alias("ws"))
+    n_words = F.size("ws").cast("long")
+    mean_bp = F.round(
+        10000.0 * (F.length("text") - n_words + 1) / n_words
+    ).cast("long")
+    alpha = F.size(F.filter(F.col("ws"), lambda w: w.rlike("^[A-Za-z]+$"))).cast(
+        "long"
+    )
+    stop = (
+        F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|to)\b")) > 0
+    ).cast("long")
+    sig = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_bp.alias("mean_word_len_bp"),
+        F.array_max(F.transform(F.col("ws"), F.length)).cast("long").alias(
+            "max_word_len"
+        ),
+        alpha.alias("n_alpha_words"),
+        stop.alias("has_stopword"),
+    )
+    keep = (
+        F.col("n_words").between(3, 100000)
+        & F.col("mean_word_len_bp").between(10000, 120000)
+        & (10000 * F.col("n_alpha_words") >= 8000 * F.col("n_words"))
+        & (F.col("has_stopword") == 1)
+    ).cast("long")
+    return sig.withColumn("keep", keep).orderBy("doc_id")
+
+
+@q(
+    "ngram_repetition",
+    r"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws)),     i -> ws[i] || ' ' || ws[i+1]) AS g2,
+             list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+      FROM w)
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT)                                  AS n_grams2,
+           CAST(len(g2) - len(list_distinct(g2)) AS BIGINT)         AS n_dup2,
+           CAST(round(10000.0 * (len(g2) - len(list_distinct(g2)))
+                / GREATEST(len(g2), 1)) AS BIGINT)                  AS dup2_bp,
+           CAST(len(g3) AS BIGINT)                                  AS n_grams3,
+           CAST(len(g3) - len(list_distinct(g3)) AS BIGINT)         AS n_dup3,
+           CAST(round(10000.0 * (len(g3) - len(list_distinct(g3)))
+                / GREATEST(len(g3), 1)) AS BIGINT)                  AS dup3_bp
+    FROM g ORDER BY doc_id
+    """,
+)
+def ngram_repetition(spark, sf_dir):
+    """Within-document repetition detection (the Gopher 'repetition'
+    filters): duplicate 2-gram / 3-gram fraction per document. Computed
+    ENTIRELY array-side — transform over an index sequence builds the
+    n-gram list, array_distinct counts uniques — so the op is shuffle-free
+    and row-count-preserving: no explode, no groupBy, nothing for AQE to
+    rebalance. The explode formulation would emit n_words rows per doc
+    (the SimHash round-1 mistake); this stays one row per doc end to end."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = F.size("ws")
+
+    def grams(k: int):
+        idx = F.sequence(F.lit(0), n - k)
+        mk = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + j + 1) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+
+    d = d.select("doc_id", grams(2).alias("g2"), grams(3).alias("g3"))
+
+    def stats(col, prefix):
+        total = F.size(col).cast("long")
+        dup = (F.size(col) - F.size(F.array_distinct(col))).cast("long")
+        bp = F.round(10000.0 * dup / F.greatest(total, F.lit(1))).cast("long")
+        return [
+            total.alias(f"n_grams{prefix}"),
+            dup.alias(f"n_dup{prefix}"),
+            bp.alias(f"dup{prefix}_bp"),
+        ]
+
+    return d.select(
+        "doc_id", *stats(F.col("g2"), "2"), *stats(F.col("g3"), "3")
+    ).orderBy("doc_id")
+
+
+@q(
+    "pii_scrub",
+    r"""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g')                  AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT)       AS n_num_runs,
+           CAST(len(regexp_extract_all(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT)              AS n_emails
+    FROM events WHERE event_id % 13 = 0 ORDER BY event_id
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII/number scrubbing for training text: redact multi-digit runs
+    (and count email-shaped tokens) in the raw payload column. JVM
+    regexp_replace/regexp_count — codegen'd, map-only, fuses with the
+    scan (the modulus predicate is not parquet-encodable so it evaluates
+    in the scan stage's codegen'd filter, before the regex projection —
+    no extra pass). The patterns are deliberately
+    dialect-portable (POSIX classes, no lookaround) so the same rule set
+    runs on Spark (Java regex) and the DuckDB (RE2) oracle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", r"[0-9]{2,}", "<NUM>").alias("scrubbed"),
+        F.regexp_count(F.col("props"), F.lit(r"[0-9]{2,}")).cast("long").alias(
+            "n_num_runs"
+        ),
+        F.regexp_count(
+            F.col("props"), F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
+        )
+        .cast("long")
+        .alias("n_emails"),
+    ).orderBy("event_id")
+
+
+@q(
+    "decontaminate",
+    r"""
+    WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, lang, source,
+                 unnest(list_transform(range(1, len(ws) - 6), i ->
+                   ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                   ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS sh
+          FROM w),
+    b AS (SELECT DISTINCT sh FROM s WHERE source = 'src0'),
+    t AS (SELECT DISTINCT doc_id, lang, source, sh FROM s WHERE source <> 'src0')
+    SELECT t.doc_id, t.lang, t.source, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM t JOIN b USING (sh)
+    GROUP BY t.doc_id, t.lang, t.source
+    ORDER BY t.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    8-word shingle with the held-out set (source 'src0' stands in for the
+    eval benchmark). Shingles are built array-side then exploded once;
+    the join runs on xxhash64(shingle) — 8 bytes per key instead of the
+    ~50-byte string — and the benchmark side is BROADCAST: eval suites
+    are tiny relative to a 100 TB corpus, so contamination is a map-side
+    hash probe with zero shuffle of the training side. Output: one row
+    per contaminated doc with its distinct-shared-shingle count."""
+    K = 8
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split(F.col("text"), " ").alias("ws")
+    )
+    n = F.size("ws")
+    idx = F.sequence(F.lit(0), n - K)
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("ws"), i + j + 1) for j in range(K)]
+        ),
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.when(n >= K, mk).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    ).withColumn("sh_h", F.xxhash64("sh"))
+    bench = (
+        sh.filter(F.col("source") == "src0").select("sh_h").distinct()
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        "doc_id", "lang", "source", "sh_h"
+    )
+    # No pre-join distinct on the training side: that would shuffle the
+    # full corpus. The broadcast probe filters map-side; only MATCHED
+    # (contaminated) rows reach the groupBy, and count_distinct dedups
+    # within-doc repeated shingles there.
+    return (
+        train.join(F.broadcast(bench), "sh_h")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count_distinct(F.col("sh_h")).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ivm_signed_delta",
+    r"""
+    WITH win AS (
+      SELECT * FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e) WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT CAST(floor(value) AS BIGINT) % 5                              AS band,
+           CAST(COUNT(*) AS BIGINT)                                      AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)       AS value_c_sum
+    FROM win GROUP BY band ORDER BY band
+    """,
+)
+def ivm_signed_delta(spark, sf_dir):
+    """Incremental view maintenance ALGEBRA check (the signed pre/post-
+    image fold of plans/ivm.py, driver-verified): maintain a banded
+    aggregate incrementally — pre-cutoff state (+1), preimages of changed
+    keys (-1), postimages (+1) — and the oracle recomputes the same view
+    DIRECTLY from the full table. A hash match proves incremental refresh
+    == full recompute, including group migrations (an update moves a row
+    between value bands) and deletes ('error' keys). Cost shape: the
+    refresh touches O(changed keys), never O(table) — the property that
+    makes a 10^10-row view maintainable."""
+    keys = ["user_id", "event_type"]
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    cutoff = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    pre = lww_latest(ev.filter(F.col("event_id") <= cutoff), _EVENTS_SPEC).filter(
+        F.col("op") != "D"
+    )
+    delta = ev.filter(F.col("event_id") > cutoff)
+    changed = delta.select(*keys).distinct()
+    pre_changed = pre.join(changed, keys, "left_semi")
+    post = lww_latest(
+        pre_changed.unionByName(delta.select(*pre_changed.columns)), _EVENTS_SPEC
+    ).filter(F.col("op") != "D")
+    signed = (
+        pre.withColumn("sign", F.lit(1))
+        .unionByName(pre_changed.withColumn("sign", F.lit(-1)))
+        .unionByName(post.withColumn("sign", F.lit(1)))
+    )
+    band = (F.floor("value").cast("long") % 5).alias("band")
+    return (
+        signed.groupBy(band)
+        .agg(
+            F.sum("sign").cast("long").alias("n_rows"),
+            F.sum(F.col("sign") * _cents(F.col("value"))).cast("long").alias(
+                "value_c_sum"
+            ),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("band")
+    )
