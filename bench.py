@@ -59,6 +59,8 @@ HEADLINE = [
     "embedding_topk",
     "token_quality",
     "ws_normalize",
+    "gopher_quality",
+    "decontaminate",
 ]
 
 

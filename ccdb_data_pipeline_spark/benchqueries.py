@@ -1968,3 +1968,97 @@ def ivm_signed_delta(spark, sf_dir):
         .filter(F.col("n_rows") > 0)
         .orderBy("band")
     )
+
+
+@q(
+    "mm_frame_sample",
+    """
+    WITH meta AS (
+      SELECT doc_id, text,
+             (octet_length(encode(text)) % 24) + 1 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           md5(text || ':' || CAST(f.i AS VARCHAR)) AS frame_md5
+    FROM meta, UNNEST(range(0, n_frames, 4)) AS f(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: each blob expands to one row per sampled
+    frame INSIDE the Arrow batch (functions/multimodal.py frame_sample) —
+    the plumbing a real ffmpeg sampler drops into. Deterministic fake
+    frame count/digest lets the oracle recompute every row."""
+    from .functions.multimodal import frame_sample, to_blob
+
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample(to_blob(d, "text"), stride=4).orderBy("doc_id", "frame_idx")
+
+
+@q(
+    "mm_resize_meta",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(224 * w // GREATEST(w, h) AS INTEGER) AS out_w,
+           CAST(224 * h // GREATEST(w, h) AS INTEGER) AS out_h,
+           CAST(10000 * 224 // GREATEST(w, h) AS BIGINT) AS scale_bp
+    FROM m ORDER BY doc_id
+    """,
+)
+def mm_resize_meta(spark, sf_dir):
+    """Aspect-preserving resize-to-box geometry (functions/multimodal.py
+    resize_stub): integer-only arithmetic so the metadata is bit-stable;
+    the pixel resample is the honestly-stubbed step."""
+    from .functions.multimodal import resize_stub, to_blob
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_stub(to_blob(d, "text"), box=224).orderBy("doc_id")
+
+
+@q(
+    "mm_embed_extract",
+    """
+    WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT doc_id,
+           ((strpos('0123456789abcdef', substr(h,  1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h,  2, 1)) - 1)) / 256.0 AS e0,
+           ((strpos('0123456789abcdef', substr(h,  3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h,  4, 1)) - 1)) / 256.0 AS e1,
+           ((strpos('0123456789abcdef', substr(h,  5, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h,  6, 1)) - 1)) / 256.0 AS e2,
+           ((strpos('0123456789abcdef', substr(h,  7, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h,  8, 1)) - 1)) / 256.0 AS e3,
+           ((strpos('0123456789abcdef', substr(h,  9, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1)) / 256.0 AS e4,
+           ((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) / 256.0 AS e5,
+           ((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1)) / 256.0 AS e6,
+           ((strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) / 256.0 AS e7
+    FROM hx ORDER BY doc_id
+    """,
+)
+def mm_embed_extract(spark, sf_dir):
+    """Feature extraction plumbing: blob -> dense embedding via
+    mapInPandas (functions/multimodal.py blob_embed_stub), flattened to
+    scalar columns for the cross-engine hash compare. The array<double>
+    form feeds operators/similarity.py directly (byte/256 values are
+    exact IEEE doubles, so the oracle recomputes them bit-for-bit)."""
+    from .functions.multimodal import blob_embed_stub, to_blob
+
+    d = _t(spark, sf_dir, "documents")
+    emb = blob_embed_stub(to_blob(d, "text"), dim=8)
+    return emb.select(
+        "doc_id",
+        *[F.col("embedding").getItem(i).alias(f"e{i}") for i in range(8)],
+    ).orderBy("doc_id")

@@ -92,3 +92,129 @@ def decode_stub(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
+                 stride: int = 4, fake: bool = True) -> DataFrame:
+    """Video frame sampling plumbing: one INPUT row expands to one row per
+    sampled frame (every ``stride``-th of the stream's frames). The 1->N
+    expansion happens INSIDE the Arrow batch (the pandas DataFrame yielded
+    is longer than the one received) — the shape a real ffmpeg-backed
+    sampler needs: no explode shuffle, no driver involvement, output rows
+    stay partition-local to their source blob. Frame count and digest are
+    deterministic fakes of the byte content (``fake=False`` raises until
+    media libs are provisioned); the schema, batching, and partitioning
+    are the production plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame decode requires ffmpeg/av libs not present in this container"
+                )
+            ids, idxs, digests = [], [], []
+            for i, blob in zip(b[id_col], b[blob_col]):
+                if blob is None:
+                    continue
+                n_frames = (len(blob) % 24) + 1
+                for fi in range(0, n_frames, stride):
+                    ids.append(i)
+                    idxs.append(fi)
+                    digests.append(
+                        hashlib.md5(bytes(blob) + b":" + str(fi).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_md5": pd.array(digests, dtype=object)}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("scale_bp", T.LongType()),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
+                box: int = 224, fake: bool = True) -> DataFrame:
+    """Aspect-preserving resize-to-box plumbing over decoded dimensions
+    (deterministic fake dims, same formula as decode_stub). All geometry
+    is integer arithmetic (floor division) so the metadata is bit-stable
+    across engines; the pixel resample itself is the stubbed step."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "pixel resample requires image libs not present in this container"
+                )
+            lens = pd.array(
+                [len(x) if x is not None else 0 for x in b[blob_col]], dtype="int64"
+            )
+            w = lens % 640 + 1
+            h = lens % 480 + 1
+            m = pd.array([max(a, c) for a, c in zip(w, h)], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].astype("int64"),
+                    "width": pd.array(w, dtype="int32"),
+                    "height": pd.array(h, dtype="int32"),
+                    "out_w": pd.array(box * w // m, dtype="int32"),
+                    "out_h": pd.array(box * h // m, dtype="int32"),
+                    "scale_bp": pd.array(10000 * box // m, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+def blob_embed_stub(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
+                    dim: int = 8, fake: bool = True) -> DataFrame:
+    """Feature-extraction plumbing: binary payload -> dense embedding
+    (array<double>), the input shape the similarity/ANN operators consume
+    (operators/similarity.py). The fake embedding is the first ``dim``
+    bytes of the content's md5, scaled by 1/256 — exact in IEEE double on
+    every engine, so oracles can recompute it bit-for-bit. A production
+    model server swaps into the same mapInPandas slot with identical
+    schema and batching."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "embedding extraction requires a model runtime not in this container"
+                )
+            embs = []
+            for blob in b[blob_col]:
+                if blob is None:
+                    embs.append(None)
+                    continue
+                dg = hashlib.md5(bytes(blob)).digest()
+                embs.append([dg[i] / 256.0 for i in range(dim)])
+            yield pd.DataFrame({"doc_id": b[id_col].astype("int64"), "embedding": embs})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
