@@ -343,13 +343,35 @@ class SnapshotParquetTable:
         return out
 
     def read(self, version: int | None = None, include_internal: bool = False,
-             buckets: list[int] | None = None) -> DataFrame:
+             buckets: list[int] | None = None,
+             columns: list[str] | None = None) -> DataFrame:
         """Snapshot read (time travel via ``version``). Excludes tombstones.
 
         In merge-on-read mode, buckets holding unfolded delta files are
         LWW-resolved per key at read time (buckets whose files are all base
-        files scan straight through — compaction restores the cheap path)."""
+        files scan straight through — compaction restores the cheap path).
+
+        ``columns`` prunes the payload BEFORE the MoR resolve. Catalyst
+        cannot do this on its own: the resolve's ``max_by`` packs every
+        payload column into one struct aggregate, which blocks projection
+        pushdown through the groupBy — a caller's ``.select("text")`` after
+        ``read()`` still shuffles the full row width. Pruning here means
+        the resolve shuffle (and the parquet ReadSchema) carry only the
+        requested columns + keys + LWW markers — on a wide 10^10-row table
+        a 2-of-40-column read shrinks the shuffle ~20×. Key columns are
+        always read (the resolve groups on them) but appear in the output
+        only if requested."""
         m = self.manifest(version)
+        schema_fields = [f.name for f in T.StructType.fromJson(m["schema"]).fields]
+        prune: list[str] | None = None
+        if columns is not None:
+            unknown = sorted(set(columns) - set(schema_fields))
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; table has {schema_fields}")
+            prune = list(dict.fromkeys(
+                [*self.spec.key_cols,
+                 *[c for c in schema_fields if c in set(columns)]]
+            ))
         clean: list[dict] = []
         dirty: list[dict] = []
         for b, files in m["buckets"].items():
@@ -359,13 +381,20 @@ class SnapshotParquetTable:
                 dirty.extend(files)
             else:
                 clean.extend(files)
+
+        def _prune(part: DataFrame) -> DataFrame:
+            if prune is None:
+                return part
+            keep = prune + [c for c in part.columns if c not in schema_fields]
+            return part.select(*keep)
+
         parts = []
         df_clean = self._read_files(clean, m)
         if df_clean is not None:
-            parts.append(df_clean)
+            parts.append(_prune(df_clean))
         df_dirty = self._read_files(dirty, m)
         if df_dirty is not None:
-            resolved = self._resolve_versions(df_dirty)
+            resolved = self._resolve_versions(_prune(df_dirty))
             if m.get("write_path", "fused") == "raw":
                 # raw write path: normalization deferred to materialization —
                 # applied to WINNERS only (idempotent, so a compacted row
@@ -376,16 +405,20 @@ class SnapshotParquetTable:
             parts.append(resolved)
         if not parts:
             df = self.spark.createDataFrame([], self._internal_schema(T.StructType.fromJson(m["schema"])))
+            if prune is not None:
+                df = df.select(*prune, *[c for c in df.columns if c not in schema_fields])
         else:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
         df = df.filter(~F.col(DELETED))
         if not include_internal:
-            df = df.select(*[f.name for f in T.StructType.fromJson(m["schema"]).fields])
+            out_cols = schema_fields if columns is None else list(columns)
+            df = df.select(*out_cols)
         return df
 
-    def read_keys(self, values: list, version: int | None = None) -> DataFrame:
+    def read_keys(self, values: list, version: int | None = None,
+                  columns: list[str] | None = None) -> DataFrame:
         """Point lookup: scan only the buckets the given ``bucket_col`` values
         hash into (the Iceberg bucket-partition point-read). At 10^10 rows /
         4096 buckets a k-conversation lookup touches k buckets (~2.4M rows
@@ -412,7 +445,15 @@ class SnapshotParquetTable:
             .distinct()
             .collect()
         ]
-        return self.read(version, buckets=buckets).filter(F.col(bcol).isin(values))
+        if columns is None:
+            return self.read(version, buckets=buckets).filter(F.col(bcol).isin(values))
+        # the probe predicate needs bucket_col; read it, filter, then drop it
+        # if the caller didn't ask for it
+        inner = list(dict.fromkeys([bcol, *columns]))
+        out = self.read(version, buckets=buckets, columns=inner).filter(
+            F.col(bcol).isin(values)
+        )
+        return out.select(*columns)
 
     def _resolve_versions(self, df: DataFrame) -> DataFrame:
         """Collapse multi-version rows (base + delta layers) to the LWW winner
