@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--max-files", type=int, default=16)
     ap.add_argument("--v2", action="store_true", help="read binlog with the evolved v2 schema")
+    ap.add_argument("--full", action="store_true",
+                    help="compact: force a full rewrite (default is incremental/dirty-only)")
+    ap.add_argument("--keep-tombstones", action="store_true",
+                    help="compact: retain tombstones (lateness horizon not yet passed)")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -65,8 +69,15 @@ def main(argv: list[str] | None = None) -> int:
         stats = apply_changes(table, batch, batch_id=table.last_batch_id + 1)
         print(json.dumps({"applied": stats.n_source, "lsn": [stats.lsn_min, stats.lsn_max]}))
     elif a.cmd == "compact":
-        table.compact()
-        print(json.dumps({"compacted": True, "version": table.current_version()}))
+        table.compact(
+            drop_tombstones=not a.keep_tombstones, only_dirty=not a.full
+        )
+        m = table.manifest()
+        print(json.dumps({
+            "compacted": True,
+            "version": table.current_version(),
+            "summary": m.get("summary", {}),
+        }))
     elif a.cmd == "lineage":
         for r in lineage_rows(table):
             r["committed_at"] = str(r["committed_at"])
