@@ -2062,3 +2062,125 @@ def mm_embed_extract(spark, sf_dir):
         "doc_id",
         *[F.col("embedding").getItem(i).alias(f"e{i}") for i in range(8)],
     ).orderBy("doc_id")
+
+
+# =====================================================================
+# Training-batch assembly (SURVEY 2.9): context packing, window chunking
+# =====================================================================
+
+
+@q(
+    "pack_sequences",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS INTEGER) AS shard,
+             CAST(len(string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INTEGER) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens, 0 AS pack_id, n_tokens AS acc
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > 64
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > 64
+                  THEN t.n_tokens ELSE p.acc + t.n_tokens END
+      FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, CAST(pack_id AS INTEGER) AS pack_id
+    FROM packed ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Context-window packing (first-fit-in-order, budget 64 tokens):
+    deterministic shard = doc_id % 8, order by doc_id within shard, new
+    pack when the next doc would overflow. The oracle replays the same
+    fold as a recursive CTE — sequential semantics proven equal to the
+    per-shard Arrow fold (operators/packing.py pack_greedy)."""
+    from .operators.packing import pack_greedy, with_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = with_token_count(d, "text").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    return (
+        pack_greedy(t, "doc_id", "n_tokens", "shard", budget=64)
+        .select("doc_id", "shard", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "chunk_windows",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, words,
+             ((GREATEST(len(words) - 32, 0) + 23) // 24) + 1 AS n_chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(c.i AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(words, c.i * 24 + 1, c.i * 24 + 32)) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(words, c.i * 24 + 1, c.i * 24 + 32), ' ') AS chunk_text
+    FROM m, UNNEST(range(0, n_chunks)) AS c(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (window 32, stride 24): the
+    pretraining chunker. All-JVM split/sequence/explode/slice — no Python
+    (operators/packing.py chunk_tokens)."""
+    from .operators.packing import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text", window=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+# =====================================================================
+# Sequence audit (CDC continuity): distributed gaps-and-islands
+# =====================================================================
+
+
+@q(
+    "lsn_gap_islands",
+    """
+    WITH s AS (
+      SELECT event_id,
+             event_id - row_number() OVER (ORDER BY event_id) AS grp
+      FROM events WHERE event_type <> 'click'
+    ),
+    isl AS (
+      SELECT MIN(event_id) AS island_start,
+             MAX(event_id) AS island_end,
+             COUNT(*) AS n_present
+      FROM s GROUP BY grp
+    )
+    SELECT CAST(island_start AS BIGINT) AS island_start,
+           CAST(island_end AS BIGINT) AS island_end,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(COALESCE(LEAD(island_start) OVER (ORDER BY island_start)
+                         - island_end - 1, 0) AS BIGINT) AS gap_to_next
+    FROM isl ORDER BY island_start
+    """,
+)
+def lsn_gap_islands(spark, sf_dir):
+    """Binlog continuity audit: which LSN runs are present, where are the
+    holes. The oracle is the textbook single-window islands query (total
+    order); the engine runs the two-level distributed form — block-local
+    islands, then a seam merge over island summaries only
+    (operators/gaps.py sequence_islands). Equality of the two IS the
+    correctness claim."""
+    from .operators.gaps import sequence_islands
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") != "click")
+    return sequence_islands(e, "event_id", block_size=1024).orderBy("island_start")

@@ -61,3 +61,26 @@ def test_cdc_lww_latest_uses_hash_aggregate_not_window(spark):
     window sort (window = full sort per key partition, skew-fragile)."""
     plan = _plan(spark, "cdc_lww_latest")
     assert "Window" not in plan, plan
+
+
+def test_chunk_windows_is_shuffle_free_but_for_presentation_sort(spark):
+    """Chunking is a narrow explode — the only exchange is the final
+    orderBy; no Python operator appears in the plan."""
+    plan = _plan(spark, "chunk_windows")
+    assert _n_exchanges(plan) == 1, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pack_sequences_has_one_data_shuffle(spark):
+    """Packing shuffles once (groupBy shard for the Arrow fold); the only
+    other exchange is the presentation orderBy."""
+    plan = _plan(spark, "pack_sequences")
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_gap_islands_audit_partitions_the_row_window(spark):
+    """The row-level islands window must be partitioned (block-local), not
+    a total order over the data: at least one hashpartitioning exchange
+    carries the block key."""
+    plan = _plan(spark, "lsn_gap_islands")
+    assert "hashpartitioning(_block" in plan, plan
