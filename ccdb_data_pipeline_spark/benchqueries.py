@@ -2184,3 +2184,68 @@ def lsn_gap_islands(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") != "click")
     return sequence_islands(e, "event_id", block_size=1024).orderBy("island_start")
+
+
+# =====================================================================
+# Partial-update CDC (column-level patches) — SURVEY 2.9
+# =====================================================================
+
+
+@q(
+    "cdc_patch_apply",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_type, event_id AS lsn,
+             CASE WHEN event_id % 11 = 0 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'P' ELSE 'U' END AS op,
+             CASE WHEN event_id % 11 <> 0 AND event_id % 3 = 0 AND event_id % 2 = 1
+                  THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 11 <> 0 AND event_id % 3 = 0 AND event_id % 2 = 0
+                  THEN NULL ELSE props END AS props
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, event_type,
+             arg_max(op, lsn) FILTER (WHERE op <> 'P') AS last_full_op,
+             arg_max(value, lsn) FILTER (WHERE op <> 'P' OR value IS NOT NULL) AS value,
+             arg_max(props, lsn) FILTER (WHERE op <> 'P' OR props IS NOT NULL) AS props,
+             max(lsn) AS last_lsn
+      FROM tagged GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           props,
+           CAST(last_lsn AS BIGINT) AS last_lsn
+    FROM agg
+    WHERE last_full_op IS NOT NULL AND last_full_op <> 'D'
+    ORDER BY user_id, event_type
+    """,
+)
+def cdc_patch_apply(spark, sf_dir):
+    """Partial-update merge: the change stream mixes full images, deletes,
+    and column-level patches (every third event patches only one of
+    value/props); the resolve is operators/patch.py resolve_with_patches —
+    one map-side-combining aggregate, no window."""
+    from .operators.patch import resolve_with_patches
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_patch = (eid % 11 != 0) & (eid % 3 == 0)
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        eid.alias("lsn"),
+        F.when(eid % 11 == 0, "D").when(eid % 3 == 0, "P").otherwise("U").alias("op"),
+        F.when(is_patch & (eid % 2 == 1), F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.when(is_patch & (eid % 2 == 0), F.lit(None)).otherwise(F.col("props")).alias("props"),
+    )
+    out = resolve_with_patches(
+        tagged, ["user_id", "event_type"], "lsn", ["value", "props"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_c"),
+        "props",
+        F.col("last_lsn").cast("long").alias("last_lsn"),
+    ).orderBy("user_id", "event_type")

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..operators.dedupe import EPOCH, lww_order
 from ..operators.evolve import align_to_schema, evolve_schema
-from ..schemas import BUCKET, DELETED, LSN_APPLIED, TS_APPLIED, TableSpec
+from ..schemas import BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED, TableSpec
 
 
 @dataclass
@@ -55,6 +55,33 @@ class MergeStats:
     lsn_max: int | None = None
     snapshot_id: str = ""
     version: int = -1
+
+
+def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
+                         sort_cols: list[str]):
+    """Within-batch collapse for a partial-update table (one Arrow batch =
+    one bucket partition): per key, the latest full image overlaid with every
+    later patch column — ONE output row per key, a full image whenever the
+    batch contains one (its version is the key's max event version, so it
+    dominates all earlier delta rows for every column), else a folded patch
+    row (per-column latest non-NULL) that overlays at read time.
+
+    Vectorized per column: a boolean writer mask + drop_duplicates(last) —
+    no per-row python."""
+    pdf = pdf.sort_values(sort_cols, kind="stable")
+    last_all = pdf.drop_duplicates(keys, keep="last").set_index(keys)
+    base = pdf[~pdf[PATCH]].drop_duplicates(keys, keep="last").set_index(keys)
+    out = last_all.copy()
+    deleted = base[DELETED].reindex(out.index)
+    out[PATCH] = deleted.isna().to_numpy()  # no full image in batch -> patch row
+    out[DELETED] = deleted.fillna(False).astype(bool).to_numpy()
+    for c in payload_cols:
+        writers = (~pdf[PATCH]) | pdf[c].notna()
+        lw = pdf.loc[writers].drop_duplicates(keys, keep="last").set_index(keys)[c]
+        out[c] = lw.reindex(out.index)
+    if out[DELETED].any():
+        out.loc[out[DELETED], payload_cols] = None
+    return out.reset_index()
 
 
 def _footer_stats(pairs) -> list[tuple[int, int, int | None, int | None]]:
@@ -320,6 +347,8 @@ class SnapshotParquetTable:
             T.StructField(LSN_APPLIED, T.LongType(), True),
             T.StructField(DELETED, T.BooleanType(), False),
         ]
+        if self.spec.partial_updates:
+            fields.append(T.StructField(PATCH, T.BooleanType(), False))
         return T.StructType(fields)
 
     def _read_files(self, entries: list[dict], m: dict) -> DataFrame | None:
@@ -458,9 +487,51 @@ class SnapshotParquetTable:
     def _resolve_versions(self, df: DataFrame) -> DataFrame:
         """Collapse multi-version rows (base + delta layers) to the LWW winner
         per key: greatest ``(_ts_applied, _lsn_applied)`` — the read-side twin
-        of the write-side resolve, map-side-combining like lww_latest."""
+        of the write-side resolve, map-side-combining like lww_latest.
+
+        Partial-update tables resolve per COLUMN instead of per row: each
+        payload column takes its latest writer (full images write every
+        column; ``_patch`` rows write their non-NULL columns), existence is
+        decided only by full images (operators/patch.py semantics), and the
+        result carries the overall max version so a compaction rewrite still
+        dominates every folded row. Same single map-side-combining aggregate
+        shape — per-column max_by instead of one struct max_by."""
         keys = list(self.spec.key_cols)
         others = [c for c in df.columns if c not in keys]
+        if PATCH in df.columns:
+            ord_sql = f"struct({TS_APPLIED}, {LSN_APPLIED})"
+            payload = [c for c in others if c not in (TS_APPLIED, LSN_APPLIED, DELETED, PATCH)]
+            aggs = [
+                F.expr(f"max_by({TS_APPLIED}, {ord_sql})").alias(TS_APPLIED),
+                F.expr(f"max_by({LSN_APPLIED}, {ord_sql})").alias(LSN_APPLIED),
+                # a key with ONLY patch rows and no full image anywhere does
+                # not exist (a patch cannot create a row) -> deleted
+                F.expr(
+                    f"coalesce(max_by({DELETED}, {ord_sql}) "
+                    f"FILTER (WHERE NOT {PATCH}), true)"
+                ).alias(DELETED),
+            ]
+            for c in payload:
+                aggs.append(
+                    F.expr(
+                        f"max_by(`{c}`, {ord_sql}) "
+                        f"FILTER (WHERE NOT {PATCH} OR `{c}` IS NOT NULL)"
+                    ).alias(c)
+                )
+            out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+            sel = list(keys)
+            for c in others:
+                if c == PATCH:
+                    sel.append(F.lit(False).alias(PATCH))
+                elif c in payload:
+                    # tombstone rows carry no payload (a patch landing after
+                    # a delete must not smuggle values into the tombstone)
+                    sel.append(
+                        F.when(F.col(DELETED), F.lit(None)).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    sel.append(F.col(c))
+            return out.select(*sel)
         ord_ = F.struct(F.col(TS_APPLIED), F.col(LSN_APPLIED))
         win = F.max_by(F.struct(*[F.col(c) for c in others]), ord_)
         out = df.groupBy(*[F.col(k) for k in keys]).agg(win.alias("_w"))
@@ -479,8 +550,10 @@ class SnapshotParquetTable:
             df.withColumn(TS_APPLIED, F.coalesce(F.col(self.spec.ts_col), F.to_timestamp(F.lit(EPOCH))))
             .withColumn(LSN_APPLIED, F.lit(-1).cast("long"))
             .withColumn(DELETED, F.lit(False))
-            .withColumn(BUCKET, self._bucket_expr())
         )
+        if self.spec.partial_updates:
+            df = df.withColumn(PATCH, F.lit(False))
+        df = df.withColumn(BUCKET, self._bucket_expr())
         version = self._alloc_version()
         files = self._write_data(df, version=version)
         m = dict(self.manifest())
@@ -571,6 +644,10 @@ class SnapshotParquetTable:
         if batch_id <= m0["last_batch_id"]:
             return MergeStats(batch_id=batch_id, skipped=True, version=m0["version"])
         spec = self.spec
+        if spec.partial_updates:
+            # the CoW full-outer resolve is row-image based; partial updates
+            # are a merge-on-read feature (use merge_events), as in Paimon
+            raise ValueError("partial_updates requires merge_mode='mor' (merge_events)")
 
         # --- schema evolution (column add / widen) before anything touches data
         tgt_schema = T.StructType.fromJson(m0["schema"])
@@ -764,12 +841,17 @@ class SnapshotParquetTable:
 
         out_cols = [f.name for f in out_schema.fields]
 
+        payload_cols = [f.name for f in new_schema.fields if f.name not in keys]
+
         def _fold(it):
             frames = list(it)
             if not frames:
                 return
             pdf = frames[0] if len(frames) == 1 else _pd.concat(frames, ignore_index=True)
-            pdf = pdf.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep="last")
+            if spec.partial_updates:
+                pdf = _fold_patches_pandas(pdf, keys, payload_cols, sort_cols)
+            else:
+                pdf = pdf.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep="last")
             if normalize:
                 pdf = normalize_pandas_frame(pdf, spec, payload_str_cols)
             yield pdf[out_cols]
@@ -985,8 +1067,10 @@ class SnapshotParquetTable:
             F.coalesce(F.col(spec.ts_col), epoch).alias(TS_APPLIED),
             F.col(spec.lsn_col).cast("long").alias(LSN_APPLIED),
             is_del.alias(DELETED),
-            F.col(BUCKET),
         ]
+        if spec.partial_updates:
+            cols.append((F.col(spec.op_col) == "P").alias(PATCH))
+        cols.append(F.col(BUCKET))
         return src.select(*cols, *(extra or []))
 
     def _resolve(self, tgt: DataFrame | None, src: DataFrame, schema: T.StructType) -> DataFrame:

@@ -81,6 +81,7 @@ TS_APPLIED = "_ts_applied"  # event-time of the last applied writer (LWW major k
 LSN_APPLIED = "_lsn_applied"  # LSN of the last applied writer (LWW tie-break)
 DELETED = "_deleted"  # tombstone flag: wins LWW against stale late updates
 BUCKET = "_bucket"  # storage bucket = pmod(xxhash64(conv_id), num_buckets)
+PATCH = "_patch"  # partial-update row: non-null payload cols overlay the base
 
 INTERNAL_COLS = (TS_APPLIED, LSN_APPLIED, DELETED, BUCKET)
 
@@ -126,6 +127,12 @@ class TableSpec:
     # (index_ccdb.py:32-36); our narrative analog is `text`.
     empty_to_null_exempt: tuple[str, ...] = ("text",)
     normalize_ws_cols: tuple[str, ...] = ("text",)
+    # partial-update merge (Hudi/Paimon "partial-update" engine, MoR only):
+    # op 'P' events carry only the columns they change (NULL = don't touch);
+    # the resolve overlays each column's latest writer onto the latest full
+    # image. A patch never creates, deletes, or resurrects a row. See
+    # operators/patch.py for the standalone resolve and its NULL caveat.
+    partial_updates: bool = False
 
     def payload_cols(self, schema: T.StructType) -> list[str]:
         meta = {self.lsn_col, self.op_col, *self.key_cols}
