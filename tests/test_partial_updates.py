@@ -150,3 +150,52 @@ def test_partial_updates_rejected_on_cow(spark, tmp_path):
     t.create(TRANSCRIPT_SCHEMA)
     with pytest.raises(ValueError, match="merge_mode='mor'"):
         t.merge(_batch(spark, EVENTS_B1[:1]), batch_id=0)
+
+
+def test_streaming_ingest_applies_patches(spark, tmp_path):
+    """Patches flow through the real Structured Streaming path
+    (file source -> foreachBatch -> merge_events) unchanged."""
+    import pandas as pd
+
+    from ccdb_data_pipeline_spark.sources.binlog import write_segments
+    from ccdb_data_pipeline_spark.streaming.stream import run_ingest
+
+    events = EVENTS_B1 + EVENTS_B2
+    pdf = pd.DataFrame(
+        [
+            {"lsn": lsn, "op": op, "conv_id": conv, "turn_idx": turn,
+             "role": role, "text": text, "tool": tool, "ts": _ts(m)}
+            for (lsn, op, conv, turn, role, text, tool, m) in events
+        ]
+    )
+    binlog = os.path.join(str(tmp_path), "binlog")
+    write_segments(pdf, binlog, n_segments=3, replay_segment=1)
+    t = _table(spark, tmp_path)
+    run_ingest(spark, binlog, t, os.path.join(str(tmp_path), "ckpt"),
+               max_files_per_trigger=1)
+    assert _read_state(t) == _replay_patches(events)
+
+
+def test_schema_evolution_with_patches(spark, tmp_path):
+    """A patch batch in the evolved v2 schema (adds tool_args) patches the
+    new column on pre-evolution rows; old rows read NULL for it."""
+    from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA_V2
+
+    t = _table(spark, tmp_path)
+    _apply(t, spark, EVENTS_B1, 0)
+    v2 = spark.createDataFrame(
+        [
+            (20, "P", "c1", 0, None, None, None, '{"q": 1}', _ts(20)),
+            (21, "I", "c3", 0, "user", "new-era row", None, None, _ts(21)),
+        ],
+        CHANGE_SCHEMA_V2,
+    )
+    t.merge_events(v2, batch_id=1)
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in t.read().collect()
+    }
+    assert rows[("c1", 0)]["tool_args"] == '{"q": 1}'   # patched new column
+    assert rows[("c1", 0)]["text"] == "hello world"     # untouched
+    assert rows[("c1", 1)]["tool_args"] is None          # pre-evolution row
+    assert rows[("c3", 0)]["text"] == "new-era row"
