@@ -1,0 +1,95 @@
+"""Predicate DML over a CDC-maintained lake table: ``DELETE FROM ... WHERE``
+and ``UPDATE ... SET ... WHERE`` compiled to ordinary change events and
+applied through the same exactly-once MERGE path as the binlog stream.
+
+This is how Iceberg/Delta express row-level maintenance (GDPR erasure,
+backfill corrections) without a second write protocol: the DML batch is
+just another LSN-stamped change batch — it lands in the lineage ledger,
+replays idempotently by batch_id, survives crash-resume, and shows up in
+the change feed (``table_changes``) like any upstream write.
+
+Scale shape: the predicate scan is a normal pruned snapshot read (filter
+pushdown applies; on patch tables the MoR resolve runs first — you delete
+what the reader sees, not raw delta rows). Event construction needs unique
+LSNs above the table's watermark: the gap-free two-pass global index
+(operators/index.py) assigns them without a single-reducer window.
+
+Reference analog: the eligibility->op routing that turns rows into
+DELETE/UPDATE bulk actions (/root/reference/complaints/ccdb/index_ccdb.py:
+103-105), generalized from a fixed eligibility rule to an arbitrary
+predicate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ..operators.index import release_caches, with_global_index
+from ..schemas import TableSpec
+from .apply import apply_changes
+from .lake import MergeStats, SnapshotParquetTable
+
+
+def _as_events(table: SnapshotParquetTable, rows, op: str, ts: dt.datetime):
+    """Stamp matched rows as op-tagged change events with fresh unique LSNs
+    (gap-free, starting at last_lsn + 1, ordered by the table key)."""
+    spec: TableSpec = table.spec
+    idx = with_global_index(rows, order_by=list(spec.key_cols), index_col="_i")
+    return idx.select(
+        (F.lit(table.last_lsn) + F.col("_i")).cast("long").alias(spec.lsn_col),
+        F.lit(op).alias(spec.op_col),
+        *[F.col(c) for c in rows.columns],
+    ).withColumn(spec.ts_col, F.lit(ts))
+
+
+def delete_where(
+    table: SnapshotParquetTable,
+    predicate: str,
+    ts: dt.datetime | None = None,
+) -> MergeStats:
+    """Tombstone every currently-visible row matching ``predicate``.
+
+    ``ts`` stamps the deleting writer's event time (defaults to now, UTC);
+    it must be >= the rows' current event times for the tombstones to win
+    LWW — pass an explicit value to replay deterministic maintenance."""
+    ts = ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    matched = table.read(columns=list(table.spec.key_cols)).filter(predicate)
+    events = _as_events(table, matched, "D", ts)
+    try:
+        return apply_changes(table, events, batch_id=table.last_batch_id + 1)
+    finally:
+        release_caches()
+
+
+def update_where(
+    table: SnapshotParquetTable,
+    predicate: str,
+    set_exprs: dict[str, str],
+    ts: dt.datetime | None = None,
+) -> MergeStats:
+    """Rewrite every currently-visible row matching ``predicate`` with the
+    given SQL ``set_exprs`` (column -> expression over the current row),
+    emitted as full-image 'U' events — correct on both plain-LWW and
+    partial-update tables."""
+    ts = ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    schema_cols = [f.name for f in table.schema.fields]
+    unknown = sorted(set(set_exprs) - set(schema_cols))
+    if unknown:
+        raise ValueError(f"SET targets {unknown} not in table schema {schema_cols}")
+    if set(set_exprs) & set(table.spec.key_cols):
+        raise ValueError("cannot SET a key column (delete + insert instead)")
+    matched = table.read().filter(predicate)
+    updated = matched.select(
+        *[
+            (F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c))
+            for c in schema_cols
+            if c != table.spec.ts_col
+        ]
+    )
+    events = _as_events(table, updated, "U", ts)
+    try:
+        return apply_changes(table, events, batch_id=table.last_batch_id + 1)
+    finally:
+        release_caches()

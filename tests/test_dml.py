@@ -1,0 +1,106 @@
+"""Predicate DML (plans/dml.py): DELETE/UPDATE WHERE compiled to change
+events through the exactly-once apply path — on both CoW and MoR tables."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+from ccdb_data_pipeline_spark.plans.dml import delete_where, update_where
+from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+from ccdb_data_pipeline_spark.plans.lineage import lineage_rows
+from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+TS = dt.datetime(2030, 1, 1)
+
+
+@pytest.fixture(params=["cow", "mor"])
+def table(request, spark, tmp_path):
+    spec = TableSpec(num_buckets=4, merge_mode=request.param)
+    t = SnapshotParquetTable(spark, os.path.join(str(tmp_path), "t"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    seed = gen_seed_pandas(n_convs=20, seed=3)
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    return t
+
+
+def test_delete_where_removes_only_matching(table):
+    before = table.read().count()
+    n_user = table.read().filter("role = 'user'").count()
+    assert 0 < n_user < before
+    stats = delete_where(table, "role = 'user'", ts=TS)
+    assert stats.n_source == n_user and not stats.skipped
+    after = table.read()
+    assert after.count() == before - n_user
+    assert after.filter("role = 'user'").count() == 0
+
+
+def test_update_where_rewrites_matching_rows(table):
+    n = table.read().filter("role = 'assistant'").count()
+    update_where(
+        table,
+        "role = 'assistant'",
+        {"tool": "'redacted'", "text": "upper(text)"},
+        ts=TS,
+    )
+    got = table.read().filter("role = 'assistant'")
+    assert got.count() == n
+    assert got.filter("tool <> 'redacted'").count() == 0
+    assert got.filter("text <> upper(text)").count() == 0
+    # non-matching rows untouched
+    assert table.read().filter("role <> 'assistant' AND tool = 'redacted'").count() == 0
+
+
+def test_dml_rides_the_ledger_with_fresh_lsns(table):
+    wm0 = table.last_lsn
+    stats = delete_where(table, "turn_idx = 0", ts=TS)
+    rows = lineage_rows(table)
+    assert rows[-1]["batch_id"] == stats.batch_id
+    assert rows[-1]["lsn_min"] == wm0 + 1
+    assert rows[-1]["lsn_max"] == wm0 + stats.n_source
+    assert table.last_lsn == wm0 + stats.n_source
+
+
+def test_dml_batch_replay_is_noop(table):
+    stats = delete_where(table, "turn_idx = 1", ts=TS)
+    count1 = table.read().count()
+    # replaying the same batch_id is an exactly-once no-op
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes
+
+    replay = apply_changes(
+        table,
+        table.spark.createDataFrame([], table.read().schema),  # placeholder df
+        batch_id=stats.batch_id,
+    )
+    assert replay.skipped
+    assert table.read().count() == count1
+
+
+def test_delete_where_no_match_is_clean(table):
+    v0 = table.current_version()
+    stats = delete_where(table, "role = 'no-such-role'", ts=TS)
+    assert stats.n_source == 0
+    assert table.read().count() > 0
+    assert table.current_version() >= v0  # empty commit allowed but harmless
+
+
+def test_update_where_rejects_key_and_unknown_columns(table):
+    with pytest.raises(ValueError, match="key column"):
+        update_where(table, "true", {"conv_id": "'x'"}, ts=TS)
+    with pytest.raises(ValueError, match="not in table schema"):
+        update_where(table, "true", {"nope": "'x'"}, ts=TS)
+
+
+def test_dml_on_partial_update_table(spark, tmp_path):
+    """DML sees the patch-resolved state: update_where full images replace
+    rows whose current value came from a patch overlay."""
+    from tests.test_partial_updates import EVENTS_B1, _apply, _read_state, _table
+
+    t = _table(spark, tmp_path)
+    _apply(t, spark, EVENTS_B1, 0)
+    update_where(t, "tool = 'calc'", {"tool": "'calc-v2'"}, ts=TS)
+    got = _read_state(t)
+    assert got[("c1", 0)]["tool"] == "calc-v2"
+    assert got[("c1", 0)]["text"] == "hello world"
