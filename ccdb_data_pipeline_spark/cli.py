@@ -10,6 +10,8 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   replay  --table DIR --binlog DIR                 batch replay (no stream)
   compact --table DIR                              rewrite + drop tombstones
   lineage --table DIR                              print the batch ledger
+  delete  --table DIR --where PRED                 predicate DELETE (tombstones)
+  update  --table DIR --where PRED --set COL=EXPR [--set ...]   predicate UPDATE
 """
 
 from __future__ import annotations
@@ -28,7 +30,8 @@ from .streaming.stream import run_ingest
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
-    ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact", "lineage"])
+    ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
+                                    "lineage", "delete", "update"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -40,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact: force a full rewrite (default is incremental/dirty-only)")
     ap.add_argument("--keep-tombstones", action="store_true",
                     help="compact: retain tombstones (lateness horizon not yet passed)")
+    ap.add_argument("--where", help="delete/update: SQL predicate over the table")
+    ap.add_argument("--set", action="append",
+                    help="update: COL=SQL-EXPR assignment (repeatable)")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -82,6 +88,17 @@ def main(argv: list[str] | None = None) -> int:
         for r in lineage_rows(table):
             r["committed_at"] = str(r["committed_at"])
             print(json.dumps(r))
+    elif a.cmd == "delete":
+        from .plans.dml import delete_where
+
+        stats = delete_where(table, a.where)
+        print(json.dumps({"deleted": stats.n_source, "batch": stats.batch_id}))
+    elif a.cmd == "update":
+        from .plans.dml import update_where
+
+        sets = dict(s.split("=", 1) for s in (a.set or []))
+        stats = update_where(table, a.where, sets)
+        print(json.dumps({"updated": stats.n_source, "batch": stats.batch_id}))
     spark.stop()
     return 0
 
