@@ -257,6 +257,53 @@ def watermark_max(spark, sf_dir):
 
 
 @q(
+    "debezium_roundtrip",
+    """
+    SELECT CAST(event_id AS BIGINT) AS lsn,
+           CASE WHEN event_type = 'error' THEN 'D'
+                WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                ELSE CAST(user_id AS VARCHAR) END AS conv_id,
+           CAST(event_id % 50 AS INTEGER) AS turn_idx,
+           event_type AS role,
+           props AS text,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE 'search' END AS tool,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE ts END AS ts
+    FROM events ORDER BY lsn
+    """,
+)
+def debezium_roundtrip(spark, sf_dir):
+    """CDC wire format: events -> canonical changes -> Debezium JSON
+    envelopes -> parsed back (sources/debezium.py, all from_json/to_json
+    JVM-side). The oracle states the identity, so any envelope-mapping or
+    escaping loss (op mapping, null images, micros timestamps, quotes in
+    props-as-text) hash-mismatches."""
+    from .sources.debezium import from_debezium, to_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("search"))
+        .alias("tool"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    return from_debezium(to_debezium(changes)).orderBy("lsn")
+
+
+@q(
     "cdc_lww_latest",
     """
     SELECT user_id, event_type, ts AS last_ts, event_id AS last_lsn,
