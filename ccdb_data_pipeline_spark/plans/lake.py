@@ -586,6 +586,7 @@ class SnapshotParquetTable:
             part = part.sortWithinPartitions(BUCKET, *sort_cols)
         (
             part.write.mode("overwrite")
+            .options(**self.spec.bloom_write_options())
             .partitionBy(BUCKET)
             .parquet(out_dir)
         )
@@ -911,7 +912,9 @@ class SnapshotParquetTable:
         # share a commit directory
         rel = os.path.join("data", f"c{version:010d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
-        folded.write.mode("overwrite").partitionBy(BUCKET).parquet(out_dir)
+        folded.write.mode("overwrite").options(
+            **self.spec.bloom_write_options()
+        ).partitionBy(BUCKET).parquet(out_dir)
         try:
             got = obs.get
         except Exception:

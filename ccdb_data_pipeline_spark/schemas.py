@@ -133,6 +133,19 @@ class TableSpec:
     # image. A patch never creates, deletes, or resurrects a row. See
     # operators/patch.py for the standalone resolve and its NULL caveat.
     partial_updates: bool = False
+    # write a parquet bloom filter for the bucket column in every data file.
+    # Bucket pruning narrows a point lookup to 1/num_buckets of the table;
+    # the bloom then skips row groups inside the bucket whose files don't
+    # contain the probed key — the second level of the Iceberg-style
+    # point-read path at 10^10 rows. parquet-mr skips the bloom for fully
+    # dictionary-encoded chunks (the dictionary is already an exact filter),
+    # so small/low-cardinality files pay nothing.
+    bloom_filter: bool = True
+
+    def bloom_write_options(self) -> dict[str, str]:
+        if not self.bloom_filter:
+            return {}
+        return {f"parquet.bloom.filter.enabled#{self.bucket_col}": "true"}
 
     def payload_cols(self, schema: T.StructType) -> list[str]:
         meta = {self.lsn_col, self.op_col, *self.key_cols}
