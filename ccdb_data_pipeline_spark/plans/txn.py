@@ -1,0 +1,206 @@
+"""Multi-table atomic transactions over WAP branches (catalog-level 2PC).
+
+A CDC pipeline rarely maintains one table: the transcript table, its IVM
+aggregate views, and derived marts must move together or an analytics read
+joins post-batch facts against pre-batch aggregates. Single-table commits
+are already atomic (manifest slot + HEAD CAS, plans/lake.py:_commit); this
+module adds the cross-table step the reference performs implicitly with one
+alias swap over one index (index_ccdb.py:45-71), generalized to N tables:
+
+1. **stage**  — each table's batch is written on a WAP branch
+   (``create_branch``); main readers see nothing.
+2. **intent** — a single exclusive-create intent record (the transaction's
+   commit point) lists every (table root, branch, target version, expected
+   main version).
+3. **publish** — each branch is fast-forwarded under the table's ref lock.
+   A crash anywhere after (2) is ROLLED FORWARD by :func:`recover` — the
+   intent is the redo log; publishes are idempotent against it.
+4. **seal**   — the intent is atomically renamed into the committed log,
+   which doubles as a *consistent version-set catalog*:
+   :meth:`TransactionLog.consistent_versions` pins every table at the
+   versions of the last sealed transaction, giving readers cross-table
+   snapshot isolation via the existing time-travel ``read(version)``.
+
+Before the intent record exists, :meth:`Transaction.abort` drops the
+branches and nothing happened. This is the local-FS analog of a catalog
+transaction (Nessie/LakeFS-style); the Iceberg backend would delegate to
+catalog multi-table commit where available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from .lake import SnapshotParquetTable, _atomic_write_exclusive
+
+
+class TransactionAbortedError(RuntimeError):
+    pass
+
+
+class TransactionLog:
+    """Directory of intent (``txn-*.intent.json``) and sealed
+    (``txn-*.committed.json``) transaction records."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ recovery
+
+    def pending(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".intent.json")
+        )
+
+    def recover(self, spark) -> list[str]:
+        """Roll forward every unfinished transaction. Idempotent; safe to run
+        at every engine start (the streaming driver calls nothing implicitly —
+        recovery is an explicit maintenance step, like compaction)."""
+        done = []
+        for fn in self.pending():
+            path = os.path.join(self.log_dir, fn)
+            with open(path) as f:
+                intent = json.load(f)
+            self._publish_all(spark, intent)
+            self._seal(path, intent)
+            done.append(intent["txn_id"])
+        return done
+
+    # ------------------------------------------------------------ internals
+
+    def _publish_all(self, spark, intent: dict) -> None:
+        for t in intent["tables"]:
+            main = SnapshotParquetTable(spark, t["root"])
+            cur = main.current_version()
+            if cur == t["target_version"]:
+                continue  # this table already published before the crash
+            if t["branch"] in main.branches():
+                main.publish_branch(t["branch"], default_audits=t["audits"])
+                continue
+            # branch ref gone but main isn't at the target: either the swap
+            # happened and main has since moved on (target is an ancestor),
+            # or the single-publisher assumption was violated
+            idx = main._snapshot_index()
+            target_m = main.manifest(t["target_version"])
+            if main._is_ancestor(target_m["snapshot_id"], main.manifest(), idx):
+                continue
+            raise TransactionAbortedError(
+                f"cannot roll forward {t['root']}: main@v{cur} diverged from "
+                f"txn target v{t['target_version']}"
+            )
+
+    def _seal(self, intent_path: str, intent: dict) -> None:
+        intent["sealed_at"] = time.time()
+        sealed = intent_path.replace(".intent.json", ".committed.json")
+        with open(intent_path, "w") as f:
+            json.dump(intent, f, indent=1)
+        os.replace(intent_path, sealed)  # atomic: intent disappears with seal
+
+    # ------------------------------------------------------------ catalog
+
+    def consistent_versions(self) -> dict[str, int]:
+        """table root -> version of the last SEALED transaction touching it.
+        Readers pin with ``SnapshotParquetTable(...).read(version)`` to get a
+        cross-table-consistent view regardless of in-flight commits."""
+        out: dict[str, int] = {}
+        sealed = sorted(
+            f for f in os.listdir(self.log_dir) if f.endswith(".committed.json")
+        )
+        for fn in sealed:  # ascending txn order; later seals win
+            with open(os.path.join(self.log_dir, fn)) as f:
+                rec = json.load(f)
+            for t in rec["tables"]:
+                out[t["root"]] = t["target_version"]
+        return out
+
+    def begin(self) -> "Transaction":
+        return Transaction(self)
+
+
+class Transaction:
+    """One multi-table commit. Usage::
+
+        txn = TransactionLog(log).begin()
+        b1 = txn.stage(facts)        # WAP branch handles
+        b2 = txn.stage(aggregates)
+        b1.merge(batch, batch_id); b2.merge(rollup, batch_id)
+        txn.commit()                 # all-or-nothing (roll-forward on crash)
+    """
+
+    def __init__(self, log: TransactionLog):
+        self.log = log
+        self.txn_id = uuid.uuid4().hex[:12]
+        self._staged: list[tuple[SnapshotParquetTable, SnapshotParquetTable]] = []
+        self._state = "open"
+
+    def stage(self, table: SnapshotParquetTable) -> SnapshotParquetTable:
+        if self._state != "open":
+            raise TransactionAbortedError(f"transaction is {self._state}")
+        if table.ref != "main":
+            raise ValueError("stage from the main handle")
+        branch = table.create_branch(f"txn-{self.txn_id}")
+        self._staged.append((table, branch))
+        return branch
+
+    def commit(self, audits: bool = True) -> dict[str, int]:
+        """Write the intent (the commit point), publish every branch, seal.
+        Raises before the intent exists -> nothing published (branches
+        dropped); raises after -> :meth:`TransactionLog.recover` completes it.
+        """
+        if self._state != "open":
+            raise TransactionAbortedError(f"transaction is {self._state}")
+        # pre-flight BEFORE the intent: audits and fast-forward checks must
+        # fail the transaction while it can still abort cleanly — once the
+        # intent exists, publishing is unconditional (it's the redo log)
+        try:
+            for main, branch in self._staged:
+                main._manifest = None
+                main_m, branch_m = main.manifest(), branch.manifest()
+                if main_m["version"] == branch_m["version"]:
+                    continue
+                idx = main._snapshot_index()
+                if not main._is_ancestor(main_m["snapshot_id"], branch_m, idx):
+                    raise TransactionAbortedError(
+                        f"{main.root}: main moved past txn branch {branch.ref}"
+                    )
+                if audits:
+                    main._run_default_audits(branch_m, main_m, idx)
+        except Exception:
+            self.abort()
+            raise
+        intent = {
+            "txn_id": self.txn_id,
+            "created_at": time.time(),
+            "tables": [
+                {
+                    "root": main.root,
+                    "branch": branch.ref,
+                    "target_version": branch.current_version(),
+                    "expected_main": main.current_version(),
+                    "audits": False,  # audited pre-intent; redo never re-audits
+                }
+                for main, branch in self._staged
+            ],
+        }
+        intent_path = os.path.join(self.log.log_dir, f"txn-{self.txn_id}.intent.json")
+        try:
+            _atomic_write_exclusive(intent_path, json.dumps(intent, indent=1))
+        except Exception:
+            self.abort()
+            raise
+        self._state = "committed"
+        for main, branch in self._staged:
+            main.publish_branch(branch.ref, default_audits=False)
+        self.log._seal(intent_path, intent)
+        return {t["root"]: t["target_version"] for t in intent["tables"]}
+
+    def abort(self) -> None:
+        """Drop staged branches; mains were never touched."""
+        for main, branch in self._staged:
+            if branch.ref in main.branches():
+                main.drop_branch(branch.ref)
+        self._state = "aborted"
