@@ -1499,6 +1499,78 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @q(
+    "inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT)     AS df,
+           CAST(SUM(tf) AS BIGINT)      AS total_tf,
+           CAST(SUM(doc_id) AS BIGINT)  AS doc_checksum
+    FROM postings GROUP BY token ORDER BY df DESC, token LIMIT 50
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """The ES index build (index_ccdb.py:150-178) Spark-first: a postings
+    TABLE (token -> doc_id -> tf) via tokenize/explode/groupBy — one shuffle
+    on token, embarrassingly parallel at corpus scale (operators/search.py).
+    Projected here to per-token dictionary stats + a doc-set checksum so the
+    oracle pins the full posting content, not just counts."""
+    from .operators.search import build_inverted_index
+
+    p = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return (
+        p.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(50)
+    )
+
+
+@q(
+    "text_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+    FROM postings WHERE token IN ('filter', 'join')
+    GROUP BY doc_id HAVING COUNT(*) = 2
+    ORDER BY score DESC, doc_id
+    """,
+)
+def text_search(spark, sf_dir):
+    """Conjunctive boolean retrieval over the inverted index: docs containing
+    ALL query terms, scored by total term frequency. The AND is a single
+    postings aggregation (HAVING n_distinct_terms = |query|), not an N-way
+    self-join — per term it touches one token-hash partition, not the corpus."""
+    from .operators.search import search_and
+
+    return search_and(_t(spark, sf_dir, "documents"), ["filter", "join"]).orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
+@q(
     "suggest_typeahead",
     """
     SELECT doc_id,

@@ -1,0 +1,72 @@
+"""Full-text search: distributed inverted index + conjunctive query.
+
+The reference's whole purpose is feeding an Elasticsearch text index
+(/root/reference/complaints/ccdb/index_ccdb.py:150-178 builds the index,
+search happens in ES). Spark-first, the same capability is an inverted
+index MATERIALIZED AS A TABLE — token -> posting list — built with
+tokenize/explode/groupBy (all JVM, one shuffle on token), and boolean
+retrieval as joins against it. At 100 TB the postings build is
+embarrassingly parallel and the only shuffle is the groupBy(token);
+query-time AND is a semi-join per term over the token-partitioned postings
+(each term touches one partition's worth of postings, not the corpus).
+
+Tokenization is deliberately the simplest cross-engine-reproducible rule —
+lowercase, split on runs of non-alphanumerics — so a SQL oracle can
+reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, token occurrence) — the map side of the index."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def build_inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Postings table: (token, doc_id, tf), partitioned by the groupBy's
+    token hash. Write it bucketed by token for shuffle-free query joins."""
+    return (
+        tokens(df, text_col, id_col)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def search_and(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Conjunctive (AND) retrieval: docs containing EVERY term, scored by
+    total term frequency. One aggregation over the filtered postings —
+    `HAVING count(distinct token) = |terms|` is the classic postings-join
+    linearization (no N-way self-join). Pass a prebuilt ``postings`` table
+    to search an already-materialized index."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = sorted({t.lower() for t in terms})
+    p = postings if postings is not None else build_inverted_index(df, text_col, id_col)
+    return (
+        p.filter(F.col("token").isin(norm))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(norm))
+        .drop("n_terms")
+    )
