@@ -56,6 +56,7 @@ def start_ingest(
     emit_changes_dir: str | None = None,
     dedupe_within_watermark: str | None = None,
     quarantine_dir: str | None = None,
+    source_format: str = "parquet",
 ):
     """Start the CDC ingest stream; returns the StreamingQuery.
 
@@ -82,11 +83,25 @@ def start_ingest(
     re-emits the missing feed from the committed snapshots (manifest lookup
     by batch_id), so the feed converges to exactly one complete dir per
     applied batch."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # segments are parquet; latestFirst stays False so arrival order == mtime order
-    changes = reader.parquet(segments_dir)
+    if source_format == "parquet":
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        # segments are parquet; latestFirst stays False so arrival order == mtime order
+        changes = reader.parquet(segments_dir)
+    elif source_format == "debezium-json":
+        # NDJSON segments of Debezium envelopes (a Kafka-topic dump / connect
+        # file sink). Parse is a pure JVM projection (sources/debezium.py), so
+        # the same checkpointed-offset exactly-once applies; unparseable lines
+        # surface as null-key rows and take the malformed/quarantine path.
+        from ..sources.debezium import from_debezium
+
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        changes = from_debezium(reader.text(segments_dir), change_schema=schema)
+    else:
+        raise ValueError(f"unknown source_format: {source_format!r}")
     if dedupe_within_watermark is not None:
         spec = table.spec
         # Null event-time rows can't be compared to a watermark, and the
