@@ -48,14 +48,26 @@ def delete_where(
     table: SnapshotParquetTable,
     predicate: str,
     ts: dt.datetime | None = None,
+    read_columns: list[str] | None = None,
 ) -> MergeStats:
     """Tombstone every currently-visible row matching ``predicate``.
 
     ``ts`` stamps the deleting writer's event time (defaults to now, UTC);
     it must be >= the rows' current event times for the tombstones to win
-    LWW — pass an explicit value to replay deterministic maintenance."""
+    LWW — pass an explicit value to replay deterministic maintenance.
+
+    ``read_columns``: optional scan projection (must cover every column the
+    predicate references; keys are added automatically). On MoR tables the
+    resolve fold can't be column-pruned through its max_by struct by
+    Catalyst alone, so passing this keeps a wide-table sweep reading 2-3
+    columns instead of all of them."""
     ts = ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    matched = table.read(columns=list(table.spec.key_cols)).filter(predicate)
+    # filter BEFORE the key projection so the predicate may reference any
+    # payload column
+    cols = None
+    if read_columns is not None:
+        cols = list(dict.fromkeys([*table.spec.key_cols, *read_columns]))
+    matched = table.read(columns=cols).filter(predicate).select(*table.spec.key_cols)
     events = _as_events(table, matched, "D", ts)
     try:
         return apply_changes(table, events, batch_id=table.last_batch_id + 1)
@@ -93,3 +105,25 @@ def update_where(
         return apply_changes(table, events, batch_id=table.last_batch_id + 1)
     finally:
         release_caches()
+
+
+def apply_retention(
+    table: SnapshotParquetTable,
+    max_age: dt.timedelta,
+    now: dt.datetime | None = None,
+) -> MergeStats:
+    """Declarative row-level TTL: tombstone every visible row whose event
+    time is older than ``now - max_age`` — the data-retention sweep
+    (compliance / storage policy) as one exactly-once change batch. Rows
+    with a NULL event time are RETAINED (age unknowable; they need an
+    explicit ``delete_where`` decision, not a silent sweep). Pass ``now``
+    for deterministic replays; tombstone space itself is reclaimed later by
+    ``compact(drop_tombstones=True)``."""
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    cutoff = (now - max_age).strftime("%Y-%m-%d %H:%M:%S.%f")
+    return delete_where(
+        table,
+        f"{table.spec.ts_col} < TIMESTAMP '{cutoff}'",
+        ts=now,
+        read_columns=[table.spec.ts_col],
+    )

@@ -66,7 +66,8 @@ class IcebergTable:
                   'write.distribution-mode' = 'hash',
                   'write.spark.accept-any-schema' = 'true',
                   'format-version' = '2',
-                  'write.merge.mode' = 'merge-on-read'
+                  'write.merge.mode' = 'merge-on-read',
+                  'write.parquet.bloom-filter-enabled.column.{spec.bucket_col}' = '{str(spec.bloom_filter).lower()}'
                 )"""
         )
 
