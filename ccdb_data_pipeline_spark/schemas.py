@@ -133,10 +133,12 @@ class TableSpec:
     # image. A patch never creates, deletes, or resurrects a row. See
     # operators/patch.py for the standalone resolve and its NULL caveat.
     partial_updates: bool = False
-    # write a parquet bloom filter for the bucket column in every data file.
-    # Bucket pruning narrows a point lookup to 1/num_buckets of the table;
-    # the bloom then skips row groups inside the bucket whose files don't
-    # contain the probed key — the second level of the Iceberg-style
+    # write a parquet bloom filter for the bucket column in LONG-LIVED data
+    # files (bootstrap, CoW rewrites, compaction output — not MoR delta
+    # appends, which are folded away before a bloom earns its ~3-4% write
+    # cost). Bucket pruning narrows a point lookup to 1/num_buckets of the
+    # table; the bloom then skips row groups inside the bucket whose files
+    # don't contain the probed key — the third level of the Iceberg-style
     # point-read path at 10^10 rows. parquet-mr skips the bloom for fully
     # dictionary-encoded chunks (the dictionary is already an exact filter),
     # so small/low-cardinality files pay nothing.

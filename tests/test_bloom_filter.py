@@ -50,7 +50,7 @@ def _changes(n):
 
 
 @pytest.mark.parametrize("enabled", [True, False])
-def test_bloom_filter_written_per_spec(spark, tmp_path, enabled):
+def test_bloom_on_compacted_files_not_mor_deltas(spark, tmp_path, enabled):
     hconf = spark._jsc.hadoopConfiguration()
     # force plain encoding so the bloom isn't elided in favor of the
     # dictionary (parquet-mr skips blooms for fully dict-encoded chunks)
@@ -60,10 +60,14 @@ def test_bloom_filter_written_per_spec(spark, tmp_path, enabled):
         t = SnapshotParquetTable(spark, str(tmp_path / "t"), spec)
         t.create(TRANSCRIPT_SCHEMA)
         t.merge(spark.createDataFrame(_changes(4000), CHANGE_SCHEMA), batch_id=0)
+        # delta appends are the apply hot path: never bloomed
+        assert all(o == -1 for o in _bloom_offsets(spark, t.root, "conv_id"))
+        t.compact()
         offs = _bloom_offsets(spark, t.root, "conv_id")
         assert offs, "no data files written"
         if enabled:
-            assert all(o >= 0 for o in offs)
+            # compaction output (the long-lived base files) carries the bloom
+            assert any(o >= 0 for o in offs)
         else:
             assert all(o == -1 for o in offs)
     finally:
