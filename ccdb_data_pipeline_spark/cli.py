@@ -12,6 +12,8 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   lineage --table DIR                              print the batch ledger
   delete  --table DIR --where PRED                 predicate DELETE (tombstones)
   update  --table DIR --where PRED --set COL=EXPR [--set ...]   predicate UPDATE
+  retention --table DIR --max-age-days N           TTL sweep (rows older than N days)
+  txn-recover --table DIR --txn-log DIR            roll forward unfinished multi-table txns
 """
 
 from __future__ import annotations
@@ -31,7 +33,8 @@ from .streaming.stream import run_ingest
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
-                                    "lineage", "delete", "update"])
+                                    "lineage", "delete", "update", "retention",
+                                    "txn-recover"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -46,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--where", help="delete/update: SQL predicate over the table")
     ap.add_argument("--set", action="append",
                     help="update: COL=SQL-EXPR assignment (repeatable)")
+    ap.add_argument("--max-age-days", type=float,
+                    help="retention: tombstone rows older than this many days")
+    ap.add_argument("--txn-log",
+                    help="txn-recover: transaction log directory to roll forward")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -99,6 +106,18 @@ def main(argv: list[str] | None = None) -> int:
         sets = dict(s.split("=", 1) for s in (a.set or []))
         stats = update_where(table, a.where, sets)
         print(json.dumps({"updated": stats.n_source, "batch": stats.batch_id}))
+    elif a.cmd == "retention":
+        import datetime as dt
+
+        from .plans.dml import apply_retention
+
+        stats = apply_retention(table, dt.timedelta(days=a.max_age_days))
+        print(json.dumps({"expired": stats.n_delete, "batch": stats.batch_id}))
+    elif a.cmd == "txn-recover":
+        from .plans.txn import TransactionLog
+
+        done = TransactionLog(a.txn_log).recover(spark)
+        print(json.dumps({"rolled_forward": done}))
     spark.stop()
     return 0
 
