@@ -304,6 +304,40 @@ def debezium_roundtrip(spark, sf_dir):
 
 
 @q(
+    "interval_enrich",
+    """
+    SELECT l.user_id, l.ts, r.ts AS ts_right,
+           CAST(round(r.value * 100) AS BIGINT) AS value_c
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
+    JOIN (SELECT user_id, value, ts FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    ORDER BY l.user_id, l.ts, ts_right
+    """,
+)
+def interval_enrich(spark, sf_dir):
+    """The stream-stream enrichment join's batch form (streaming/enrich.py —
+    same definition powers the watermarked streaming version, verified
+    streaming==batch in test_stream_enrich.py): attach each 'click' telemetry
+    event to the 'view' it follows within 30 minutes, keyed per user."""
+    from .streaming.enrich import enrich_stream
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value", "ts")
+    return (
+        enrich_stream(views, clicks, on=["user_id"], window="30 minutes")
+        .select(
+            "user_id",
+            "ts",
+            "ts_right",
+            _cents(F.col("value")).alias("value_c"),
+        )
+        .orderBy("user_id", "ts", "ts_right")
+    )
+
+
+@q(
     "cdc_lww_latest",
     """
     SELECT user_id, event_type, ts AS last_ts, event_id AS last_lsn,
