@@ -113,6 +113,12 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX — the alias-swap analog
 
 
+class _RebaseUnsafe(RuntimeError):
+    """Internal: a lost-CAS compaction cannot be rebased (tombstones were
+    reclaimed while concurrent deltas landed in the rewritten buckets) and
+    must be redone against fresh state."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer already committed this snapshot version. The caller's
     manifest view is stale: re-read the table state and retry the operation
@@ -774,7 +780,19 @@ class SnapshotParquetTable:
             **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()
-        self._commit(m, expected_ref=m0["version"])
+        try:
+            self._commit(m, expected_ref=m0["version"])
+        except CommitConflictError:
+            if m0.get("mode", "cow") != "mor":
+                # CoW rewrote bucket contents read from a now-stale snapshot;
+                # a rebase can't prove those reads still cover the table —
+                # the caller (stream replay) redoes the batch
+                raise
+            # MoR delta appends are rebase-safe: stack onto the winner
+            m = self._rebase_append(
+                m0, files, affected, batch_id, stats,
+                schema_changed, new_sid, new_schema, m["summary"],
+            )
         stats.snapshot_id = m["snapshot_id"]
         stats.version = m["version"]
         return stats
@@ -978,10 +996,74 @@ class SnapshotParquetTable:
             **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()
-        self._commit(m, expected_ref=m0["version"])
+        try:
+            self._commit(m, expected_ref=m0["version"])
+        except CommitConflictError:
+            # a maintenance job (compaction / snapshot expiry) committed while
+            # this batch was being written. The delta files are pure appends,
+            # so rebase them onto the winner's manifest instead of failing the
+            # micro-batch and forcing a stream restart+replay.
+            m = self._rebase_append(
+                m0, files, affected, batch_id, stats,
+                schema_changed, new_sid, new_schema, m["summary"],
+            )
         stats.snapshot_id = m["snapshot_id"]
         stats.version = m["version"]
         return stats
+
+    def _rebase_append(self, m0: dict, files: dict, affected: list,
+                       batch_id: int, stats: "MergeStats", schema_changed: bool,
+                       new_sid: int, new_schema, summary: dict,
+                       max_retries: int = 5) -> dict:
+        """Rebase a lost-CAS MoR delta append onto the current manifest.
+        Safe because delta files only ADD information: stacking them on top
+        of whatever a concurrent maintenance commit produced (compaction
+        output, snapshot expiry) preserves the resolve semantics. Unsafe —
+        and re-raised — if the bucket layout changed (our files hash with the
+        old count), a conflicting schema id was allocated, or another writer
+        claimed this batch_id (single-ingest-writer contract)."""
+        for _ in range(max_retries):
+            self._manifest = None
+            mc = self.manifest()
+            if batch_id <= mc["last_batch_id"]:
+                raise CommitConflictError(
+                    f"batch {batch_id} was committed by a concurrent writer; "
+                    "single-ingest-writer contract violated"
+                )
+            if mc.get("num_buckets") != m0.get("num_buckets"):
+                raise CommitConflictError(
+                    "table was rebucketed mid-batch; replay the batch"
+                )
+            m2 = dict(mc)
+            m2["schemas"] = dict(mc["schemas"])
+            if schema_changed:
+                prior = m2["schemas"].get(str(new_sid))
+                if prior is not None and prior != new_schema.jsonValue():
+                    raise CommitConflictError(
+                        f"schema id {new_sid} was allocated concurrently with "
+                        "a different schema; replay the batch"
+                    )
+                m2["schemas"][str(new_sid)] = new_schema.jsonValue()
+                if new_sid >= int(mc["current_schema_id"]):
+                    m2["schema"] = new_schema.jsonValue()
+                    m2["current_schema_id"] = new_sid
+            buckets = dict(mc["buckets"])
+            for b in affected:
+                buckets[str(b)] = list(buckets.get(str(b), [])) + files.get(b, [])
+            m2["version"] = self._alloc_version()
+            m2["parent_snapshot_id"] = mc["snapshot_id"]
+            m2["snapshot_id"] = uuid.uuid4().hex
+            m2["buckets"] = buckets
+            m2["last_batch_id"] = batch_id
+            m2["last_lsn"] = max(mc["last_lsn"], stats.lsn_max or -1)
+            m2["summary"] = {**summary, "rebased": True}
+            m2["committed_at"] = time.time()
+            try:
+                self._commit(m2, expected_ref=mc["version"])
+                return m2
+            except CommitConflictError:
+                continue
+        raise CommitConflictError("merge append rebase exhausted retries")
 
     # below this file count the footer stats are read on the driver — a Spark
     # job's fixed scheduling cost (~50ms) isn't worth it for a handful of files
@@ -1311,7 +1393,8 @@ class SnapshotParquetTable:
     def compact(self, drop_tombstones: bool = True,
                 sort_within_bucket: bool = True,
                 only_dirty: bool = True,
-                buckets: list[int] | None = None) -> None:
+                buckets: list[int] | None = None,
+                _retries: int = 2) -> None:
         """Fold merge-on-read layers and merge small files — the
         rewrite_data_files analog of the archive re-merge (s3_utils.py:21-59).
 
@@ -1383,7 +1466,82 @@ class SnapshotParquetTable:
             "n_buckets_carried": len(carried),
         }
         m["committed_at"] = time.time()
-        self._commit(m, expected_ref=m0["version"])
+        try:
+            self._commit(m, expected_ref=m0["version"])
+        except CommitConflictError:
+            # a writer (normally the ingest stream) committed while we were
+            # rewriting: try to REBASE the finished rewrite onto the new
+            # manifest instead of discarding hours of compaction work
+            try:
+                self._rebase_compaction(m0, target, files, drop_tombstones, m["summary"])
+            except _RebaseUnsafe:
+                if _retries <= 0:
+                    raise
+                # tombstones were reclaimed but concurrent deltas landed in
+                # the rewritten buckets — a dropped tombstone could fail to
+                # suppress a late lower-dominance update in those deltas, so
+                # the rewrite itself is stale: redo against fresh state
+                self._manifest = None
+                self.compact(
+                    drop_tombstones=drop_tombstones,
+                    sort_within_bucket=sort_within_bucket,
+                    only_dirty=only_dirty,
+                    buckets=buckets,
+                    _retries=_retries - 1,
+                )
+
+    def _rebase_compaction(self, m0: dict, consumed: dict, new_files: dict,
+                           dropped_tombstones: bool, summary: dict,
+                           max_retries: int = 5) -> None:
+        """Iceberg-style validate-and-rebase for a compaction that lost the
+        ref CAS: the rewrite of the files it READ is still correct as long as
+        (a) those files are all still referenced (no concurrent compaction /
+        rollback touched them), (b) the bucket layout didn't change, and (c)
+        tombstone reclaim can't be invalidated by concurrently-appended delta
+        layers. Then the new manifest is rebuilt FROM THE CURRENT one: the
+        consumed entries are swapped for the compacted files, concurrent
+        delta appends in the same buckets are kept stacked on top (the MoR
+        resolve folds them at read time), and everything else — ledger
+        high-water marks, schemas, other buckets — comes from the winner."""
+        for _ in range(max_retries):
+            self._manifest = None
+            mc = self.manifest()
+            if mc.get("num_buckets") != m0.get("num_buckets"):
+                raise CommitConflictError(
+                    "table was rebucketed during compaction; rerun compact"
+                )
+            extras: dict[str, list] = {}
+            for b, cons in consumed.items():
+                now = list(mc["buckets"].get(b, []))
+                for e in cons:
+                    if e not in now:
+                        raise CommitConflictError(
+                            f"files compacted from bucket {b} were removed "
+                            "concurrently; rerun compact"
+                        )
+                extras[b] = [e for e in now if e not in cons]
+            if dropped_tombstones and any(extras.values()):
+                raise _RebaseUnsafe()
+            buckets = dict(mc["buckets"])
+            for b in consumed:
+                merged = list(new_files.get(int(b), [])) + extras[b]
+                if merged:
+                    buckets[b] = merged
+                else:
+                    buckets.pop(b, None)
+            m2 = dict(mc)
+            m2["version"] = self._alloc_version()
+            m2["parent_snapshot_id"] = mc["snapshot_id"]
+            m2["snapshot_id"] = uuid.uuid4().hex
+            m2["buckets"] = buckets
+            m2["summary"] = {**summary, "rebased": True}
+            m2["committed_at"] = time.time()
+            try:
+                self._commit(m2, expected_ref=mc["version"])
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError("compaction rebase exhausted retries")
 
     def rebucket(self, new_num_buckets: int) -> None:
         """Partition evolution (Iceberg partition-spec evolution, applied
