@@ -1776,3 +1776,51 @@ class SnapshotParquetTable:
             out.append(m)
             sid = m["parent_snapshot_id"]
         return list(reversed(out))
+
+    def clone_to(self, dst_root: str, version: int | None = None,
+                 mode: str = "hardlink") -> "SnapshotParquetTable":
+        """Export one snapshot as a brand-new single-snapshot table (Delta
+        SHALLOW/DEEP CLONE analog; the reference's whole-index reindex copy,
+        index_ccdb.py:150-178, without re-writing a row).
+
+        ``mode="hardlink"`` is zero-copy: data files are immutable once
+        committed (every write creates a new attempt-unique dir), so a
+        hardlinked clone shares bytes safely — ``remove_orphans`` on either
+        side only unlinks its own path, the inode lives while any clone
+        references it. Use ``mode="copy"`` across filesystems.
+
+        The clone keeps the source's ledger high-water marks
+        (last_batch_id / last_lsn), so a CDC tail can RESUME against the
+        clone from exactly where the snapshot was cut — the
+        dev-fork-of-production workflow. History is not carried: the clone
+        has one snapshot and its own future."""
+        import shutil
+
+        if mode not in ("hardlink", "copy"):
+            raise ValueError(f"unknown clone mode: {mode!r}")
+        src_m = self.manifest(version)
+        if os.path.exists(os.path.join(dst_root, "HEAD")):
+            raise ValueError(f"table already exists at {dst_root}")
+        os.makedirs(dst_root, exist_ok=True)
+        xfer = os.link if mode == "hardlink" else shutil.copy2
+        for fs in src_m["buckets"].values():
+            for e in fs:
+                src = os.path.join(self.root, e["path"])
+                dst = os.path.join(dst_root, e["path"])
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                xfer(src, dst)
+        m = json.loads(json.dumps(src_m))  # deep copy
+        m["version"] = 0
+        m["parent_snapshot_id"] = None
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["summary"] = {
+            "op": "clone",
+            "source_root": self.root,
+            "source_version": src_m["version"],
+            "source_snapshot_id": src_m["snapshot_id"],
+            "mode": mode,
+        }
+        m["committed_at"] = time.time()
+        dst = SnapshotParquetTable(self.spark, dst_root, self.spec)
+        dst._commit(m)
+        return dst
