@@ -44,6 +44,28 @@ def build_inverted_index(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def incremental_postings(spark, root: str, key_cols=("conv_id", "turn_idx"),
+                         text_col: str = "text"):
+    """An inverted index MAINTAINED FROM THE CHANGE FEED: (token, *key) ->
+    tf, refreshed in O(changed rows) per batch via the signed pre/post-image
+    IVM algebra (plans/ivm.py). An updated turn retracts its old tokens and
+    adds its new ones; a deleted turn's postings drop out when tf hits 0.
+    This is the engine's analog of the reference's whole purpose — keeping a
+    text index fresh from delta pulls (index_ccdb.py:121-147) — at corpus
+    scale without rescans. Call ``.refresh(table)`` after each applied batch
+    (or from the stream's ``on_batch``); query with :func:`search_and`
+    passing ``postings=view.read().withColumnRenamed(...)`` as needed."""
+    from ..plans.ivm import IncrementalAggView
+
+    return IncrementalAggView(
+        spark,
+        root,
+        group_cols=["token", *key_cols],
+        explode_cols={"token": f"split(lower({text_col}), '{_TOKEN_SPLIT}')"},
+        row_filter="token <> ''",
+    )
+
+
 def search_and(
     df: DataFrame,
     terms: list[str],

@@ -60,11 +60,25 @@ class IncrementalAggView:
         root: str,
         group_cols: Sequence[str],
         sum_exprs: Mapping[str, str] | None = None,
+        explode_cols: Mapping[str, str] | None = None,
+        row_filter: str | None = None,
     ):
+        """``explode_cols`` maps derived group columns to SQL ARRAY
+        expressions evaluated per changed row and exploded BEFORE grouping —
+        one changed row contributes one signed delta per array element. With
+        ``{"token": "split(lower(text), '[^a-z0-9]+')"}`` this view IS an
+        incrementally-maintained inverted index: an update's preimage
+        retracts the old text's tokens, its postimage adds the new ones
+        (the reference's core loop — keep a text index fresh from delta
+        pulls, index_ccdb.py:121-147 — without ever rescanning the corpus).
+        ``row_filter`` is a SQL predicate applied after the explode (e.g.
+        ``"token <> ''"``)."""
         self.spark = spark
         self.root = root
         self.group_cols = list(group_cols)
         self.sum_exprs = dict(sum_exprs or {})
+        self.explode_cols = dict(explode_cols or {})
+        self.row_filter = row_filter
 
     # ------------------------------------------------------------ state IO
 
@@ -140,6 +154,10 @@ class IncrementalAggView:
 
     def _aggregate(self, df: DataFrame, signed: bool) -> DataFrame:
         w = _sign() if signed else F.lit(1)
+        for name, expr in self.explode_cols.items():
+            df = df.withColumn(name, F.explode(F.expr(expr)))
+        if self.row_filter:
+            df = df.filter(self.row_filter)
         sums = [
             F.sum(w * F.expr(expr).cast("long")).alias(name)
             for name, expr in self.sum_exprs.items()
