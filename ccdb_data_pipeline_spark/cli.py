@@ -14,6 +14,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   update  --table DIR --where PRED --set COL=EXPR [--set ...]   predicate UPDATE
   retention --table DIR --max-age-days N           TTL sweep (rows older than N days)
   txn-recover --table DIR --txn-log DIR            roll forward unfinished multi-table txns
+  vacuum  --table DIR [--retain-last N]            expire old snapshots + GC orphan files
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
-                                    "txn-recover"])
+                                    "txn-recover", "vacuum"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -53,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="retention: tombstone rows older than this many days")
     ap.add_argument("--txn-log",
                     help="txn-recover: transaction log directory to roll forward")
+    ap.add_argument("--retain-last", type=int, default=2,
+                    help="vacuum: snapshots to retain before expiry")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -118,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
 
         done = TransactionLog(a.txn_log).recover(spark)
         print(json.dumps({"rolled_forward": done}))
+    elif a.cmd == "vacuum":
+        expired = table.expire_snapshots(retain_last=a.retain_last)
+        orphans = table.remove_orphans()
+        print(json.dumps({"expired": expired, "orphans": orphans}))
     spark.stop()
     return 0
 
