@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
-                                    "txn-recover", "vacuum"])
+                                    "txn-recover", "vacuum", "history"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -125,6 +125,15 @@ def main(argv: list[str] | None = None) -> int:
         expired = table.expire_snapshots(retain_last=a.retain_last)
         orphans = table.remove_orphans()
         print(json.dumps({"expired": expired, "orphans": orphans}))
+    elif a.cmd == "history":
+        for m in table.history():
+            print(json.dumps({
+                "version": m["version"],
+                "snapshot_id": m["snapshot_id"][:12],
+                "committed_at": m["committed_at"],
+                "op": m.get("summary", {}).get("op"),
+                "batch_id": m.get("summary", {}).get("batch_id"),
+            }))
     spark.stop()
     return 0
 

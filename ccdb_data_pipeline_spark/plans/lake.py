@@ -1762,6 +1762,27 @@ class SnapshotParquetTable:
                 os.rmdir(dirpath)
         return {"n_data_files_deleted": n_files, "bytes_reclaimed": bytes_reclaimed}
 
+    def version_as_of(self, ts: float) -> int:
+        """Version this ref pointed at, at wall-clock ``ts`` (epoch seconds) —
+        TIMESTAMP AS OF time travel (Iceberg/Delta analog): the newest
+        ancestor snapshot whose commit time is <= ts. Walks this ref's
+        ancestry (metadata only), so snapshots on other branches or already
+        expired don't confuse the answer."""
+        best = None
+        for m in self.history():
+            if m["committed_at"] <= ts and (best is None or m["version"] > best):
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot on ref {self.ref!r} committed at or before {ts}"
+            )
+        return best
+
+    def read_as_of(self, ts: float, **kw) -> DataFrame:
+        """``SELECT ... TIMESTAMP AS OF``: snapshot read at the version
+        current as of wall-clock ``ts``. Accepts read()'s kwargs."""
+        return self.read(version=self.version_as_of(ts), **kw)
+
     def history(self) -> list[dict]:
         """This ref's committed snapshots (oldest first), following the
         parent-snapshot chain — version slots are global across refs, so
