@@ -144,6 +144,62 @@ def from_debezium(
     return raw.select(*out)
 
 
+def changes_as_debezium(table, from_version: int, to_version: int | None = None) -> DataFrame:
+    """CDC-out relay leg: the table's snapshot-diff change feed
+    (``table_changes``) re-encoded as Debezium envelopes — so a downstream
+    consumer (including ANOTHER instance of this engine, via
+    :func:`from_debezium` -> ``merge``) speaks the same wire format in both
+    directions. ``source.lsn`` carries the feed's TO-version: monotone per
+    key across successive windows, which is all the consumer's (ts, lsn)
+    dominance needs for idempotent replays. Updates pair their pre+post
+    images into one envelope (before+after), inserts carry after only,
+    deletes carry before only — standard Debezium row-image semantics."""
+    ch = table.table_changes(from_version, to_version)
+    keys = list(table.spec.key_cols)
+    meta = {"_change_type", "_from_version", "_to_version"}
+    user_cols = [c for c in ch.columns if c not in meta]
+
+    def img_struct(prefix_cond):
+        cols = []
+        for c in user_cols:
+            col = F.col(c)
+            if dict(ch.dtypes)[c] == "timestamp":
+                col = F.unix_micros(col)
+            cols.append(col.alias(c))
+        return F.when(prefix_cond, F.struct(*cols))
+
+    is_pre = F.col("_change_type").isin("delete", "update_preimage")
+    is_post = F.col("_change_type").isin("insert", "update_postimage")
+    tagged = ch.select(
+        *keys,
+        F.col("_to_version").alias("_v"),
+        img_struct(is_pre).alias("_before"),
+        img_struct(is_post).alias("_after"),
+    )
+    paired = tagged.groupBy(*keys, "_v").agg(
+        F.max("_before").alias("before"), F.max("_after").alias("after")
+    )
+    op = (
+        F.when(F.col("before").isNotNull() & F.col("after").isNotNull(), F.lit("u"))
+        .when(F.col("after").isNotNull(), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    payload = F.struct(
+        op.alias("op"),
+        F.col("before").alias("before"),
+        F.col("after").alias("after"),
+        F.struct(F.col("_v").cast("long").alias("lsn")).alias("source"),
+        (F.coalesce(F.col("after.ts"), F.col("before.ts"), F.lit(0)) / 1000)
+        .cast("long")
+        .alias("ts_ms"),
+    )
+    return paired.select(
+        F.to_json(F.struct(payload.alias("payload")), {"ignoreNullFields": "false"}).alias(
+            "value"
+        )
+    )
+
+
 def from_debezium_v2(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse the schema-evolution continuation (v2 envelopes: tool_args,
     int64 turn_idx) — the wire-format analog of the reference's v2 intake
