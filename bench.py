@@ -286,11 +286,14 @@ def main() -> None:
 
         try:
             reps = [_one_rep()]
-            if _noisy(reps[0]):
+            # up to two retries: a noisy-neighbor window on this host lasts
+            # minutes, so a single retry often lands in the same window; a
+            # quiet rep stops the loop immediately (no cost when calm)
+            while _noisy(reps[-1]) and len(reps) < 3:
                 reps.append(_one_rep())
             cdc = max(reps, key=lambda c: c["events_per_sec"])
             cdc["rep_events_per_sec"] = [r["events_per_sec"] for r in reps]
-            cdc["cdc_policy"] = "retry-once-if-noisy(steal>1.5% or batch-spread>2x)"
+            cdc["cdc_policy"] = "retry-up-to-2-if-noisy(steal>1.5% or batch-spread>2x)"
         finally:
             if ephemeral_cache is not None:
                 shutil.rmtree(ephemeral_cache, ignore_errors=True)
