@@ -1753,6 +1753,79 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @q(
+    "dedup_traces",
+    f"""
+    WITH documents AS (
+      SELECT user_id AS doc_id,
+             replace(string_agg(event_type, '>' ORDER BY ts, event_id), '>', ' ') AS text
+      FROM events GROUP BY user_id
+    ),
+    {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+             min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || '#' || mh_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh_2 || '#' || mh_3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh_4 || '#' || mh_5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh_6 || '#' || mh_7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                               AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.n_common * 10000.0 / (sa.n + sb.n - i.n_common)) AS BIGINT) AS jaccard_bp
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 10000.0 / (sa.n + sb.n - i.n_common) >= 3500
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_traces(spark, sf_dir):
+    """CONVERSATION-level near-dup detection: assemble each user's ordered
+    event trace into one document (trace_render), then MinHash+LSH over
+    event-type 3-gram shingles — the transcript-pipeline dedup granularity
+    (two conversations that replay the same interaction pattern), composed
+    from the trace assembly + the banded-LSH operator. Oracle shadows the
+    `documents` view with a trace CTE and reruns the identical minhash SQL."""
+    from .operators.dedup_text import minhash_lsh_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    traces = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .withColumnRenamed("user_id", "doc_id")
+    )
+    return minhash_lsh_dedup(
+        traces, "doc_id", "text", n=3, n_hashes=8, band_size=2,
+        threshold_bp=3500, hash_mode="md5",
+    ).orderBy("id_a", "id_b")
+
+
+@q(
     "trace_render",
     """
     SELECT user_id,
