@@ -1,0 +1,85 @@
+"""A/B: mapInArrow vs mapInPandas fused fold on the realistic config
+(100-word texts). Interleaved reps, same cached input, steal-instrumented.
+
+    python bench/fold_ab.py [--events 1000000] [--reps 3] [--cpus 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _cpu_mix():
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:9]]
+    return v  # user nice system idle iowait irq softirq steal
+
+
+def _steal_pct(a, b):
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return 100.0 * d[7] / tot
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--convs", type=int, default=4000)
+    args = ap.parse_args()
+
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+    from ccdb_data_pipeline_spark.session import build_session
+    from ccdb_data_pipeline_spark.sources.binlog import (
+        gen_changes_spark,
+        gen_seed_pandas,
+    )
+
+    spark = build_session(
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(32, args.cpus * 4),
+        app_name="fold-ab",
+    )
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="foldab-")
+    changes = gen_changes_spark(
+        spark, args.events, args.convs, text_words=100
+    ).repartitionByRange(args.cpus * 4, "lsn")
+    changes.persist().count()
+    seed = gen_seed_pandas(n_convs=min(args.convs, 20000))
+
+    results: dict[str, list] = {"arrow": [], "pandas": []}
+    for rep in range(args.reps):
+        for engine in ("arrow", "pandas") if rep % 2 == 0 else ("pandas", "arrow"):
+            spec = TableSpec(num_buckets=64, merge_mode="mor", fold_engine=engine)
+            t = SnapshotParquetTable(
+                spark, f"{work}/t-{engine}-{rep}", spec
+            )
+            t.create(TRANSCRIPT_SCHEMA)
+            bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+            # warmup small batch to spawn python workers for this engine
+            apply_changes(t, changes.limit(2000), batch_id=0)
+            c0 = _cpu_mix()
+            t0 = time.time()
+            apply_changes(t, changes, batch_id=1)
+            dt = time.time() - t0
+            steal = _steal_pct(c0, _cpu_mix())
+            rate = args.events / dt
+            results[engine].append({"sec": round(dt, 2), "ev_s": round(rate), "steal": round(steal, 1)})
+            print(f"rep{rep} {engine:6s} {dt:6.2f}s  {rate:9.0f} ev/s  steal {steal:.1f}%", flush=True)
+
+    best = {k: max(r["ev_s"] for r in v) for k, v in results.items()}
+    print(json.dumps({"best": best, "reps": results, "events": args.events, "cpus": args.cpus}))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,58 @@ def normalize_pandas_frame(pdf: pd.DataFrame, spec: TableSpec, payload_str_cols:
     return pdf
 
 
+# Python's str.split() whitespace set (what " ".join(s.split()) splits on):
+# the Unicode White_Space property. Spelled out as an explicit RE2 character
+# class so the Arrow-native path (pyarrow.compute uses RE2, whose \s is
+# ASCII-only) normalizes EXACTLY like the pandas path's str.split().
+_PY_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_RUN_RE2 = f"[{_PY_WS}]+"
+# rows whose text would be CHANGED by " ".join(s.split()) — RE2 spelling of
+# _WS_IRREGULAR above (RE2 has no [^\S ] double negative)
+_WS_IRREGULAR_RE2 = (
+    f"^[{_PY_WS}]|[{_PY_WS}]$|[{_PY_WS}][{_PY_WS}]|[{_PY_WS.replace(' ', '')}]"
+)
+
+
+def normalize_arrow_table(tbl, spec: TableSpec, payload_str_cols: list[str]):
+    """The SAME normalization policy as normalize_pandas_frame, applied to a
+    pyarrow Table with pyarrow.compute kernels only — the zero-pandas hot
+    path used by the mapInArrow fused fold. Strings never materialize as
+    Python objects: ""->null is a vectorized equal/if_else, whitespace
+    collapse is one RE2 pass (run only when the partition actually contains
+    an irregular value — the common all-regular case costs one match pass)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = tbl.column_names
+    for c in payload_str_cols:
+        if c in spec.empty_to_null_exempt or c not in names:
+            continue
+        col = tbl.column(c)
+        empty = pc.equal(col, "")
+        if pc.any(empty).as_py():
+            tbl = tbl.set_column(
+                names.index(c), c, pc.if_else(empty, pa.scalar(None, col.type), col)
+            )
+    for c in spec.normalize_ws_cols:
+        if c not in names:
+            continue
+        col = tbl.column(c)
+        needs = pc.match_substring_regex(col, _WS_IRREGULAR_RE2)
+        if not pc.any(needs).as_py():
+            continue
+        collapsed = pc.utf8_trim(
+            pc.replace_substring_regex(col, pattern=_WS_RUN_RE2, replacement=" "),
+            characters=" ",
+        )
+        tbl = tbl.set_column(names.index(c), c, pc.if_else(needs, collapsed, col))
+    return tbl
+
+
 def has_text(c: Column) -> Column:
     """has_narrative analog (index_ccdb.py:26-29)."""
     return c.isNotNull() & (c != "")

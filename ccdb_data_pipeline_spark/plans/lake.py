@@ -84,6 +84,28 @@ def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
     return out.reset_index()
 
 
+def _fold_lww_arrow(tbl, keys: list[str], sort_cols: list[str]):
+    """LWW winner per key over a pyarrow Table — the zero-pandas analog of
+    ``sort_values(sort_cols).drop_duplicates(keys, keep="last")``. The sort
+    ranks only the two int64/timestamp dominance columns; key columns are
+    gathered once in rank order for the group-by; the (large) payload strings
+    are gathered exactly once, for the winner rows only. Ties on
+    (ts, lsn) cannot occur (LSN is unique per event)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        tbl.select(sort_cols), sort_keys=[(c, "ascending") for c in sort_cols]
+    ).to_numpy(zero_copy_only=False)
+    ktbl = tbl.select(keys).take(pa.array(order)).append_column(
+        "_rank", pa.array(np.arange(order.size, dtype=np.int64))
+    )
+    gb = ktbl.group_by(keys, use_threads=False).aggregate([("_rank", "max")])
+    winners = order[gb.column("_rank_max").to_numpy(zero_copy_only=False)]
+    return tbl.take(pa.array(np.sort(winners)))
+
+
 def _footer_stats(pairs) -> list[tuple[int, int, int | None, int | None]]:
     """(bucket, path) -> (bucket, n_rows, lsn_min, lsn_max) from parquet
     footers only (no data pages). Module-level so Spark can ship it to
@@ -880,6 +902,21 @@ class SnapshotParquetTable:
                 pdf = normalize_pandas_frame(pdf, spec, payload_str_cols)
             yield pdf[out_cols]
 
+        def _fold_arrow(it):
+            import pyarrow as _pa
+
+            from ..functions.normalize import normalize_arrow_table
+
+            batches = list(it)
+            if not batches:
+                return
+            tbl = _pa.Table.from_batches(batches)
+            if tbl.num_rows:
+                tbl = _fold_lww_arrow(tbl, keys, sort_cols)
+                if normalize:
+                    tbl = normalize_arrow_table(tbl, spec, payload_str_cols)
+            yield from tbl.select(out_cols).to_batches()
+
         # batch lineage observation on the SOURCE rows — before the malformed
         # filter, the shuffle, and the fold, so it costs nothing extra (same
         # job as the write) and counts source events, with null-key rows
@@ -921,6 +958,8 @@ class SnapshotParquetTable:
             # raw append: every version row, JVM-only apply path; dedup and
             # normalization defer to read-time resolve / compaction
             folded = with_op
+        elif spec.fold_engine == "arrow" and not spec.partial_updates:
+            folded = with_op.mapInArrow(_fold_arrow, schema=out_schema)
         else:
             folded = with_op.mapInPandas(_fold, schema=out_schema)
         folded = folded.drop("_op")

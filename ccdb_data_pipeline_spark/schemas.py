@@ -143,6 +143,14 @@ class TableSpec:
     # dictionary-encoded chunks (the dictionary is already an exact filter),
     # so small/low-cardinality files pay nothing.
     bloom_filter: bool = True
+    # fused-fold execution engine: "arrow" runs the per-bucket LWW dedup +
+    # normalization as pyarrow.compute kernels inside mapInArrow (no
+    # Arrow->pandas conversion — payload strings never materialize as Python
+    # objects); "pandas" is the mapInPandas fold. Identical semantics
+    # (tested); arrow is the default because on wide text payloads the
+    # pandas conversion is the dominant Python-side cost. Partial-update
+    # tables always use the pandas fold (the patch overlay is pandas-only).
+    fold_engine: str = "arrow"
 
     def bloom_write_options(self) -> dict[str, str]:
         if not self.bloom_filter:
