@@ -1605,6 +1605,52 @@ def text_search(spark, sf_dir):
 
 
 @q(
+    "search_bm25_ranked",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    hits AS (SELECT * FROM postings WHERE token IN ('filter', 'join')),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token)
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(round(SUM(
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (h.tf / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+           ) * 1e6) AS BIGINT) AS score_u
+    FROM hits h JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN stats s
+    GROUP BY h.doc_id
+    ORDER BY score_u DESC, doc_id
+    """,
+)
+def search_bm25_ranked(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (the sink's actual query-time scoring:
+    OpenSearch/Lucene default similarity over the index built at reference
+    index_ccdb.py:150-168). Disjunctive — every doc matching ANY term,
+    scored with Lucene's idf and length-normalized tf. Score integerized at
+    1e-6 for cross-engine hashing; both engines compute the identical
+    double expression tree (exact-integer idf/avgdl inputs, <=2 addends per
+    doc), so the rounded values agree."""
+    from .operators.search import search_bm25
+
+    r = search_bm25(_t(spark, sf_dir, "documents"), ["filter", "join"])
+    return r.select(
+        "doc_id",
+        "n_terms",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_u"),
+    ).orderBy(F.desc("score_u"), "doc_id")
+
+
+@q(
     "suggest_typeahead",
     """
     SELECT doc_id,

@@ -66,6 +66,68 @@ def incremental_postings(spark, root: str, key_cols=("conv_id", "turn_idx"),
     )
 
 
+def search_bm25(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranked (disjunctive) retrieval — the scoring the
+    reference's sink actually runs on every query (OpenSearch/Lucene default
+    similarity; the index built at index_ccdb.py:150-168 is searched with
+    BM25). Output: (doc_id, n_terms, score) for every doc containing ANY
+    query term, using Lucene's idf = ln(1 + (N - df + 0.5)/(df + 0.5)) and
+    tf norm tf/(tf + k1*(1 - b + b*dl/avgdl)).
+
+    Plan shape at corpus scale: postings filtered to |q| terms (token-hash
+    pruned), per-term df aggregated from that SMALL slice and broadcast
+    back; corpus stats (N, avgdl) are a 1-row broadcast cross join; doc
+    lengths join on doc_id. No stage touches more than the matched docs
+    except the doc-length build, which is the same single groupBy that
+    builds the index (pass ``doc_lens``/``postings`` from a materialized
+    index to skip both).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = sorted({t.lower() for t in terms})
+    tok = tokens(df, text_col, id_col)
+    p = postings if postings is not None else tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = doc_lens if doc_lens is not None else tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = p.filter(F.col("token").isin(norm))
+    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log1p(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_tfn",
+            F.col("tf")
+            / (F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("_idf") * F.col("_tfn")).alias("score"),
+    )
+
+
 def search_and(
     df: DataFrame,
     terms: list[str],

@@ -33,3 +33,38 @@ def test_search_prebuilt_postings_and_jvm_only(spark):
     assert got == {1, 2}
     plan = postings._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_matches_hand_computation(spark):
+    """BM25 scores equal the textbook Lucene formula computed in pure
+    Python over the same tokenization (3 docs with tokens; doc without any
+    query term absent from the result)."""
+    import math
+
+    from ccdb_data_pipeline_spark.operators.search import search_bm25
+
+    got = {r["doc_id"]: (r["n_terms"], r["score"]) for r in
+           search_bm25(_docs(spark), ["join", "filter"]).collect()}
+
+    # corpus stats over docs WITH tokens: doc1 len 5, doc2 len 3, doc3 len 5
+    n_docs, avgdl = 3, (5 + 3 + 5) / 3
+    k1, b = 1.2, 0.75
+
+    def idf(df):
+        return math.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+    def tfn(tf, dl):
+        return tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    df_join, df_filter = 2, 2  # docs {1,2} have 'join'; {2,3} have 'filter'
+    exp = {
+        1: (1, idf(df_join) * tfn(2, 5)),
+        2: (2, idf(df_join) * tfn(1, 3) + idf(df_filter) * tfn(1, 3)),
+        3: (1, idf(df_filter) * tfn(1, 5)),
+    }
+    assert set(got) == set(exp)
+    for d, (n, s) in exp.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - s) < 1e-12
+    # more matched terms on the shortest doc -> best score
+    assert got[2][1] > got[1][1] > got[3][1]
