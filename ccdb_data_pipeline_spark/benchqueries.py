@@ -1651,6 +1651,44 @@ def search_bm25_ranked(spark, sf_dir):
 
 
 @q(
+    "search_phrase_match",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token, pos
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t,
+                   generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+            FROM documents)
+      WHERE t <> ''
+    ),
+    slots AS (
+      SELECT doc_id, pos - 0 AS anchor, 0 AS slot FROM toks WHERE token = 'table'
+      UNION ALL
+      SELECT doc_id, pos - 1 AS anchor, 1 AS slot FROM toks WHERE token = 'table'
+    ),
+    occ AS (
+      SELECT doc_id, anchor FROM slots
+      GROUP BY doc_id, anchor HAVING COUNT(DISTINCT slot) = 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM occ GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def search_phrase_match(spark, sf_dir):
+    """Exact-phrase retrieval (ES match_phrase analog) via positional
+    postings: i-th phrase term shifted to anchor = pos - i; an anchor where
+    all slots land is an occurrence. One aggregation on (doc_id, anchor) —
+    no positional self-join chain. The phrase 'table table' exercises
+    duplicate terms (slot-indexed, not token-distinct) and overlapping
+    occurrences ('table table table' counts twice in both engines)."""
+    from .operators.search import search_phrase
+
+    return search_phrase(_t(spark, sf_dir, "documents"), ["table", "table"]).orderBy(
+        "doc_id"
+    )
+
+
+@q(
     "suggest_typeahead",
     """
     SELECT doc_id,

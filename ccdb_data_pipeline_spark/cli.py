@@ -15,6 +15,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   retention --table DIR --max-age-days N           TTL sweep (rows older than N days)
   txn-recover --table DIR --txn-log DIR            roll forward unfinished multi-table txns
   vacuum  --table DIR [--retain-last N]            expire old snapshots + GC orphan files
+  stats   --table DIR                              manifest-only health report (read amp, compaction advice)
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
-                                    "txn-recover", "vacuum", "history"])
+                                    "txn-recover", "vacuum", "history", "stats"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -125,6 +126,8 @@ def main(argv: list[str] | None = None) -> int:
         expired = table.expire_snapshots(retain_last=a.retain_last)
         orphans = table.remove_orphans()
         print(json.dumps({"expired": expired, "orphans": orphans}))
+    elif a.cmd == "stats":
+        print(json.dumps(table.stats()))
     elif a.cmd == "history":
         for m in table.history():
             print(json.dumps({

@@ -66,6 +66,59 @@ def incremental_postings(spark, root: str, key_cols=("conv_id", "turn_idx"),
     )
 
 
+def positional_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, token, pos) with pos = index in the RAW split array. The
+    split regex uses a + quantifier, so interior empties are impossible —
+    only a leading/trailing delimiter yields "" (filtered out). Raw indices
+    are kept (not renumbered) so two tokens are textually adjacent exactly
+    when their positions are consecutive."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def search_phrase(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-phrase retrieval (the ES match_phrase analog) over positional
+    postings: (doc_id, n_occurrences) for docs containing the token sequence
+    consecutively. The classic positional-index linearization: the i-th
+    phrase term's postings are shifted to anchor = pos - i, and an anchor
+    where ALL |phrase| term-slots land is an occurrence — one aggregation on
+    (doc_id, anchor), no self-join chain. Duplicate terms in the phrase are
+    handled by slot index (counting distinct slots, not distinct tokens);
+    overlapping occurrences each count. At corpus scale the postings are
+    token-pruned to the phrase's terms before the shuffle."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = [t.lower() for t in phrase]
+    p = postings if postings is not None else positional_tokens(df, text_col, id_col)
+    p = p.filter(F.col("token").isin(sorted(set(terms))))
+    slots = None
+    for i, t in enumerate(terms):
+        s = p.filter(F.col("token") == t).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("anchor"), F.lit(i).alias("slot")
+        )
+        slots = s if slots is None else slots.unionByName(s)
+    return (
+        slots.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("slot").alias("_n"))
+        .filter(F.col("_n") == len(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
 def search_bm25(
     df: DataFrame,
     terms: list[str],

@@ -1427,6 +1427,46 @@ class SnapshotParquetTable:
             int(e.get("n_rows", 0) or 0) for fs in m["buckets"].values() for e in fs
         )
 
+    def stats(self, version: int | None = None) -> dict:
+        """Table health report from the manifest alone — no Spark job, no
+        file IO beyond the one manifest JSON, so it is O(buckets) at any
+        table size (the DESCRIBE EXTENDED / files-metadata-table analog).
+        Reports physical layout (file and delta-layer counts, per-file row
+        floor), read amplification (max/mean delta depth per bucket — the
+        number of layers a MoR read must resolve), and a compaction
+        recommendation when depth exceeds the default read-amp budget."""
+        m = self.manifest(version)
+        per_bucket: dict[str, dict] = {}
+        n_files = n_delta = 0
+        for b, fs in m["buckets"].items():
+            depth = sum(1 for e in fs if e.get("delta"))
+            per_bucket[b] = {"files": len(fs), "delta_depth": depth}
+            n_files += len(fs)
+            n_delta += depth
+        depths = [v["delta_depth"] for v in per_bucket.values()] or [0]
+        max_depth = max(depths)
+        return {
+            "version": m["version"],
+            "snapshot_id": m["snapshot_id"],
+            "mode": m.get("mode", "cow"),
+            "num_buckets": int(m.get("num_buckets", self.spec.num_buckets)),
+            "schema_id": m.get("current_schema_id"),
+            "n_columns": len(m["schema"]["fields"]),
+            "last_batch_id": m["last_batch_id"],
+            "last_lsn": m["last_lsn"],
+            "n_files": n_files,
+            "n_delta_files": n_delta,
+            # per-file recorded rows: exact for base/CoW/compaction files;
+            # merge_events delta appends record rows per BUCKET in the commit
+            # summary, not per file, so on an uncompacted MoR table this is a
+            # base-files-only floor (equals live rows right after compact())
+            "base_rows_recorded": self._live_row_floor(m),
+            "delta_depth_max": max_depth,
+            "delta_depth_mean": round(sum(depths) / len(depths), 2),
+            "dirty_buckets": sum(1 for d in depths if d),
+            "compact_recommended": max_depth >= 8,
+        }
+
     # ------------------------------------------------------------ maintenance
 
     def compact(self, drop_tombstones: bool = True,

@@ -201,3 +201,41 @@ def test_remove_orphans(spark, tmp_path, seed_pdf):
     assert not os.path.exists(orphan)
     after = table_to_pandas(t.read()).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_stats_reports_layout_and_compaction_advice(spark, tmp_path):
+    """stats() is manifest-only: correct file/delta accounting before and
+    after compaction, and the read-amp recommendation flips accordingly."""
+    import numpy as np
+
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
+    from ccdb_data_pipeline_spark.sources.binlog import gen_changes_pandas, gen_seed_pandas
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=4, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(gen_seed_pandas(n_convs=20, seed=3), TRANSCRIPT_SCHEMA))
+    changes = gen_changes_pandas(1600, n_convs=20, seed=3)
+    for i, p in enumerate(np.array_split(changes, 8)):
+        apply_changes(t, spark.createDataFrame(p, CHANGE_SCHEMA), batch_id=i)
+
+    s = t.stats()
+    assert s["mode"] == "mor" and s["num_buckets"] == 4
+    assert s["last_batch_id"] == 7 and s["last_lsn"] == 1600
+    assert s["n_delta_files"] > 0 and s["delta_depth_max"] >= 8
+    assert s["dirty_buckets"] == 4
+    assert s["compact_recommended"] is True
+    assert s["n_files"] == sum(
+        len(fs) for fs in t.manifest()["buckets"].values()
+    )
+
+    t.compact()
+    s2 = t.stats()
+    assert s2["n_delta_files"] == 0 and s2["delta_depth_max"] == 0
+    assert s2["compact_recommended"] is False
+    # compaction output files carry exact per-file counts; tombstones were
+    # dropped by the default compact, so recorded rows == live rows
+    assert s2["base_rows_recorded"] == t.read().count()

@@ -68,3 +68,26 @@ def test_bm25_matches_hand_computation(spark):
         assert abs(got[d][1] - s) < 1e-12
     # more matched terms on the shortest doc -> best score
     assert got[2][1] > got[1][1] > got[3][1]
+
+
+def test_phrase_search_adjacency_duplicates_and_overlap(spark):
+    from ccdb_data_pipeline_spark.operators.search import search_phrase
+
+    rows = [
+        (1, "big table scan"),          # phrase "big table": 1
+        (2, "big, table!"),             # punctuation runs still adjacent: 1
+        (3, "big red table"),           # not adjacent: 0
+        (4, "table big"),               # wrong order: 0
+        (5, "big table big table"),     # two occurrences
+        (6, None),
+        (7, "table table table"),       # "table table" overlaps: 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: r["n_occurrences"] for r in
+           search_phrase(docs, ["Big", "TABLE"]).collect()}
+    assert got == {1: 1, 2: 1, 5: 2}
+
+    dup = {r["doc_id"]: r["n_occurrences"] for r in
+           search_phrase(docs, ["table", "table"]).collect()}
+    assert dup == {7: 2}  # doc 5's tables are not adjacent
