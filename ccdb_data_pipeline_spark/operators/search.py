@@ -147,7 +147,8 @@ def search_bm25(
     if not terms:
         raise ValueError("terms must be non-empty")
     norm = sorted({t.lower() for t in terms})
-    tok = tokens(df, text_col, id_col)
+    if postings is None or doc_lens is None:
+        tok = tokens(df, text_col, id_col)
     p = postings if postings is not None else tok.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -179,6 +180,23 @@ def search_bm25(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum(F.col("_idf") * F.col("_tfn")).alias("score"),
     )
+
+
+def bm25_over_incremental(view, terms: list[str], key_cols=("conv_id", "turn_idx")) -> DataFrame:
+    """BM25 ranked retrieval served from the INCREMENTALLY-maintained
+    postings (incremental_postings / plans/ivm.py): the index stays fresh in
+    O(changed rows) per batch, and query time derives doc lengths from the
+    same postings state (dl = sum tf per doc) — no rescan of the corpus at
+    either index or query time. This closes the reference's full loop:
+    delta pull -> index refresh -> ranked query (index_ccdb.py:121-147 + the
+    sink's BM25 scoring), all engine-side."""
+    from pyspark.sql import functions as _F
+
+    p = view.read()
+    did = _F.concat_ws("#", *[_F.col(k) for k in key_cols])
+    postings = p.select("token", did.alias("doc_id"), _F.col("n_rows").alias("tf"))
+    doc_lens = postings.groupBy("doc_id").agg(_F.sum("tf").alias("dl"))
+    return search_bm25(None, terms, postings=postings, doc_lens=doc_lens)
 
 
 def search_and(

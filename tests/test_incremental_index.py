@@ -76,3 +76,52 @@ def test_incremental_index_tracks_updates_and_deletes(spark, tmp_path):
 
     # refresh with nothing new is a no-op
     assert view.refresh(t)["n_changes"] == 0
+
+
+def test_bm25_over_incremental_equals_batch_rebuild(spark, tmp_path):
+    """Ranked retrieval from the IVM-maintained postings == BM25 computed
+    from a full rescan of the table, through an update that changes both
+    term frequencies and a document length."""
+    from ccdb_data_pipeline_spark.operators.search import bm25_over_incremental, search_bm25
+
+    TS = pd.Timestamp("2025-01-01")
+    TS2 = pd.Timestamp("2025-01-02")
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    view = incremental_postings(spark, str(tmp_path / "idx"))
+
+    t.merge(
+        _batch(
+            spark,
+            [
+                (1, "I", "a", 0, "user", "spark join club", None, TS),
+                (2, "I", "a", 1, "user", "filter filter join", None, TS),
+                (3, "I", "b", 0, "user", "the quick scan filter", None, TS),
+            ],
+        ),
+        batch_id=0,
+    )
+    view.refresh(t)
+    t.merge(
+        _batch(
+            spark,
+            [
+                (4, "U", "a", 1, "user", "join join join plus filter words", None, TS2),
+                (5, "D", "b", 0, None, None, None, TS2),
+                (6, "I", "c", 0, "user", "filter me", None, TS2),
+            ],
+        ),
+        batch_id=1,
+    )
+    view.refresh(t)
+
+    inc = {r["doc_id"]: (r["n_terms"], round(r["score"], 12)) for r in
+           bm25_over_incremental(view, ["join", "filter"]).collect()}
+    docs = t.read().withColumn(
+        "doc", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    )
+    full = {r["doc_id"]: (r["n_terms"], round(r["score"], 12)) for r in
+            search_bm25(docs, ["join", "filter"], text_col="text", id_col="doc").collect()}
+    assert inc == full and len(inc) >= 3
