@@ -1689,6 +1689,71 @@ def search_phrase_match(spark, sf_dir):
 
 
 @q(
+    "search_fuzzy_term",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS n_occurrences
+    FROM postings WHERE levenshtein(token, 'sow') <= 1
+    GROUP BY token ORDER BY token
+    """,
+)
+def search_fuzzy_term(spark, sf_dir):
+    """Fuzzy term retrieval (ES fuzziness:1 analog). Spark generates
+    candidates via the SymSpell single-deletion neighborhood (JVM transform
+    + explode, probed with the query's tiny variant set) and re-verifies
+    with built-in levenshtein; the oracle scans the vocabulary with
+    levenshtein directly — equal outputs prove the neighborhood join is
+    exactly the distance-<=1 set (the probe 'sow' hits 'slow' and 'row'
+    through different edit kinds)."""
+    from .operators.search import search_fuzzy
+
+    return search_fuzzy(_t(spark, sf_dir, "documents"), "sow").orderBy("token")
+
+
+@q(
+    "search_highlight",
+    """
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, a,
+             least(nullif(list_position(a, 'merge'), 0),
+                   nullif(list_position(a, 'vector'), 0)) AS p
+      FROM arrs
+    )
+    SELECT doc_id, CAST(p AS INTEGER) AS match_pos,
+           array_to_string(list_slice(a, greatest(1, p - 3), p + 3), ' ') AS snippet
+    FROM hits WHERE p IS NOT NULL ORDER BY doc_id
+    """,
+)
+def search_highlight(spark, sf_dir):
+    """Snippet extraction (ES highlight analog): 3 tokens either side of
+    the first query-term match, pure JVM array expressions — a shuffle-free
+    projection (the reference sink returns highlighted fragments with every
+    search response; here it is an operator over the corpus table)."""
+    from .operators.search import highlight
+
+    return highlight(
+        _t(spark, sf_dir, "documents"), ["merge", "vector"], window=3
+    ).orderBy("doc_id")
+
+
+@q(
     "suggest_typeahead",
     """
     SELECT doc_id,

@@ -182,6 +182,88 @@ def search_bm25(
     )
 
 
+def _deletion_variants(c):
+    """token -> array of the token itself + every single-character deletion
+    (the SymSpell neighborhood), all JVM-side: transform over an index
+    sequence, no UDF."""
+    return F.expr(
+        f"array_union(array({c}), transform(sequence(1, length({c})), "
+        f"i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1, length({c})))))"
+    )
+
+
+def search_fuzzy(
+    df: DataFrame,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edits: int = 1,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy term retrieval (the ES ``fuzziness: 1`` analog): corpus tokens
+    within Levenshtein distance ``max_edits`` (1) of the query term, with
+    doc and occurrence counts. SymSpell candidate generation: two strings
+    are within edit distance 1 iff their single-deletion neighborhoods
+    intersect, so the vocabulary is probed with one map-side explode +
+    filter against the query's (tiny, driver-computed) variant set — never
+    a corpus-wide levenshtein scan. Candidates are then re-verified with
+    the built-in ``levenshtein`` (kills SymSpell false positives such as
+    transpositions, which are distance 2), so the result set is EXACTLY the
+    levenshtein-filtered vocabulary."""
+    if max_edits != 1:
+        raise ValueError("only max_edits=1 is supported (SymSpell-1 neighborhood)")
+    t = term.lower()
+    qvars = sorted({t} | {t[:i] + t[i + 1:] for i in range(len(t))})
+    p = postings if postings is not None else build_inverted_index(df, text_col, id_col)
+    vocab = p.select("token").distinct()
+    cand = (
+        vocab.select("token", F.explode(_deletion_variants("token")).alias("v"))
+        .filter(F.col("v").isin(qvars))
+        .select("token")
+        .distinct()
+        .filter(F.levenshtein(F.col("token"), F.lit(t)) <= max_edits)
+    )
+    return (
+        p.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("n_occurrences"),
+        )
+    )
+
+
+def highlight(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """Snippet extraction (the ES highlight analog): for each doc containing
+    any query term, the ``window`` tokens either side of the FIRST match,
+    space-joined. Entirely JVM array expressions over the tokenized text —
+    per-row work is O(tokens), no shuffle at all (the one groupBy-free
+    operator in the search family: a pure projection + filter)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = sorted({t.lower() for t in terms})
+    arr = f"filter(split(lower({text_col}), '{_TOKEN_SPLIT}'), x -> x <> '')"
+    firsts = [f"nullif(array_position({arr}, '{t}'), 0)" for t in norm]
+    pos = f"least({', '.join(firsts)})" if len(firsts) > 1 else firsts[0]
+    b = f"greatest(1, {pos} - {window})"
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(pos).cast("int").alias("match_pos"),
+            F.expr(
+                f"array_join(slice({arr}, {b}, {pos} + {window} - {b} + 1), ' ')"
+            ).alias("snippet"),
+        )
+        .filter(F.col("match_pos").isNotNull())
+    )
+
+
 def bm25_over_incremental(view, terms: list[str], key_cols=("conv_id", "turn_idx")) -> DataFrame:
     """BM25 ranked retrieval served from the INCREMENTALLY-maintained
     postings (incremental_postings / plans/ivm.py): the index stays fresh in

@@ -73,6 +73,83 @@ def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
     return spark.read.parquet(f"{quarantine_dir}/b-*")
 
 
+def requeue_quarantined(
+    table: SnapshotParquetTable,
+    quarantine_dir: str,
+    repair,
+    batch_id: int,
+    normalize: bool = True,
+) -> MergeStats:
+    """Re-ingest dead-lettered rows after an upstream fix: read every
+    quarantine shard, run the caller's ``repair`` transform (DataFrame ->
+    DataFrame over the original change columns — fill keys from a sidecar,
+    correct a mapping, etc.), apply the now-well-formed rows as a normal
+    exactly-once batch, and rewrite the quarantine to hold only the rows
+    repair could not fix.
+
+    Semantics:
+    - Requeued rows get FRESH LSNs above ``table.last_lsn`` (their original
+      LSNs were consumed when the batch that dead-lettered them committed),
+      ordered by original (_batch_id, lsn) so intra-quarantine order is
+      preserved. LWW still applies: a requeued row only wins a key if its
+      (ts, new_lsn) dominates.
+    - Idempotent by ``batch_id``: a crash between the merge and the
+      quarantine rewrite replays as a skipped merge + a redone rewrite
+      (repair must be deterministic for the rewrite to converge).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    spark = table.spark
+    shards = sorted(_glob.glob(os.path.join(quarantine_dir, "b-*")))
+    if not shards:
+        return table._commit_empty(batch_id) if batch_id > table.last_batch_id else MergeStats(
+            batch_id=batch_id, skipped=True, version=table.manifest()["version"]
+        )
+    q = read_quarantine(spark, quarantine_dir)
+    meta_cols = ["_reason", "_batch_id"]
+    fixed = repair(q.drop(*meta_cols))
+    bad = _bad_key_pred(table.spec)
+    still_bad = fixed.filter(bad)
+    good = fixed.filter(~bad)
+
+    from pyspark.sql import Window
+
+    lsn_col = table.spec.lsn_col
+    w = Window.orderBy(F.col(lsn_col).asc_nulls_first())
+    # mint above BOTH the applied high-water mark and the quarantined rows'
+    # original (source-issued, never-applied) LSNs, so requeued LSNs never
+    # collide with either space — a gap/overlap audit against the source
+    # stream stays unambiguous
+    qmax = fixed.agg(F.max(F.col(lsn_col))).first()[0]
+    base = max(table.last_lsn, int(qmax) if qmax is not None else -1)
+    good = good.withColumn(
+        lsn_col, (F.lit(base) + F.row_number().over(w)).cast("long")
+    )
+    stats = apply_changes(table, good, batch_id, normalize=normalize,
+                          count_malformed=False)
+
+    # consolidate the un-repairable remainder into one FRESH shard (never a
+    # dir this job is lazily reading), deduped by source LSN so a
+    # crash-between-write-and-cleanup replay converges instead of
+    # multiplying remainder rows; then drop the consumed shards
+    import uuid as _uuid
+
+    keep = still_bad.dropDuplicates([lsn_col]).withColumn(
+        "_reason",
+        F.concat_ws(",", *[F.when(F.col(k).isNull(), F.lit(f"null:{k}"))
+                           for k in table.spec.key_cols]),
+    ).withColumn("_batch_id", F.lit(batch_id))
+    rest_dir = os.path.join(
+        quarantine_dir, f"b-{batch_id:010d}-rest-{_uuid.uuid4().hex[:8]}"
+    )
+    keep.write.mode("overwrite").parquet(rest_dir)
+    for s in shards:
+        shutil.rmtree(s, ignore_errors=True)
+    return stats
+
+
 def apply_changes(
     table: SnapshotParquetTable,
     batch_df: DataFrame,

@@ -91,3 +91,58 @@ def test_quarantine_streaming(spark, tmp_path):
                max_files_per_trigger=2, quarantine_dir=qdir)
     assert_tables_equal(table_to_pandas(t.read()), replay(seed, [changes]))
     assert read_quarantine(spark, qdir).count() == n_bad
+
+
+def test_requeue_after_repair(spark, tmp_path):
+    """Dead-lettered rows re-enter through the exactly-once path after a
+    repair: fixed rows land with fresh LSNs, unfixable rows stay
+    quarantined, and a replay of the same requeue batch_id is a no-op."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ccdb_data_pipeline_spark.plans.apply import (
+        apply_changes,
+        quarantine_malformed,
+        read_quarantine,
+        requeue_quarantined,
+    )
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    TS = pd.Timestamp("2025-01-01")
+    rows = [
+        (1, "I", "a", 0, "user", "good row", None, TS),
+        (2, "I", None, 1, "user", "recoverable: conv in text", None, TS),
+        (3, "I", None, None, "user", "hopeless", None, TS),
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    batch = spark.createDataFrame(pdf, CHANGE_SCHEMA)
+    qdir = str(tmp_path / "q")
+    quarantine_malformed(batch, t.spec, qdir, batch_id=0)
+    apply_changes(t, batch, batch_id=0)
+    assert t.read().count() == 1
+    assert read_quarantine(spark, qdir).count() == 2
+
+    def repair(df):
+        # upstream fix: rows missing conv_id but with turn_idx belong to "b"
+        return df.withColumn(
+            "conv_id",
+            F.when(F.col("conv_id").isNull() & F.col("turn_idx").isNotNull(), F.lit("b"))
+            .otherwise(F.col("conv_id")),
+        )
+
+    stats = requeue_quarantined(t, qdir, repair, batch_id=1)
+    assert stats.n_source == 1 and stats.lsn_min > 3  # fresh LSN above last_lsn
+    out = {(r["conv_id"], r["turn_idx"]) for r in t.read().select("conv_id", "turn_idx").collect()}
+    assert out == {("a", 0), ("b", 1)}
+    left = read_quarantine(spark, qdir)
+    assert left.count() == 1 and left.first()["_reason"] == "null:conv_id,null:turn_idx"
+
+    # replayed requeue (same batch_id) is a no-op on the table
+    v = t.current_version()
+    again = requeue_quarantined(t, qdir, repair, batch_id=1)
+    assert again.skipped and t.current_version() == v

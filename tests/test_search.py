@@ -91,3 +91,41 @@ def test_phrase_search_adjacency_duplicates_and_overlap(spark):
     dup = {r["doc_id"]: r["n_occurrences"] for r in
            search_phrase(docs, ["table", "table"]).collect()}
     assert dup == {7: 2}  # doc 5's tables are not adjacent
+
+
+def test_fuzzy_candidates_and_levenshtein_verify(spark):
+    from ccdb_data_pipeline_spark.operators.search import search_fuzzy
+
+    rows = [
+        (1, "table table label"),
+        (2, "tabel typo here"),
+        (3, "cable gable unrelated"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["token"]: (r["n_docs"], r["n_occurrences"]) for r in
+           search_fuzzy(docs, "tabel").collect()}
+    # 'table' is a TRANSPOSITION away (levenshtein 2): SymSpell-1 generates
+    # it as a candidate but the verify step must reject it. 'label'/'cable'/
+    # 'gable' are single substitutions... of 'table', not 'tabel':
+    # lev(tabel,label)=1 (t->l), lev(tabel,cable)=2, lev(tabel,gable)=2.
+    assert got == {"tabel": (1, 1), "label": (1, 1)}
+
+
+def test_highlight_window_and_first_match(spark):
+    from ccdb_data_pipeline_spark.operators.search import highlight
+
+    rows = [
+        (1, "a b c TARGET d e f g"),       # interior match, full window
+        (2, "target x y z"),               # match at position 1, clamped left
+        (3, "no match here"),              # absent -> filtered out
+        (4, "w x y z target"),             # match at end, clamped right
+        (5, "other then target and target again"),  # first match wins
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["match_pos"], r["snippet"]) for r in
+           highlight(docs, ["TARGET", "other"], window=2).collect()}
+    assert got[1] == (4, "b c target d e")
+    assert got[2] == (1, "target x y")
+    assert got[4] == (5, "y z target")
+    assert got[5] == (1, "other then target")
+    assert 3 not in got
