@@ -1754,6 +1754,69 @@ def search_highlight(spark, sf_dir):
 
 
 @q(
+    "hybrid_search_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    postings AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    hits AS (SELECT * FROM postings WHERE token IN ('merge', 'stream')),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token),
+    bm AS (
+      SELECT h.doc_id,
+             CAST(round(SUM(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (h.tf / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+             ) * 1e6) AS BIGINT) AS score_u
+      FROM hits h JOIN dfreq d USING (token) JOIN dl l USING (doc_id) CROSS JOIN stats s
+      GROUP BY h.doc_id
+    ),
+    rt AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rank_t FROM bm),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+    cosd AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(round(list_inner_product(qv, cv)
+                  / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+                  * 10000) AS BIGINT) AS cos_bp
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id <> 7) c, qv
+    ),
+    rv AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_bp DESC, doc_id) AS rank_v FROM cosd),
+    fused AS (
+      SELECT COALESCE(rt.doc_id, rv.doc_id) AS doc_id,
+             CAST(round((COALESCE(CAST(1 AS DOUBLE) / (60 + rank_t), 0)
+                       + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_v), 0)) * 1e9) AS BIGINT) AS rrf_u,
+             CAST(rank_t AS BIGINT) AS rank_t, CAST(rank_v AS BIGINT) AS rank_v
+      FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.doc_id
+    )
+    SELECT doc_id, rrf_u, rank_t, rank_v
+    FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25 ranking and brute-force-cosine
+    ranking fused by reciprocal rank (k=60), top-20. Both sides rank on
+    integerized scores with id tie-breaks, so the fused ordering (and the
+    LIMIT boundary) is identical across engines."""
+    from .operators.search import hybrid_rrf
+
+    return hybrid_rrf(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["merge", "stream"],
+        query_vec_id=7,
+    )
+
+
+@q(
     "suggest_typeahead",
     """
     SELECT doc_id,

@@ -281,6 +281,64 @@ def bm25_over_incremental(view, terms: list[str], key_cols=("conv_id", "turn_idx
     return search_bm25(None, terms, postings=postings, doc_lens=doc_lens)
 
 
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int,
+    k_rrf: int = 60,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    ranking by reciprocal-rank fusion — fused(d) = sum over present sides of
+    1/(k_rrf + rank). The standard way modern search stacks combine a text
+    index with a vector index; rank-based fusion needs no score calibration
+    between the two spaces. Both per-side rankings order by INTEGERIZED
+    scores (1e-6 BM25, basis-point cosine) with id tie-breaks, so the
+    fusion is deterministic and cross-engine reproducible. The vector side
+    here is the exact brute-force ranking (the oracle-checkable baseline);
+    at corpus scale swap in the IVF-pruned ranking
+    (operators/similarity.py ivf_topk) — the fusion is rank-only and does
+    not care how either list was produced."""
+    from pyspark.sql import Window as _W
+
+    from .similarity import brute_force_topk
+
+    bm = search_bm25(docs, terms, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_u")
+    )
+    rt = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.desc("score_u"), "doc_id"))
+        .cast("long")
+        .alias("rank_t"),
+    )
+    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    rv = brute_force_topk(
+        embeddings, q, id_col=vec_id_col, vec_col=vec_col, k=1 << 30
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("rank_v"))
+    one = F.lit(1).cast("double")
+    fused = F.coalesce(one / (F.lit(k_rrf) + F.col("rank_t")), F.lit(0.0)) + F.coalesce(
+        one / (F.lit(k_rrf) + F.col("rank_v")), F.lit(0.0)
+    )
+    return (
+        rt.join(rv, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(fused * 1e9).cast("long").alias("rrf_u"),
+            F.col("rank_t"),
+            F.col("rank_v"),
+        )
+        .orderBy(F.desc("rrf_u"), "doc_id")
+        .limit(top_k)
+    )
+
+
 def search_and(
     df: DataFrame,
     terms: list[str],

@@ -1427,6 +1427,19 @@ class SnapshotParquetTable:
             int(e.get("n_rows", 0) or 0) for fs in m["buckets"].values() for e in fs
         )
 
+    def register_view(self, name: str, version: int | None = None,
+                      at_timestamp: float | None = None) -> None:
+        """SQL front door: expose the MoR-resolved current state (or a
+        pinned snapshot / AS-OF timestamp) as a temp view so users can
+        ``spark.sql`` against the lake table like any catalog table. The
+        view captures the RESOLVED DataFrame at registration time — a
+        stable snapshot for the session (re-register to follow new
+        commits), which is exactly the repeatable-read behavior a pinned
+        Iceberg snapshot gives."""
+        if at_timestamp is not None:
+            version = self.version_as_of(at_timestamp)
+        self.read(version=version).createOrReplaceTempView(name)
+
     def stats(self, version: int | None = None) -> dict:
         """Table health report from the manifest alone — no Spark job, no
         file IO beyond the one manifest JSON, so it is O(buckets) at any

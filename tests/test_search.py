@@ -129,3 +129,33 @@ def test_highlight_window_and_first_match(spark):
     assert got[4] == (5, "y z target")
     assert got[5] == (1, "other then target")
     assert 3 not in got
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """RRF = 1/(k+rank_text) + 1/(k+rank_vec); a doc present in only one
+    ranking contributes one term; ordering follows the fused score."""
+    from ccdb_data_pipeline_spark.operators.search import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [(0, "merge merge merge"), (1, "merge once here"), (2, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    # orthogonal-ish vectors: doc 2 nearest to the query (vec_id 9), doc 0 farthest
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.7, 0.7, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (9, [0.0, 0.9, 0.1]),  # the query vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["doc_id"]: r for r in hybrid_rrf(docs, emb, ["merge"], query_vec_id=9, k_rrf=60).collect()}
+    # text ranks: doc0=1, doc1=2 (doc2 unranked); vec ranks: doc2=1, doc1=2, doc0=3
+    assert (got[0]["rank_t"], got[0]["rank_v"]) == (1, 3)
+    assert (got[1]["rank_t"], got[1]["rank_v"]) == (2, 2)
+    assert (got[2]["rank_t"], got[2]["rank_v"]) == (None, 1)
+    exp = {d: round((1 / (60 + rt) if rt else 0) * 1e9 + (1 / (60 + rv)) * 1e9)
+           for d, rt, rv in [(0, 1, 3), (1, 2, 2), (2, None, 1)]}
+    for d in (0, 1, 2):
+        assert abs(got[d]["rrf_u"] - exp[d]) <= 1
