@@ -107,6 +107,72 @@ def update_where(
         release_caches()
 
 
+def reconcile_to(
+    table: SnapshotParquetTable,
+    desired,
+    ts: dt.datetime | None = None,
+    dry_run: bool = False,
+):
+    """Reconciliation repair: diff the table's visible state against an
+    authoritative snapshot (a re-exported source dump, a peer engine's
+    state) and emit the MINIMAL I/U/D change batch that makes the table
+    equal to it — then apply it through the same exactly-once path as any
+    other batch. The anti-entropy tool that pairs with the CDC relay and
+    clone: when drift is detected (lost upstream events, a bad manual fix),
+    you repair with a change batch, not a table rebuild.
+
+    Comparison is null-safe over every payload column EXCEPT the event-time
+    column (repair events are stamped ``ts``, so including it would make
+    reconcile non-convergent); like update_where, ``ts`` must be >= the
+    drifted rows' current event times for the repairs to win LWW. Desired
+    must be key-unique and carry normalized text (the apply path's
+    normalization is idempotent on normalized input). ``dry_run`` returns
+    the op-tagged diff without applying.
+
+    Scale shape: one full-outer join on the table key between two resolved
+    snapshots — the unavoidable all-to-all for set reconciliation — with
+    everything else map-side; the emitted batch is proportional to the
+    DRIFT, not the table."""
+    ts = ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    spec = table.spec
+    keys = list(spec.key_cols)
+    payload = [
+        f.name for f in table.schema.fields
+        if f.name not in keys and f.name != spec.ts_col
+    ]
+    cur = table.read().select(*keys, *[F.col(c).alias(f"_c_{c}") for c in payload]) \
+        .withColumn("_in_c", F.lit(True))
+    des = desired.select(*keys, *payload).withColumn("_in_d", F.lit(True))
+    j = des.join(cur, on=keys, how="full_outer")
+    same = None
+    for c in payload:
+        eq = F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+        same = eq if same is None else (same & eq)
+    op = (
+        F.when(F.col("_in_d").isNotNull() & F.col("_in_c").isNull(), F.lit("I"))
+        .when(F.col("_in_d").isNull() & F.col("_in_c").isNotNull(), F.lit("D"))
+        .when(~same, F.lit("U"))
+    )
+    diff = (
+        j.withColumn(spec.op_col, op)
+        .filter(F.col(spec.op_col).isNotNull())
+        .select(spec.op_col, *keys, *payload)
+    )
+    idx = with_global_index(diff, order_by=[spec.op_col, *keys], index_col="_i")
+    events = idx.select(
+        (F.lit(table.last_lsn) + F.col("_i")).cast("long").alias(spec.lsn_col),
+        spec.op_col,
+        *keys,
+        *payload,
+    ).withColumn(spec.ts_col, F.lit(ts))
+    if dry_run:
+        return events
+    try:
+        return apply_changes(table, events, batch_id=table.last_batch_id + 1)
+    finally:
+        release_caches()
+
+
 def apply_retention(
     table: SnapshotParquetTable,
     max_age: dt.timedelta,

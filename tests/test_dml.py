@@ -104,3 +104,61 @@ def test_dml_on_partial_update_table(spark, tmp_path):
     got = _read_state(t)
     assert got[("c1", 0)]["tool"] == "calc-v2"
     assert got[("c1", 0)]["text"] == "hello world"
+
+
+def test_reconcile_to_converges_on_authoritative_snapshot(spark, tmp_path):
+    """reconcile_to emits the minimal I/U/D batch making the table equal an
+    authoritative snapshot, applies exactly-once, and converges (second
+    reconcile is empty)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.dml import reconcile_to
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
+    from ccdb_data_pipeline_spark.sources.binlog import gen_changes_pandas, gen_seed_pandas
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=4, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(gen_seed_pandas(n_convs=20, seed=9), TRANSCRIPT_SCHEMA))
+    apply_changes(t, spark.createDataFrame(gen_changes_pandas(800, n_convs=20, seed=9), CHANGE_SCHEMA), batch_id=0)
+
+    cur = t.read()
+    # authoritative snapshot: one row's text corrected, one row dropped,
+    # one brand-new row appended
+    some = cur.orderBy("conv_id", "turn_idx").limit(2).collect()
+    (k_edit, k_drop) = [(r["conv_id"], r["turn_idx"]) for r in some]
+    desired = (
+        cur.withColumn(
+            "text",
+            F.when(
+                (F.col("conv_id") == k_edit[0]) & (F.col("turn_idx") == k_edit[1]),
+                F.lit("authoritative corrected text"),
+            ).otherwise(F.col("text")),
+        )
+        .filter(~((F.col("conv_id") == k_drop[0]) & (F.col("turn_idx") == k_drop[1])))
+        .unionByName(
+            spark.createDataFrame(
+                [("conv-new", 0, "user", "brand new row", None, dt.datetime(2026, 1, 1))],
+                cur.schema,
+            )
+        )
+    )
+    diff = reconcile_to(t, desired, ts=dt.datetime(2026, 6, 1), dry_run=True)
+    got_ops = sorted((r["op"], r["conv_id"], r["turn_idx"]) for r in diff.collect())
+    assert got_ops == sorted(
+        [("U", k_edit[0], k_edit[1]), ("D", k_drop[0], k_drop[1]), ("I", "conv-new", 0)]
+    )
+
+    stats = reconcile_to(t, desired, ts=dt.datetime(2026, 6, 1))
+    assert stats.n_source == 3
+    after = t.read()
+    cmp_cols = [c for c in after.columns if c != "ts"]
+    assert after.select(cmp_cols).exceptAll(desired.select(cmp_cols)).count() == 0
+    assert desired.select(cmp_cols).exceptAll(after.select(cmp_cols)).count() == 0
+    # convergence: nothing left to repair
+    assert reconcile_to(t, desired, ts=dt.datetime(2026, 6, 2), dry_run=True).count() == 0
