@@ -151,3 +151,82 @@ def run_ingest(spark, segments_dir, table, checkpoint_dir, **kw) -> None:
     """Blocking convenience: drain all available segments and stop."""
     q = start_ingest(spark, segments_dir, table, checkpoint_dir, **kw)
     q.awaitTermination()
+
+
+def start_ingest_txn(
+    spark: SparkSession,
+    segments_dir: str,
+    sinks: list,
+    txn_log_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = CHANGE_SCHEMA,
+    max_files_per_trigger: int | None = 2,
+    available_now: bool = True,
+    normalize: bool = True,
+    on_batch: Callable[[int, list], None] | None = None,
+):
+    """One stream fanning ATOMICALLY into several tables: each micro-batch
+    applies to every sink and publishes all-or-nothing through the
+    intent-log 2PC (plans/txn.py). The consistent-materialized-views shape:
+    a primary transcript table plus derived tables (per-conversation
+    rollups, routing splits) that can never be observed out of step — a
+    reader pinning `TransactionLog.consistent_versions()` sees every table
+    at the same batch frontier.
+
+    ``sinks``: list of ``(table, derive)`` pairs; ``derive(batch_df)``
+    produces that table's change frame from the micro-batch (``None`` =
+    the raw batch). Derivations must be deterministic: a replayed batch
+    re-derives the same frames, and each table's ledger turns the replay
+    into a no-op.
+
+    Crash model: torn commits (intent written, not all tables published)
+    are rolled FORWARD by ``TransactionLog.recover`` — called here before
+    the stream starts — so on restart either every sink has the in-flight
+    batch (replay skips everywhere) or none does (replay applies
+    everywhere). A crash before the intent leaves only dangling WAP
+    branches, which staging drops."""
+    from ..plans.txn import TransactionLog
+
+    log = TransactionLog(txn_log_dir)
+    log.recover(spark)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    changes = reader.parquet(segments_dir)
+
+    def _fb(batch_df, batch_id: int) -> None:
+        txn = log.begin()
+        stats = []
+        for table, derive in sinks:
+            branch = txn.stage(table)
+            df = derive(batch_df) if derive is not None else batch_df
+            stats.append(apply_changes(branch, df, batch_id, normalize=normalize))
+        skipped = [s.skipped for s in stats]
+        if all(skipped):
+            txn.abort()  # replayed batch: every ledger already has it
+        elif any(skipped):
+            txn.abort()
+            raise RuntimeError(
+                f"batch {batch_id} partially applied across sinks before this "
+                "transaction — ledgers diverge; run TransactionLog.recover"
+            )
+        else:
+            txn.commit()
+        if on_batch is not None:
+            on_batch(batch_id, stats)
+
+    writer = (
+        changes.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("transcript-cdc-ingest-txn")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_ingest_txn(spark, segments_dir, sinks, txn_log_dir, checkpoint_dir, **kw) -> None:
+    """Blocking convenience for :func:`start_ingest_txn`."""
+    q = start_ingest_txn(spark, segments_dir, sinks, txn_log_dir, checkpoint_dir, **kw)
+    q.awaitTermination()
