@@ -61,6 +61,8 @@ HEADLINE = [
     "ws_normalize",
     "gopher_quality",
     "decontaminate",
+    "search_bm25_ranked",
+    "hybrid_search_rrf",
 ]
 
 

@@ -159,3 +159,34 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
            for d, rt, rv in [(0, 1, 3), (1, 2, 2), (2, None, 1)]}
     for d in (0, 1, 2):
         assert abs(got[d]["rrf_u"] - exp[d]) <= 1
+
+
+def test_phrase_search_property_vs_python(spark):
+    """Property check: search_phrase == a naive Python sliding-window count
+    over randomized token streams (hypothesis-driven corpus, one Spark
+    round-trip for all examples)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ccdb_data_pipeline_spark.operators.search import search_phrase
+
+    words = ["a", "b", "c", "aa"]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(st.lists(st.sampled_from(words), min_size=0, max_size=12),
+                      min_size=1, max_size=6),
+        phrase=st.lists(st.sampled_from(words), min_size=1, max_size=3),
+    )
+    def check(docs, phrase):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["n_occurrences"] for r in search_phrase(sdf, phrase).collect()}
+        exp = {}
+        for i, toks in enumerate(docs):
+            n = sum(1 for j in range(len(toks) - len(phrase) + 1)
+                    if toks[j:j + len(phrase)] == phrase)
+            if n:
+                exp[i] = n
+        assert got == exp
+
+    check()
