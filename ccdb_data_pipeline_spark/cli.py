@@ -16,6 +16,8 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   txn-recover --table DIR --txn-log DIR            roll forward unfinished multi-table txns
   vacuum  --table DIR [--retain-last N]            expire old snapshots + GC orphan files
   stats   --table DIR                              manifest-only health report (read amp, compaction advice)
+  tag     --table DIR --name N [--version V]       pin a snapshot (GC-immune, immutable name)
+  untag   --table DIR --name N                     release a pinned snapshot
 """
 
 from __future__ import annotations
@@ -36,7 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
-                                    "txn-recover", "vacuum", "history", "stats"])
+                                    "txn-recover", "vacuum", "history", "stats",
+                                    "tag", "untag"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -57,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="txn-recover: transaction log directory to roll forward")
     ap.add_argument("--retain-last", type=int, default=2,
                     help="vacuum: snapshots to retain before expiry")
+    ap.add_argument("--name", help="tag/untag: tag name")
+    ap.add_argument("--version", type=int, default=None,
+                    help="tag: version to pin (default: current)")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -128,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"expired": expired, "orphans": orphans}))
     elif a.cmd == "stats":
         print(json.dumps(table.stats()))
+    elif a.cmd == "tag":
+        v = table.create_tag(a.name, version=a.version)
+        print(json.dumps({"tag": a.name, "version": v}))
+    elif a.cmd == "untag":
+        table.drop_tag(a.name)
+        print(json.dumps({"dropped": a.name}))
     elif a.cmd == "history":
         for m in table.history():
             print(json.dumps({

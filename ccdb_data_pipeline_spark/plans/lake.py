@@ -1308,6 +1308,47 @@ class SnapshotParquetTable:
                 out[fn] = int(f.read().strip())
         return out
 
+    # ------------------------------------------------------------ tags
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg tag analog) —
+        the reproducibility primitive: tag the exact table state a training
+        run read, and ``expire_snapshots`` will never reclaim it while the
+        tag lives. Unlike a branch, a tag can never advance; creating over
+        an existing name raises. Returns the pinned version."""
+        v = self.current_version() if version is None else int(version)
+        if not os.path.exists(self._manifest_path(v)):
+            raise ValueError(f"version {v} does not exist")
+        tags_dir = os.path.join(self.root, "tags")
+        os.makedirs(tags_dir, exist_ok=True)
+        try:
+            _atomic_write_exclusive(os.path.join(tags_dir, name), str(v))
+        except CommitConflictError:
+            raise ValueError(f"tag already exists (tags are immutable): {name}") from None
+        return v
+
+    def tags(self) -> dict[str, int]:
+        tags_dir = os.path.join(self.root, "tags")
+        out = {}
+        for fn in os.listdir(tags_dir) if os.path.isdir(tags_dir) else []:
+            with open(os.path.join(tags_dir, fn)) as f:
+                out[fn] = int(f.read().strip())
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        """Release the pin; the tagged snapshot becomes reclaimable at the
+        next expire_snapshots like any other out-of-retention version."""
+        path = os.path.join(self.root, "tags", name)
+        if not os.path.exists(path):
+            raise ValueError(f"no such tag: {name}")
+        os.remove(path)
+
+    def read_tag(self, name: str, **kw) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no such tag: {name}")
+        return self.read(version=tags[name], **kw)
+
     def drop_branch(self, name: str) -> None:
         """Abort a staged line of work. The branch's manifests stay readable
         (time travel) until expired; its data files become reclaimable once
@@ -1791,6 +1832,10 @@ class SnapshotParquetTable:
                 kept_versions.add(m["version"])
                 depth += 1
                 m = idx.get(m["parent_snapshot_id"]) if m["parent_snapshot_id"] else None
+        # tags pin EXACTLY their version (no ancestry): a tagged snapshot is
+        # readable forever — reads need only its own manifest + the data
+        # files it lists, both of which retention now refuses to reclaim
+        kept_versions.update(v for v in self.tags().values() if v in by_version)
         kept_refs: set[str] = set()
         for v in sorted(kept_versions):
             m = by_version[v]

@@ -239,3 +239,52 @@ def test_stats_reports_layout_and_compaction_advice(spark, tmp_path):
     # compaction output files carry exact per-file counts; tombstones were
     # dropped by the default compact, so recorded rows == live rows
     assert s2["base_rows_recorded"] == t.read().count()
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """A tag makes its snapshot immune to expire_snapshots + remove_orphans;
+    dropping the tag releases it. Tags are immutable names."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
+    from ccdb_data_pipeline_spark.sources.binlog import gen_changes_pandas, gen_seed_pandas
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(gen_seed_pandas(n_convs=12, seed=4), TRANSCRIPT_SCHEMA))
+    changes = gen_changes_pandas(600, n_convs=12, seed=4)
+    parts = np.array_split(changes, 4)
+    apply_changes(t, spark.createDataFrame(parts[0], CHANGE_SCHEMA), batch_id=0)
+    v_tag = t.create_tag("training-run-1")
+    pinned = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in t.read_tag("training-run-1").collect()
+    )
+    v_untagged_old = v_tag  # capture a version BELOW retention later
+    for i, p in enumerate(parts[1:], start=1):
+        apply_changes(t, spark.createDataFrame(p, CHANGE_SCHEMA), batch_id=i)
+
+    with pytest.raises(ValueError):
+        t.create_tag("training-run-1")  # immutable
+
+    t.expire_snapshots(retain_last=1)
+    t.remove_orphans()
+    # the tagged snapshot survives GC byte-for-byte
+    after = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in t.read_tag("training-run-1").collect()
+    )
+    assert after == pinned
+    # an untagged intermediate version did NOT survive
+    assert not os.path.exists(t._manifest_path(v_tag + 1)) or v_tag + 1 == t.current_version()
+
+    t.drop_tag("training-run-1")
+    t.expire_snapshots(retain_last=1)
+    assert not os.path.exists(t._manifest_path(v_tag))
+    with pytest.raises(ValueError):
+        t.read_tag("training-run-1")
