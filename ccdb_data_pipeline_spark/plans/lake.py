@@ -940,20 +940,27 @@ class SnapshotParquetTable:
             F.sum(F.when(ok & (F.col("_op") == "D"), 1).otherwise(0)).alias("n_d"),
         ).filter(ok)
 
-        # salt the single shuffle on (bucket, hash(turn_idx) % write_salt):
-        # keys stay partition-local (dedup correctness) but a Zipf-hot
-        # conversation's turns spread over write_salt sub-partitions, so the
-        # Arrow fold's wall time is no longer the hot bucket (see TableSpec)
-        salt = F.pmod(F.xxhash64(F.col(spec.key_cols[-1])), F.lit(spec.write_salt))
-        with_op = (
-            with_op.withColumn("_salt", salt)
-            .repartition(
-                int(m0.get("num_buckets", spec.num_buckets)) * spec.write_salt,
-                F.col(BUCKET),
-                F.col("_salt"),
+        # the ONE shuffle: hash-distribute on bucket (plus, when the salt
+        # fan > 1, hash(turn_idx) % salt — keys stay partition-local so
+        # dedup is correct, but a Zipf-hot conversation's turns spread over
+        # salt sub-partitions). "auto" sizes the fan so the stage runs
+        # ~8x-cores partitions whatever the bucket count — see
+        # TableSpec.write_salt for the measured basis.
+        n_bkts = int(m0.get("num_buckets", spec.num_buckets))
+        if spec.write_salt == "auto":
+            cores = self.spark.sparkContext.defaultParallelism
+            write_salt = min(16, max(1, -(-8 * cores // n_bkts)))
+        else:
+            write_salt = int(spec.write_salt)
+        if write_salt > 1:
+            salt = F.pmod(F.xxhash64(F.col(spec.key_cols[-1])), F.lit(write_salt))
+            with_op = (
+                with_op.withColumn("_salt", salt)
+                .repartition(n_bkts * write_salt, F.col(BUCKET), F.col("_salt"))
+                .drop("_salt")
             )
-            .drop("_salt")
-        )
+        else:
+            with_op = with_op.repartition(n_bkts, F.col(BUCKET))
         if m0.get("write_path", "fused") == "raw":
             # raw append: every version row, JVM-only apply path; dedup and
             # normalization defer to read-time resolve / compaction

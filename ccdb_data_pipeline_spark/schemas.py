@@ -117,11 +117,25 @@ class TableSpec:
     # sub-bucket write salt: the fused apply repartitions to
     # num_buckets * write_salt partitions on (bucket, hash(turn_idx) % salt).
     # A Zipf-hot conv_id concentrates ~6% of a batch in ONE bucket partition;
-    # without salt that partition is the wall-clock floor of the whole Arrow
-    # fold stage. Salting by turn_idx keeps every (conv_id, turn_idx) key's
-    # rows together (dedup stays partition-local) while splitting a hot
-    # conversation's turns across salt sub-partitions.
-    write_salt: int = 4
+    # salting by turn_idx keeps every (conv_id, turn_idx) key's rows together
+    # (dedup stays partition-local) while splitting a hot conversation's
+    # turns across salt sub-partitions.
+    #
+    # Default "auto": salt = clamp(1, 16, ceil(8 * cores / num_buckets)), so
+    # the apply stage runs ~8x-cores partitions regardless of bucket count —
+    # enough waves that a Zipf-hot partition amortizes instead of walling
+    # the stage, and no more tasks than the parallelism warrants (each extra
+    # task costs ~20ms of Python/parquet setup plus a file). The rule
+    # reproduces the measured optimum in every benched cell (BENCH.md
+    # "Write-salt A/B", 2M-event batches, 100-word texts, steal-free):
+    #   local[2]/16 buckets  -> 1  (103k ev/s; fixed salt 4 = 68k)
+    #   local[8]/16 buckets  -> 4  (304-318k; salt 1 = 236-245k)
+    #   local[8]/64 buckets  -> 1  (313-349k; salt 4 = 206-208k)
+    #   local[32]/32 buckets -> 8  (389-420k; salt 4 = 291-374k)
+    # An int pins the sub-bucket fan manually (1 = off); on a real cluster
+    # "auto" scales salt with executor count, keeping per-core task
+    # granularity constant as the cluster grows.
+    write_salt: int | str = "auto"
     # payload string columns normalized ""->null, EXCEPT the carve-out —
     # the reference nulls every empty field then restores the narrative
     # (index_ccdb.py:32-36); our narrative analog is `text`.
