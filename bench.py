@@ -69,7 +69,8 @@ HEADLINE = [
 def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_buckets: int,
                   mode: str = "mor", warmup_batches: int = 2,
                   dedupe_on_write: bool = True, text_words: int = 0,
-                  binlog_cache: str | None = None, compact: bool = True) -> dict:
+                  binlog_cache: str | None = None, compact: bool = True,
+                  write_salt: int | str = "auto") -> dict:
     """Time the apply path (generation + bootstrap excluded).
 
     The headline number is SUSTAINED throughput: the first ``warmup_batches``
@@ -112,7 +113,7 @@ def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_bucket
         table = SnapshotParquetTable(
             spark, os.path.join(work, "table"),
             TableSpec(num_buckets=num_buckets, merge_mode=mode,
-                      dedupe_on_write=dedupe_on_write),
+                      dedupe_on_write=dedupe_on_write, write_salt=write_salt),
         )
         table.create(TRANSCRIPT_SCHEMA)
         seed = gen_seed_pandas(n_convs=min(n_convs, 20000))
@@ -184,6 +185,8 @@ def main() -> None:
     ap.add_argument("--cdc-batches", type=int, default=3)
     ap.add_argument("--cdc-mode", default="mor", choices=["mor", "cow"])
     ap.add_argument("--cdc-write-path", default="fused", choices=["fused", "raw"])
+    ap.add_argument("--cdc-write-salt", default="auto",
+                    help="sub-bucket salt fan: 'auto' (default) or an int (1 = off)")
     ap.add_argument("--cdc-text-words", type=int, default=100,
                     help="words per turn text; realistic transcripts: 100-500")
     ap.add_argument("--cdc-warmup-batches", type=int, default=1)
@@ -271,6 +274,8 @@ def main() -> None:
                 num_buckets=max(16, n_threads), mode=args.cdc_mode,
                 warmup_batches=args.cdc_warmup_batches,
                 dedupe_on_write=(args.cdc_write_path == "fused"),
+                write_salt=(args.cdc_write_salt if args.cdc_write_salt == "auto"
+                            else int(args.cdc_write_salt)),
                 text_words=args.cdc_text_words,
                 binlog_cache=cache,
                 compact=not args.cdc_no_compact,

@@ -46,6 +46,7 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=60_000)
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--text-words", type=int, default=100)
+    ap.add_argument("--salt", default="auto", help="write_salt for BOTH sides (fixed-granularity pairs: 4)")
     ap.add_argument("--binlog-cache", default="/dev/shm/binlog-cache")
     ap.add_argument("--out", default="/tmp/quiet_pairs.jsonl")
     ap.add_argument("--max-pairs", type=int, default=12)
@@ -68,9 +69,10 @@ def main() -> None:
         try:
             lo = run_once(args.low, args.events, args.convs, args.batches,
                           warmup=1, text_words=args.text_words,
-                          binlog_cache=args.binlog_cache, compact=False)["cdc"]
+                          binlog_cache=args.binlog_cache, compact=False,
+                          write_salt=args.salt)["cdc"]
             hi = run_once(args.high, args.events, args.convs, args.batches,
-                          warmup=1, text_words=args.text_words,
+                          warmup=1, text_words=args.text_words, write_salt=args.salt,
                           binlog_cache=args.binlog_cache, compact=False)["cdc"]
         except Exception as e:  # noqa: BLE001 — keep sampling through transient failures
             rec["error"] = str(e)[:200]

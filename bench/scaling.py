@@ -24,13 +24,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_once(master: str, events: int, convs: int, batches: int,
              mode: str = "mor", warmup: int = 2, write_path: str = "fused",
              text_words: int = 0, binlog_cache: str | None = None,
-             compact: bool = True) -> dict:
+             compact: bool = True, write_salt: str = "auto") -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "bench.py"), "--cdc-only",
         "--master", master, "--cdc-events", str(events),
         "--cdc-convs", str(convs), "--cdc-batches", str(batches),
         "--cdc-mode", mode, "--cdc-warmup-batches", str(warmup),
         "--cdc-write-path", write_path, "--cdc-text-words", str(text_words),
+        "--cdc-write-salt", str(write_salt),
     ]
     if binlog_cache:
         cmd += ["--cdc-binlog-cache", binlog_cache]
