@@ -18,6 +18,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   stats   --table DIR                              manifest-only health report (read amp, compaction advice)
   tag     --table DIR --name N [--version V]       pin a snapshot (GC-immune, immutable name)
   untag   --table DIR --name N                     release a pinned snapshot
+  rate    --table DIR                              per-batch ingest rate report from the ledger
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
-                                    "tag", "untag"])
+                                    "tag", "untag", "rate"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -134,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"expired": expired, "orphans": orphans}))
     elif a.cmd == "stats":
         print(json.dumps(table.stats()))
+    elif a.cmd == "rate":
+        from .plans.lineage import ingest_rate_report
+
+        for r in ingest_rate_report(table):
+            print(json.dumps(r))
     elif a.cmd == "tag":
         v = table.create_tag(a.name, version=a.version)
         print(json.dumps({"tag": a.name, "version": v}))

@@ -67,6 +67,38 @@ def last_committed_lsn(table: SnapshotParquetTable) -> int:
     return table.last_lsn
 
 
+def ingest_rate_report(table: SnapshotParquetTable) -> list[dict]:
+    """Ops dashboard feed, manifest-only: per committed batch the applied
+    event count, the wall seconds since the PREVIOUS commit (an upper bound
+    on the batch's processing time that needs no extra instrumentation),
+    the implied events/sec floor, and the cumulative totals. The first
+    batch has no predecessor and reports rate=None."""
+    out = []
+    prev_ts = None
+    cum = 0
+    for r in lineage_rows(table):
+        n = r["n_insert"] + r["n_update"] + r["n_delete"]
+        cum += n
+        secs = None
+        if prev_ts is not None:
+            secs = max((r["committed_at"] - prev_ts).total_seconds(), 0.0)
+        out.append(
+            {
+                "batch_id": r["batch_id"],
+                "n_events": n,
+                "n_malformed": r["n_malformed"],
+                "secs_since_prev_commit": round(secs, 3) if secs is not None else None,
+                "events_per_sec_floor": (
+                    round(n / secs) if secs else None
+                ),
+                "cumulative_events": cum,
+                "lsn_max": r["lsn_max"],
+            }
+        )
+        prev_ts = r["committed_at"]
+    return out
+
+
 class SizeRegressionError(AssertionError):
     """The published table shrank more than its commit's deletes explain."""
 

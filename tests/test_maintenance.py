@@ -288,3 +288,23 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
     assert not os.path.exists(t._manifest_path(v_tag))
     with pytest.raises(ValueError):
         t.read_tag("training-run-1")
+
+
+def test_ingest_rate_report(spark, tmp_path, seed_pdf):
+    import numpy as np
+
+    from ccdb_data_pipeline_spark.plans.lineage import ingest_rate_report
+    from ccdb_data_pipeline_spark.sources.binlog import gen_changes_pandas
+
+    t = _mk(spark, tmp_path, seed_pdf, merge_mode="mor")
+    changes = gen_changes_pandas(900, n_convs=N_CONVS, seed=13)
+    for i, p in enumerate(np.array_split(changes, 3)):
+        apply_changes(t, spark.createDataFrame(p, CHANGE_SCHEMA), batch_id=i)
+    rep = ingest_rate_report(t)
+    assert [r["batch_id"] for r in rep] == [0, 1, 2]
+    assert rep[0]["secs_since_prev_commit"] is None
+    assert all(r["secs_since_prev_commit"] is not None for r in rep[1:])
+    assert rep[-1]["cumulative_events"] == sum(r["n_events"] for r in rep)
+    # edge rows aside, counts reconcile with the generated stream sizes
+    assert sum(r["n_events"] + r["n_malformed"] for r in rep) == len(changes)
+    assert rep[-1]["lsn_max"] == 900
