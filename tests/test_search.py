@@ -190,3 +190,39 @@ def test_phrase_search_property_vs_python(spark):
         assert got == exp
 
     check()
+
+
+def test_fuzzy_property_vs_python_levenshtein(spark):
+    """Property check: search_fuzzy's candidate set == a direct Levenshtein
+    scan of the vocabulary, over randomized short tokens (where the SymSpell
+    neighborhood's false-positive modes — transpositions, double edits —
+    are densest)."""
+    from hypothesis import given, settings, strategies as st
+
+    from ccdb_data_pipeline_spark.operators.search import search_fuzzy
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    alpha = "ab"
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vocab=st.lists(st.text(alphabet=alpha, min_size=1, max_size=4),
+                       min_size=1, max_size=8),
+        term=st.text(alphabet=alpha, min_size=1, max_size=4),
+    )
+    def check(vocab, term):
+        rows = [(i, w) for i, w in enumerate(vocab)]
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["token"] for r in search_fuzzy(sdf, term).collect()}
+        exp = {w for w in set(vocab) if lev(w, term.lower()) <= 1}
+        assert got == exp
+
+    check()
