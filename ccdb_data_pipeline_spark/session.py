@@ -46,6 +46,15 @@ def build_session(
         # machine (128 GiB here), not the default 1g/8g
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit task outputs directly to the destination dir (v2) instead of
+        # a driver-serial rename of every task dir at job commit (v1). At
+        # num_buckets*write_salt write tasks per micro-batch the v1 job-commit
+        # walk is a measured ~1.4s/512-task serial constant on the apply hot
+        # path. Safe here: every commit dir is attempt-unique and becomes
+        # visible only via the manifest CAS, so a failed job's partial files
+        # are never referenced (and orphan GC reclaims them). On real object
+        # stores a cloud-native committer replaces this setting.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

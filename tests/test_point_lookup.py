@@ -50,8 +50,16 @@ def test_read_keys_prunes_buckets(lake):
     pruned_files = set(lake.read_keys(["conv-00000003"]).inputFiles())
     assert pruned_files
     assert pruned_files < full_files
-    # one key -> exactly one bucket's files
-    buckets = {p.split("_bucket=")[1].split("/")[0] for p in pruned_files}
+    # one key -> exactly one bucket's files. Bucket identity comes from the
+    # manifest (flat-layout delta files carry no _bucket= path segment).
+    m = lake.manifest()
+    path_to_bucket = {
+        e["path"]: int(b) for b, fs in m["buckets"].items() for e in fs
+    }
+    buckets = {
+        path_to_bucket[p.replace("file:", "").split(lake.root + "/", 1)[1]]
+        for p in pruned_files
+    }
     assert len(buckets) == 1
 
 
