@@ -2687,3 +2687,213 @@ def cdc_patch_apply(spark, sf_dir):
         "props",
         F.col("last_lsn").cast("long").alias("last_lsn"),
     ).orderBy("user_id", "event_type")
+
+
+# =====================================================================
+# Corpus statistics + product analytics (round 2): vocabulary build,
+# TF-IDF, funnel, cohort retention, deterministic sampling
+# =====================================================================
+
+
+@q(
+    "vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary build (the tokenizer-training precursor): tokenize,
+    explode, count, rank. All-JVM split/explode; the groupBy partial-aggregates
+    map-side so shuffle volume is |vocab|, not |tokens| — the property that
+    makes this run at 100 TB. Deterministic top-k tie-break on the token."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+@q(
+    "tfidf_top_term",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok, ln((SELECT count(*) FROM documents) / count(*)) AS idf
+      FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(round(tf.c * idf.idf * 1000000) AS BIGINT) AS score_micro,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.c * idf.idf DESC, tf.tok) AS rn
+      FROM tf JOIN idf USING (tok)
+    )
+    SELECT doc_id, tok AS top_term, score_micro
+    FROM scored WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def tfidf_top_term(spark, sf_dir):
+    """TF-IDF: per-document top term by tf*ln(N/df). The document-frequency
+    table is vocabulary-sized and broadcast; the only shuffles are the two
+    token-keyed partial aggregates. Score integerized at 1e-6 for exact
+    cross-engine hashing (the BM25 convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar agg; broadcast as a literal
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    idf = tf.groupBy("tok").agg(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "tok").withColumn(
+        "score", F.col("c") * F.col("idf")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY stage
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered-sequence funnel (view -> click -> purchase, strictly
+    increasing event time per user). Each stage is a per-user min-aggregate
+    joined back broadcast (the stage frames are |users|-sized, tiny next to
+    |events|); events is scanned once per stage with the type filter pushed
+    down. Strict time ordering is the semantic the reference's LWW/ordering
+    contracts care about."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return one(v, "view").unionAll(one(c, "click")).unionAll(
+        one(p, "purchase")
+    ).orderBy("stage")
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
+    SELECT c.cohort_wk,
+           CAST(w.wk - c.cohort_wk AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM w JOIN c ON w.user_id = c.user_id
+    GROUP BY c.cohort_wk, week_offset
+    ORDER BY c.cohort_wk, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = first active epoch-week per user,
+    counted distinct actives at each week offset. The per-user cohort frame
+    is broadcast back onto the weekly activity frame; epoch-week arithmetic
+    (UTC session) keeps both engines integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("wk"),
+    )
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(F.broadcast(c), "user_id")
+        .withColumn("week_offset", (F.col("wk") - F.col("cohort_wk")).cast("long"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+@q(
+    "sample_by_hash",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= '28f5'
+    ORDER BY doc_id
+    """,
+)
+def sample_by_hash(spark, sf_dir):
+    """Deterministic ~16% sample (operators/sampling.py hash_sample): an
+    md5-keyed map-side filter — reproducible across engines, re-runs, and
+    partitionings, unlike the reference's head-N MAX_RECORDS subset
+    (/root/reference/.env_example:7-8). Threshold '28f5' = rate 0.16 at
+    16-bit granularity."""
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.16).select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")

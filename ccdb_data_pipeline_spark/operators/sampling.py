@@ -1,0 +1,46 @@
+"""Deterministic sampling operators.
+
+The reference's dev-subset knob is ``MAX_RECORDS`` — a head-N truncation
+(`/root/reference/.env_example:7-8`, applied as a row limit in
+`common/csv2json.py:94-95`). A head sample is biased by file order and not
+reproducible across re-partitioned inputs; at 100 TB the engine needs a
+sample that is (a) a pure map-side filter — no shuffle, no coordination,
+(b) stable under re-runs, re-partitioning, and cluster size, and (c)
+consistent across tables (the same key always lands in or out, so sampled
+fact/dim tables still join).
+
+``hash_sample`` keys the decision on a cryptographic digest of the sample
+key (md5 — available and bit-identical in Spark, DuckDB, and every warehouse,
+so oracle checks and cross-engine reproducibility are exact), compared
+against a fixed-width hex threshold. Rate granularity is 1/65536.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WIDTH = 4  # hex chars compared -> 16-bit granularity
+
+
+def hash_threshold(rate: float) -> str:
+    """Inclusive upper bound on the first 4 md5 hex chars for a given rate.
+
+    Returns '' for rate <= 0 (selects nothing, '' < any digest prefix).
+    """
+    if rate <= 0.0:
+        return ""
+    n = min(65536, max(1, round(rate * 65536)))
+    return format(n - 1, f"0{_WIDTH}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Deterministic ~rate sample keyed on ``key_col``.
+
+    A row survives iff md5(cast(key as string))[:4] <= threshold(rate).
+    Map-side only: the filter is pushed into the scan, no shuffle, and the
+    same keys survive regardless of parallelism — the reproducible analog
+    of the reference's MAX_RECORDS dev subset.
+    """
+    digest = F.md5(F.col(key_col).cast("string"))
+    return df.filter(digest.substr(1, _WIDTH) <= hash_threshold(rate))
