@@ -2897,3 +2897,45 @@ def sample_by_hash(spark, sf_dir):
     return hash_sample(docs, "doc_id", 0.16).select(
         "doc_id", "lang", "source"
     ).orderBy("doc_id")
+
+
+# =====================================================================
+# Z-order curve (multi-dimensional clustering key) — operators/zorder.py
+# =====================================================================
+
+from .operators.zorder import interleave_bits, interleave_sql  # noqa: E402
+
+_Z_SQL = interleave_sql(
+    ["(user_id & 4095)", "(CAST(floor(epoch(ts)) AS BIGINT) & 4095)"], bits=12
+)
+
+
+@q(
+    "zorder_curve",
+    f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST({_Z_SQL} AS BIGINT) AS z
+    FROM events
+    ORDER BY z, event_id
+    LIMIT 50
+    """,
+)
+def zorder_curve(spark, sf_dir):
+    """The Morton clustering key compact(zorder_by=...) sorts files by,
+    surfaced as a query: interleave 12-bit (user_id, epoch-second) and
+    return the curve's first 50 events. The Spark expression and the
+    generated SQL are built from the same term list (interleave_bits /
+    interleave_sql), so equality checks the curve math bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    z = interleave_bits(
+        [
+            F.col("user_id").bitwiseAND(F.lit(4095)),
+            F.unix_timestamp("ts").bitwiseAND(F.lit(4095)),
+        ],
+        bits=12,
+    )
+    return (
+        ev.select(F.col("event_id").cast("long").alias("event_id"), z.alias("z"))
+        .orderBy("z", "event_id")
+        .limit(50)
+    )

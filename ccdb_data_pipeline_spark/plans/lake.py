@@ -687,6 +687,12 @@ class SnapshotParquetTable:
         part = df.repartition(F.col(BUCKET))
         if sort_cols:
             part = part.sortWithinPartitions(BUCKET, *sort_cols)
+            # transient cluster keys (e.g. the z-value) order the rows but
+            # are not table columns — project them away after the sort (a
+            # narrow op in the same stage: row order is preserved)
+            drop = [c for c in sort_cols if c.startswith("_zorder")]
+            if drop:
+                part = part.drop(*drop)
         # blooms go on long-lived files only (base/CoW/compaction output):
         # short-lived MoR delta files are folded away by compaction, and the
         # measured ~3-4% bloom write cost on the apply hot path buys little
@@ -1674,6 +1680,7 @@ class SnapshotParquetTable:
                 sort_within_bucket: bool = True,
                 only_dirty: bool = True,
                 buckets: list[int] | None = None,
+                zorder_by: tuple[str, ...] = (),
                 _retries: int = 2) -> None:
         """Fold merge-on-read layers and merge small files — the
         rewrite_data_files analog of the archive re-merge (s3_utils.py:21-59).
@@ -1732,10 +1739,25 @@ class SnapshotParquetTable:
         if drop_tombstones:
             df = df.filter(~F.col(DELETED))
         df = df.withColumn(BUCKET, self._bucket_expr())
+        if zorder_by:
+            # multi-dimensional clustering: interleave-bit key over the
+            # requested columns (operators/zorder.py) replaces the plain key
+            # sort — row-group stats become partially tight on EVERY
+            # clustered column, so pushed-down non-key predicates (time
+            # ranges) skip row groups too
+            from ..operators.zorder import zorder_key
+
+            df = df.withColumn("_zorder", zorder_key(df, list(zorder_by)))
+            sort_cols: tuple[str, ...] = ("_zorder",)
+        elif sort_within_bucket:
+            sort_cols = self.spec.key_cols
+        else:
+            sort_cols = ()
         files = self._write_data(
-            df, version, sid=m0["current_schema_id"],
-            sort_cols=self.spec.key_cols if sort_within_bucket else (),
+            df, version, sid=m0["current_schema_id"], sort_cols=sort_cols,
         )
+        if zorder_by:
+            df = df.drop("_zorder")
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
@@ -1745,6 +1767,8 @@ class SnapshotParquetTable:
             "n_buckets_rewritten": len(target),
             "n_buckets_carried": len(carried),
         }
+        if zorder_by:
+            m["summary"]["zorder_by"] = list(zorder_by)
         m["committed_at"] = time.time()
         try:
             self._commit(m, expected_ref=m0["version"])
@@ -1767,6 +1791,7 @@ class SnapshotParquetTable:
                     sort_within_bucket=sort_within_bucket,
                     only_dirty=only_dirty,
                     buckets=buckets,
+                    zorder_by=zorder_by,
                     _retries=_retries - 1,
                 )
 
