@@ -2939,3 +2939,113 @@ def zorder_curve(spark, sf_dir):
         .orderBy("z", "event_id")
         .limit(50)
     )
+
+
+# =====================================================================
+# Iterative graph algorithm: PageRank (fixed 3 iterations) — the
+# join-agg iteration pattern, oracle-checked via chained CTEs
+# =====================================================================
+
+
+@q(
+    "pagerank_3iter",
+    """
+    WITH edges AS (
+      SELECT a.user_id AS src, b.user_id AS dst
+      FROM events a JOIN events b ON b.event_id = a.event_id + 1
+      WHERE a.user_id <> b.user_id
+    ),
+    nodes AS (
+      SELECT DISTINCT user_id AS node FROM events
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS rank FROM nodes),
+    r1 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n_nodes FROM n)
+             + 0.85 * COALESCE(SUM(r0.rank / deg.outdeg), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN deg ON deg.src = edges.src
+      LEFT JOIN r0 ON r0.node = edges.src
+      GROUP BY nodes.node
+    ),
+    r2 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n_nodes FROM n)
+             + 0.85 * COALESCE(SUM(r1.rank / deg.outdeg), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN deg ON deg.src = edges.src
+      LEFT JOIN r1 ON r1.node = edges.src
+      GROUP BY nodes.node
+    ),
+    r3 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n_nodes FROM n)
+             + 0.85 * COALESCE(SUM(r2.rank / deg.outdeg), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN deg ON deg.src = edges.src
+      LEFT JOIN r2 ON r2.node = edges.src
+      GROUP BY nodes.node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(round(rank * 1000000) AS BIGINT) AS rank_micro
+    FROM r3 ORDER BY node
+    """,
+)
+def pagerank_3iter(spark, sf_dir):
+    """PageRank, 3 fixed iterations, d=0.85, no dangling-mass
+    redistribution (both engines implement the identical variant). The
+    iterative join-agg shape is THE distributed-graph pattern: edges are
+    the big side (partitioned once and reused across iterations via
+    persist), ranks are node-sized and broadcast each round — per
+    iteration one shuffle-free broadcast join + one dst-keyed partial
+    aggregate. Edge derivation (consecutive event handoffs) is itself a
+    self-join on event_id+1."""
+    from .operators.dedup_text import _ACTIVE_CACHES
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = ev.select(
+        (F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("dst")
+    )
+    edges = (
+        ev.join(nxt, "event_id")
+        .filter(F.col("user_id") != F.col("dst"))
+        .select(F.col("user_id").alias("src"), "dst")
+        .persist()
+    )
+    _ACTIVE_CACHES.append(edges)  # caller frees via release_caches()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    contrib_base = edges.join(F.broadcast(deg), "src")
+    for _ in range(3):
+        contrib = (
+            contrib_base.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + 0.85 * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("rank") * 1_000_000).cast("long").alias("rank_micro"),
+    ).orderBy("node")
