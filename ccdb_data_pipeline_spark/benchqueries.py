@@ -3049,3 +3049,47 @@ def pagerank_3iter(spark, sf_dir):
         F.col("node").cast("long").alias("node"),
         F.round(F.col("rank") * 1_000_000).cast("long").alias("rank_micro"),
     ).orderBy("node")
+
+
+# =====================================================================
+# Heavy hitters (frequent items above a support threshold) — exact,
+# the verification twin of the sketch path tested in test_approx.py
+# =====================================================================
+
+
+@q(
+    "heavy_hitters",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events
+      GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT count(*) AS total FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(n * 1000000.0 / (SELECT total FROM tot)) AS BIGINT)
+             AS support_ppm
+    FROM c
+    WHERE n * 1000.0 / (SELECT total FROM tot) >= 1.2
+    ORDER BY n DESC, user_id, event_type
+    """,
+)
+def heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters over (user_id, event_type) at 0.12% support: one
+    map-side-combining count per composite key, then a scalar-total filter.
+    At 100 TB the same shape runs with approx_count_distinct-style sketch
+    pre-filtering (test_approx.py) feeding this exact pass over the
+    surviving candidates."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.filter(F.col("n") * 1000.0 / total >= 1.2)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") * 1_000_000.0 / total).cast("long").alias("support_ppm"),
+        )
+        .orderBy(F.desc("n"), "user_id", "event_type")
+    )
