@@ -3093,3 +3093,89 @@ def heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.desc("n"), "user_id", "event_type")
     )
+
+
+# =====================================================================
+# Event-time slice through the real lake: ingest -> z-order compact ->
+# manifest ts-pruned read (plans/lake.py read_time_range)
+# =====================================================================
+
+
+@q(
+    "cdc_time_slice",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS mn,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS mx
+      FROM events
+    ),
+    w AS (
+      SELECT mn + (mx - mn) * 6 // 10 AS lo,
+             mn + (mx - mn) * 9 // 10 AS hi
+      FROM b
+    ),
+    winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners, w
+    WHERE rn = 1 AND event_type <> 'error'
+      AND epoch_us(ts) >= w.lo AND epoch_us(ts) <= w.hi
+    ORDER BY user_id, event_type
+    """,
+)
+def cdc_time_slice(spark, sf_dir):
+    """Time-window read through the REAL lake backend: ingest events into a
+    SnapshotParquetTable ('error' -> DELETE), z-order-compact on
+    (user_id, ts), then read_time_range over the 60-90% stretch of the
+    event-time span — manifest-level per-file ts-stats pruning plus
+    pushed-down row-group skipping inside the survivors. The oracle windows
+    the LWW winners' ts identically (integer-micros arithmetic on both
+    sides, so the bounds are bit-equal)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.lake import SnapshotParquetTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    # testdata carries TIMESTAMP_NTZ; cast to session-UTC timestamp for micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    lo = mn + (mx - mn) * 6 // 10
+    hi = mn + (mx - mn) * 9 // 10
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    deduped = lww_latest(tagged, spec)
+    root = os.path.join(tempfile.gettempdir(), f"cdc-tslice-{uuid.uuid4().hex}")
+    t = SnapshotParquetTable(spark, root, spec)
+    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
+    t.merge(deduped, batch_id=0)
+    t.compact(zorder_by=("user_id", "ts"))
+    return (
+        t.read_time_range(lo, hi)
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )

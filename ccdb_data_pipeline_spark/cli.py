@@ -62,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--retain-last", type=int, default=2,
                     help="vacuum: snapshots to retain before expiry")
     ap.add_argument("--name", help="tag/untag: tag name")
+    ap.add_argument("--zorder-by", help="compact: comma-separated columns for "
+                    "Morton-curve clustering instead of the key sort")
     ap.add_argument("--version", type=int, default=None,
                     help="tag: version to pin (default: current)")
     ap.add_argument("--master", default=None)
@@ -93,8 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         stats = apply_changes(table, batch, batch_id=table.last_batch_id + 1)
         print(json.dumps({"applied": stats.n_source, "lsn": [stats.lsn_min, stats.lsn_max]}))
     elif a.cmd == "compact":
+        zo = tuple(s.strip() for s in a.zorder_by.split(",")) if a.zorder_by else ()
         table.compact(
-            drop_tombstones=not a.keep_tombstones, only_dirty=not a.full
+            drop_tombstones=not a.keep_tombstones, only_dirty=not a.full,
+            zorder_by=zo,
         )
         m = table.manifest()
         print(json.dumps({

@@ -106,15 +106,41 @@ def _fold_lww_arrow(tbl, keys: list[str], sort_cols: list[str]):
     return tbl.take(pa.array(np.sort(winners)))
 
 
-def _footer_stats(pairs, with_bucket: bool = False):
-    """(tag, path) -> (tag, n_rows, lsn_min, lsn_max[, bucket]) from parquet
-    footers only (no data pages). Module-level so Spark can ship it to
-    executors without capturing the table object.
+def _ts_micros(v):
+    """Parquet timestamp statistic -> int epoch micros (naive = UTC)."""
+    import datetime as _dt
 
-    With ``with_bucket=True`` the file's bucket is recovered from the
-    ``_bucket`` column's row-group statistics (flat-layout delta files carry
-    the bucket as a data column instead of a hive directory; exact shuffle
-    placement guarantees min == max)."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
+def _range_bound_us(v) -> int:
+    """time_range bound (datetime | ISO string | epoch micros int) -> micros."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if isinstance(v, _dt.datetime):
+        return _ts_micros(v)
+    return int(v)
+
+
+def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
+    """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max[, bucket])
+    from parquet footers only (no data pages). Module-level so Spark can ship
+    it to executors without capturing the table object.
+
+    ``ts_col`` adds the event-time range (epoch micros; None when the column
+    is absent or all-null) — the per-file metric manifest-level time-range
+    pruning reads. With ``with_bucket=True`` the file's bucket is recovered
+    from the ``_bucket`` column's row-group statistics (flat-layout delta
+    files carry the bucket as a data column instead of a hive directory;
+    exact shuffle placement guarantees min == max)."""
     import pyarrow.parquet as _pq
 
     out = []
@@ -133,8 +159,17 @@ def _footer_stats(pairs, with_bucket: bool = False):
             if st is not None and st.has_min_max:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+        tlo = thi = None
+        if ts_col is not None and ts_col in cols:
+            t_idx = cols[ts_col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(t_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = _ts_micros(st.min), _ts_micros(st.max)
+                    tlo = mn if tlo is None else min(tlo, mn)
+                    thi = mx if thi is None else max(thi, mx)
         if not with_bucket:
-            out.append((b, md.num_rows, lo, hi))
+            out.append((b, md.num_rows, lo, hi, tlo, thi))
             continue
         b_idx = cols[BUCKET]
         bkt_lo = bkt_hi = None
@@ -148,7 +183,7 @@ def _footer_stats(pairs, with_bucket: bool = False):
                 f"flat delta file {full} spans buckets {bkt_lo}..{bkt_hi}; "
                 "exact shuffle placement should make this impossible"
             )
-        out.append((b, md.num_rows, lo, hi, int(bkt_lo)))
+        out.append((b, md.num_rows, lo, hi, tlo, thi, int(bkt_lo)))
     return out
 
 
@@ -476,8 +511,20 @@ class SnapshotParquetTable:
 
     def read(self, version: int | None = None, include_internal: bool = False,
              buckets: list[int] | None = None,
-             columns: list[str] | None = None) -> DataFrame:
+             columns: list[str] | None = None,
+             time_range: tuple | None = None) -> DataFrame:
         """Snapshot read (time travel via ``version``). Excludes tombstones.
+
+        ``time_range=(lo, hi)`` (datetimes or ISO strings, naive = UTC,
+        inclusive) returns only rows whose ``ts_col`` falls in the window
+        (null ts excluded — SQL BETWEEN semantics), pruning with the
+        per-file ts min/max the footer scan recorded at write time:
+        all-base buckets drop non-overlapping files individually; a bucket
+        holding delta layers is all-or-nothing (the LWW resolve needs every
+        layer of a bucket it reads). Files without recorded ts stats are
+        read conservatively. On a compacted, z-ordered table a narrow
+        window reads a handful of files, then parquet row-group pruning
+        takes over inside them.
 
         In merge-on-read mode, buckets holding unfolded delta files are
         LWW-resolved per key at read time (buckets whose files are all base
@@ -495,24 +542,41 @@ class SnapshotParquetTable:
         only if requested."""
         m = self.manifest(version)
         schema_fields = [f.name for f in T.StructType.fromJson(m["schema"]).fields]
+        tr_us: tuple[int, int] | None = None
+        if time_range is not None:
+            tr_us = (_range_bound_us(time_range[0]), _range_bound_us(time_range[1]))
         prune: list[str] | None = None
         if columns is not None:
             unknown = sorted(set(columns) - set(schema_fields))
             if unknown:
                 raise ValueError(f"unknown columns {unknown}; table has {schema_fields}")
+            want = set(columns)
+            if tr_us is not None:
+                want.add(self.spec.ts_col)  # the window filter needs it
             prune = list(dict.fromkeys(
                 [*self.spec.key_cols,
-                 *[c for c in schema_fields if c in set(columns)]]
+                 *[c for c in schema_fields if c in want]]
             ))
+
+        def _ts_overlaps(e: dict) -> bool:
+            if tr_us is None:
+                return True
+            tl, th = e.get("ts_min"), e.get("ts_max")
+            if tl is None or th is None:
+                return True  # no stats recorded: read conservatively
+            return th >= tr_us[0] and tl <= tr_us[1]
+
         clean: list[dict] = []
         dirty: list[dict] = []
         for b, files in m["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
             if any(e.get("delta") for e in files):
-                dirty.extend(files)
+                # all-or-nothing: resolving winners needs every layer
+                if any(_ts_overlaps(e) for e in files):
+                    dirty.extend(files)
             else:
-                clean.extend(files)
+                clean.extend(e for e in files if _ts_overlaps(e))
 
         def _prune(part: DataFrame) -> DataFrame:
             if prune is None:
@@ -544,10 +608,23 @@ class SnapshotParquetTable:
             for p in parts[1:]:
                 df = df.unionByName(p)
         df = df.filter(~F.col(DELETED))
+        if tr_us is not None:
+            # pushed-down range predicate: inside the surviving files,
+            # parquet row-group stats (tight after z-order/sorted compaction)
+            # prune further
+            ts = F.col(self.spec.ts_col)
+            df = df.filter(
+                (ts >= F.timestamp_micros(F.lit(tr_us[0])))
+                & (ts <= F.timestamp_micros(F.lit(tr_us[1])))
+            )
         if not include_internal:
             out_cols = schema_fields if columns is None else list(columns)
             df = df.select(*out_cols)
         return df
+
+    def read_time_range(self, lo, hi, **kw) -> DataFrame:
+        """Event-time window read — ``read(time_range=(lo, hi))``."""
+        return self.read(time_range=(lo, hi), **kw)
 
     def read_keys(self, values: list, version: int | None = None,
                   columns: list[str] | None = None) -> DataFrame:
@@ -724,21 +801,25 @@ class SnapshotParquetTable:
         # (Iceberg per-file metrics analog) — drives the publish row-floor
         # audit and file-level pruning; footer-only reads, Spark-parallel
         # above the driver threshold
-        for i, n, lo, hi in self._footer_scan(pairs):
+        for i, n, lo, hi, tlo, thi in self._footer_scan(pairs):
             flat[i].update(n_rows=n, lsn_min=lo, lsn_max=hi)
+            if tlo is not None:
+                flat[i].update(ts_min=tlo, ts_max=thi)
         return files
 
     def _footer_scan(self, pairs: list[tuple[int, str]]):
-        """(tag, path) -> (tag, n_rows, lsn_min, lsn_max); driver-side for a
-        handful of files, executor-parallel beyond _FOOTER_SCAN_DRIVER_MAX."""
+        """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max);
+        driver-side for a handful of files, executor-parallel beyond
+        _FOOTER_SCAN_DRIVER_MAX."""
         if not pairs:
             return []
+        ts_col = self.spec.ts_col
         if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
-            return _footer_stats(pairs)
+            return _footer_stats(pairs, ts_col=ts_col)
         sc = self.spark.sparkContext
         n_slices = min(len(pairs), sc.defaultParallelism)
         return sc.parallelize(pairs, n_slices).mapPartitions(
-            lambda it: _footer_stats(it)
+            lambda it: _footer_stats(it, ts_col=ts_col)
         ).collect()
 
     # ------------------------------------------------------------ MERGE
@@ -1260,20 +1341,26 @@ class SnapshotParquetTable:
                 pairs.append((len(entries) - 1, os.path.join(out_dir, fn)))
             if not pairs:
                 return files, []
+            ts_col = self.spec.ts_col
             if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
-                fstats = _footer_stats(pairs, with_bucket=True)
+                fstats = _footer_stats(pairs, with_bucket=True, ts_col=ts_col)
             else:
                 sc = self.spark.sparkContext
                 n_slices = min(len(pairs), sc.defaultParallelism)
                 fstats = sc.parallelize(pairs, n_slices).mapPartitions(
-                    lambda it: _footer_stats(it, with_bucket=True)
+                    lambda it: _footer_stats(it, with_bucket=True, ts_col=ts_col)
                 ).collect()
             stats = []
-            for i, n, lo, hi, b in fstats:
+            for i, n, lo, hi, tlo, thi, b in fstats:
+                entries[i].update(n_rows=n)
+                if tlo is not None:
+                    entries[i].update(ts_min=tlo, ts_max=thi)
                 files.setdefault(b, []).append(entries[i])
                 stats.append((b, n, lo, hi))
         else:
-            pairs = []  # (bucket, absolute path)
+            entries = []
+            entry_bucket: list[int] = []
+            pairs = []  # (index into entries, absolute path)
             for dirpath, _dirnames, filenames in os.walk(out_dir):
                 base = os.path.basename(dirpath)
                 if not base.startswith(f"{BUCKET}="):
@@ -1282,20 +1369,28 @@ class SnapshotParquetTable:
                 for fn in filenames:
                     if not fn.endswith(".parquet"):
                         continue
-                    files.setdefault(b, []).append(
-                        {"path": os.path.join(rel, base, fn), "schema_id": sid, "delta": True}
-                    )
-                    pairs.append((b, os.path.join(dirpath, fn)))
+                    e = {"path": os.path.join(rel, base, fn), "schema_id": sid, "delta": True}
+                    files.setdefault(b, []).append(e)
+                    entries.append(e)
+                    entry_bucket.append(b)
+                    pairs.append((len(entries) - 1, os.path.join(dirpath, fn)))
             if not pairs:
                 return files, []
+            ts_col = self.spec.ts_col
             if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
-                stats = _footer_stats(pairs)
+                fstats = _footer_stats(pairs, ts_col=ts_col)
             else:
                 sc = self.spark.sparkContext
                 n_slices = min(len(pairs), sc.defaultParallelism)
-                stats = sc.parallelize(pairs, n_slices).mapPartitions(
-                    lambda it: _footer_stats(it)
+                fstats = sc.parallelize(pairs, n_slices).mapPartitions(
+                    lambda it: _footer_stats(it, ts_col=ts_col)
                 ).collect()
+            stats = []
+            for i, n, lo, hi, tlo, thi in fstats:
+                entries[i].update(n_rows=n)
+                if tlo is not None:
+                    entries[i].update(ts_min=tlo, ts_max=thi)
+                stats.append((entry_bucket[i], n, lo, hi))
         agg: dict[int, list] = {}
         for b, n, lo, hi in stats:
             cur = agg.get(b)

@@ -41,6 +41,11 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # write timestamps as INT64 micros, not the deprecated INT96: INT96
+        # columns carry NO parquet min/max statistics, which would blind
+        # both row-group pruning on ts predicates and the manifest-level
+        # time-range file pruning (per-file ts ranges from footer stats)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # local mode: the driver heap IS the executor memory — size it for the
         # machine (128 GiB here), not the default 1g/8g
