@@ -40,6 +40,11 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow transfer batches for mapInArrow/pandas-UDF stages: the
+        # fused fold concatenates a partition's batches anyway, so the 10k
+        # default just buys 6x more JVM<->Python round trips (measured
+        # interleaved A/B at local[8], 2M-event batches: 64k wins both reps)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # write timestamps as INT64 micros, not the deprecated INT96: INT96
         # columns carry NO parquet min/max statistics, which would blind
@@ -61,6 +66,12 @@ def build_session(
         # stores a cloud-native committer replaces this setting.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    # ad-hoc conf overrides for A/B runs without code edits:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.x=1;spark.y=2"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, env_conf.split(";")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
