@@ -3179,3 +3179,72 @@ def cdc_time_slice(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# =====================================================================
+# Event-time-correct dimension join: facts against the SCD2 version
+# valid at each fact's timestamp (operators/scd.py composition)
+# =====================================================================
+
+
+@q(
+    "scd2_event_join",
+    """
+    WITH dim AS (
+      SELECT user_id, value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(round(p.value * 100) AS BIGINT) AS purchase_c,
+           CAST(round(dim.value * 100) AS BIGINT) AS profile_c,
+           dim.valid_from
+    FROM p JOIN dim
+      ON p.user_id = dim.user_id
+     AND p.ts >= dim.valid_from
+     AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+    ORDER BY event_id
+    """,
+)
+def scd2_event_join(spark, sf_dir):
+    """Event-time-correct dimension enrichment: each purchase joins the
+    signup-profile VERSION that was valid at the purchase's own event time
+    (not today's value — the classic slowly-changing-dimension correctness
+    trap). The dimension is scd2_history output (one window); the join is
+    a broadcast interval join — dimensions are versions-per-key small next
+    to facts, so the fact side never shuffles."""
+    from .operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev.filter(F.col("event_type") == "signup").withColumn("op", F.lit("U")),
+        ["user_id"],
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("value").alias("d_value"),
+        "valid_from",
+        "valid_to",
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    cond = (
+        (p["user_id"] == dim["d_user"])
+        & (p["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (p["ts"] < dim["valid_to"]))
+    )
+    return (
+        p.join(F.broadcast(dim), cond)
+        .select(
+            p["event_id"].cast("long").alias("event_id"),
+            p["user_id"].cast("long").alias("user_id"),
+            _cents(p["value"]).alias("purchase_c"),
+            _cents(dim["d_value"]).alias("profile_c"),
+            "valid_from",
+        )
+        .orderBy("event_id")
+    )

@@ -168,8 +168,23 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
                     mn, mx = _ts_micros(st.min), _ts_micros(st.max)
                     tlo = mn if tlo is None else min(tlo, mn)
                     thi = mx if thi is None else max(thi, mx)
+        # tombstone-free? the _deleted bool column's stats answer without
+        # reading data: max == False -> every row is live (drives the
+        # metadata-only COUNT fast path)
+        all_live = None
+        if DELETED in cols:
+            d_idx = cols[DELETED]
+            all_live = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(d_idx).statistics
+                if st is None or not st.has_min_max:
+                    all_live = None
+                    break
+                if st.max:
+                    all_live = False
+                    break
         if not with_bucket:
-            out.append((b, md.num_rows, lo, hi, tlo, thi))
+            out.append((b, md.num_rows, lo, hi, tlo, thi, all_live))
             continue
         b_idx = cols[BUCKET]
         bkt_lo = bkt_hi = None
@@ -183,7 +198,7 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
                 f"flat delta file {full} spans buckets {bkt_lo}..{bkt_hi}; "
                 "exact shuffle placement should make this impossible"
             )
-        out.append((b, md.num_rows, lo, hi, tlo, thi, int(bkt_lo)))
+        out.append((b, md.num_rows, lo, hi, tlo, thi, all_live, int(bkt_lo)))
     return out
 
 
@@ -626,6 +641,29 @@ class SnapshotParquetTable:
         """Event-time window read — ``read(time_range=(lo, hi))``."""
         return self.read(time_range=(lo, hi), **kw)
 
+    def count_fast(self, version: int | None = None) -> int:
+        """Exact live-row count, metadata-first (the Iceberg manifest-count
+        analog): a bucket whose files are all base files with tombstone-free
+        footer stats (``all_live``, from the _deleted column's bool min/max)
+        contributes sum(n_rows) straight from the manifest — no Spark job.
+        Buckets with delta layers, tombstoned files, or stat-less legacy
+        entries fall back to a pruned scan of just those buckets. On a
+        compacted, tombstone-reclaimed table COUNT(*) is O(manifest)."""
+        m = self.manifest(version)
+        total = 0
+        scan_buckets: list[int] = []
+        for b, files in m["buckets"].items():
+            fast = not any(e.get("delta") for e in files) and all(
+                e.get("all_live") and e.get("n_rows") is not None for e in files
+            )
+            if fast:
+                total += sum(e["n_rows"] for e in files)
+            else:
+                scan_buckets.append(int(b))
+        if scan_buckets:
+            total += self.read(version=version, buckets=scan_buckets).count()
+        return total
+
     def read_keys(self, values: list, version: int | None = None,
                   columns: list[str] | None = None) -> DataFrame:
         """Point lookup: scan only the buckets the given ``bucket_col`` values
@@ -801,10 +839,12 @@ class SnapshotParquetTable:
         # (Iceberg per-file metrics analog) — drives the publish row-floor
         # audit and file-level pruning; footer-only reads, Spark-parallel
         # above the driver threshold
-        for i, n, lo, hi, tlo, thi in self._footer_scan(pairs):
+        for i, n, lo, hi, tlo, thi, live in self._footer_scan(pairs):
             flat[i].update(n_rows=n, lsn_min=lo, lsn_max=hi)
             if tlo is not None:
                 flat[i].update(ts_min=tlo, ts_max=thi)
+            if live is not None:
+                flat[i].update(all_live=live)
         return files
 
     def _footer_scan(self, pairs: list[tuple[int, str]]):
@@ -1351,10 +1391,12 @@ class SnapshotParquetTable:
                     lambda it: _footer_stats(it, with_bucket=True, ts_col=ts_col)
                 ).collect()
             stats = []
-            for i, n, lo, hi, tlo, thi, b in fstats:
+            for i, n, lo, hi, tlo, thi, live, b in fstats:
                 entries[i].update(n_rows=n)
                 if tlo is not None:
                     entries[i].update(ts_min=tlo, ts_max=thi)
+                if live is not None:
+                    entries[i].update(all_live=live)
                 files.setdefault(b, []).append(entries[i])
                 stats.append((b, n, lo, hi))
         else:
@@ -1386,10 +1428,12 @@ class SnapshotParquetTable:
                     lambda it: _footer_stats(it, ts_col=ts_col)
                 ).collect()
             stats = []
-            for i, n, lo, hi, tlo, thi in fstats:
+            for i, n, lo, hi, tlo, thi, live in fstats:
                 entries[i].update(n_rows=n)
                 if tlo is not None:
                     entries[i].update(ts_min=tlo, ts_max=thi)
+                if live is not None:
+                    entries[i].update(all_live=live)
                 stats.append((entry_bucket[i], n, lo, hi))
         agg: dict[int, list] = {}
         for b, n, lo, hi in stats:
