@@ -63,6 +63,10 @@ HEADLINE = [
     "decontaminate",
     "search_bm25_ranked",
     "hybrid_search_rrf",
+    "vocab_topk",
+    "tfidf_top_term",
+    "pagerank_3iter",
+    "cdc_time_slice",
 ]
 
 
@@ -70,7 +74,8 @@ def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_bucket
                   mode: str = "mor", warmup_batches: int = 2,
                   dedupe_on_write: bool = True, text_words: int = 0,
                   binlog_cache: str | None = None, compact: bool = True,
-                  write_salt: int | str = "auto") -> dict:
+                  write_salt: int | str = "auto",
+                  delta_codec: str | None = None) -> dict:
     """Time the apply path (generation + bootstrap excluded).
 
     The headline number is SUSTAINED throughput: the first ``warmup_batches``
@@ -113,7 +118,8 @@ def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_bucket
         table = SnapshotParquetTable(
             spark, os.path.join(work, "table"),
             TableSpec(num_buckets=num_buckets, merge_mode=mode,
-                      dedupe_on_write=dedupe_on_write, write_salt=write_salt),
+                      dedupe_on_write=dedupe_on_write, write_salt=write_salt,
+                      delta_codec=delta_codec),
         )
         table.create(TRANSCRIPT_SCHEMA)
         seed = gen_seed_pandas(n_convs=min(n_convs, 20000))
@@ -195,6 +201,9 @@ def main() -> None:
                          "(sound: the generator is a pure function of (lsn, seed))")
     ap.add_argument("--cdc-no-compact", action="store_true",
                     help="skip the post-replay compaction timing (scaling reps)")
+    ap.add_argument("--cdc-delta-codec", default=None,
+                    help="parquet codec for short-lived MoR delta files "
+                         "(lz4/snappy; default: session codec zstd)")
     args = ap.parse_args()
 
     from ccdb_data_pipeline_spark.benchqueries import QUERIES
@@ -284,6 +293,7 @@ def main() -> None:
                 text_words=args.cdc_text_words,
                 binlog_cache=cache,
                 compact=not args.cdc_no_compact,
+                delta_codec=args.cdc_delta_codec,
             )
 
         def _noisy(c):

@@ -813,6 +813,8 @@ class SnapshotParquetTable:
         # measured ~3-4% bloom write cost on the apply hot path buys little
         # row-group skipping before they are
         opts = {} if delta else self.spec.bloom_write_options()
+        if delta and self.spec.delta_codec:
+            opts["compression"] = self.spec.delta_codec
         (
             part.write.mode("overwrite")
             .options(**opts)
@@ -1207,13 +1209,17 @@ class SnapshotParquetTable:
         # share a commit directory
         rel = os.path.join("data", f"c{version:010d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
+        # delta files are short-lived (compaction folds them): honor the
+        # spec's cheaper delta codec when set (see TableSpec.delta_codec)
+        w_opts = {"compression": self.spec.delta_codec} if self.spec.delta_codec else {}
         if flat:
             # one single-bucket file per task (bucket rides as a data column,
-            # a run-length constant under zstd; readers prune it via their
-            # explicit schema) — recovered from footer stats in _scan_written
-            folded.write.mode("overwrite").parquet(out_dir)
+            # a run-length constant under the columnar codec; readers prune
+            # it via their explicit schema) — recovered from footer stats in
+            # _scan_written
+            folded.write.mode("overwrite").options(**w_opts).parquet(out_dir)
         else:
-            folded.write.mode("overwrite").partitionBy(BUCKET).parquet(out_dir)
+            folded.write.mode("overwrite").options(**w_opts).partitionBy(BUCKET).parquet(out_dir)
         try:
             got = obs.get
         except Exception:

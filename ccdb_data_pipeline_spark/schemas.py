@@ -157,6 +157,14 @@ class TableSpec:
     # dictionary-encoded chunks (the dictionary is already an exact filter),
     # so small/low-cardinality files pay nothing.
     bloom_filter: bool = True
+    # parquet codec for short-lived MoR delta files only (None = session
+    # default, zstd). Deltas are folded away by compaction, so their
+    # compression ratio buys little — lz4 trades ~2x transient disk for
+    # apply-path CPU (interleaved A/B at local[8], 2M-event batches:
+    # lz4 239.0k/235.8k ev/s vs zstd 224.6k/210.6k, wins both reps; snappy
+    # mixed). Base/CoW/compaction output always uses the session codec, so
+    # long-lived bytes stay zstd-small; readers auto-detect per file.
+    delta_codec: str | None = "lz4"
     # fused-fold execution engine: "arrow" runs the per-bucket LWW dedup +
     # normalization as pyarrow.compute kernels inside mapInArrow (no
     # Arrow->pandas conversion — payload strings never materialize as Python
