@@ -3248,3 +3248,160 @@ def scd2_event_join(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# =====================================================================
+# Join-shape coverage: left-semi (EXISTS) and decorrelated scalar
+# subquery — the two classic TPC-H shapes (q4 / q17) not yet exercised.
+# Both matter at scale for plan choice: the semi-join must stay a
+# *semi* join (no fan-out, no post-join dedup), and the correlated
+# subquery must decorrelate to one aggregate + one join, not a
+# per-row re-scan.
+# =====================================================================
+
+
+@q(
+    "semi_join_late_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def semi_join_late_orders(spark, sf_dir):
+    """TPC-H q4 shape: orders having >=1 lineitem shipped more than 60
+    days after the order date, counted per priority. LEFT SEMI keeps the
+    probe side at one row per order regardless of how many lineitems
+    qualify — no fan-out, no distinct. The correlated ship-vs-order date
+    predicate rides the join condition so Catalyst keeps it in the hash
+    join, and the groupBy count is map-side combinable."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "scalar_subquery_small_qty",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_small,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 2 * CAST(round(l.l_quantity * 100) AS BIGINT) * pa.cnt < pa.sum_qty_c
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def scalar_subquery_small_qty(spark, sf_dir):
+    """TPC-H q17 shape: lineitems whose quantity is below half the
+    per-part average, revenue per brand. The correlated scalar subquery
+    (AVG per l_partkey) is decorrelated by construction: ONE partial-agg
+    per part, joined back on the part key — the same key the probe side
+    already joins `part` on, so AQE can share the exchange. The
+    avg-threshold compare is integer-exact (2*qty_c*cnt < sum_qty_c),
+    never a float epsilon — identical row selection in any engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+    )
+    return (
+        li.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(2 * _cents(F.col("l_quantity")) * F.col("cnt") < F.col("sum_qty_c"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_c"),
+        )
+        .orderBy("brand")
+    )
+
+
+@q(
+    "cdc_agg_merge",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             event_id AS lsn,
+             CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS p
+      FROM events
+    ),
+    cut AS (SELECT user_id, MAX(lsn) AS cut FROM ev WHERE op = 'D' GROUP BY user_id),
+    kept AS (
+      SELECT e.user_id, e.lsn, e.v_c, e.p
+      FROM ev e LEFT JOIN cut c USING (user_id)
+      WHERE e.op <> 'D' AND (c.cut IS NULL OR e.lsn > c.cut)
+    )
+    SELECT user_id,
+           CAST(SUM(v_c) AS BIGINT) AS spend_c,
+           CAST(MAX(v_c) AS BIGINT) AS max_c,
+           CAST(MIN(v_c) AS BIGINT) AS min_c,
+           arg_max(p, lsn) FILTER (WHERE p IS NOT NULL) AS last_props,
+           CAST(MAX(lsn) AS BIGINT) AS last_lsn,
+           COUNT(*) AS n_contrib
+    FROM kept GROUP BY user_id ORDER BY user_id
+    """,
+)
+def cdc_agg_merge(spark, sf_dir):
+    """Aggregation merge engine (operators/aggmerge.py, the Paimon
+    merge-engine=aggregation analog): the change stream FOLDS into per-key
+    accumulators — sum/max/min of the event value, latest non-null props —
+    and a delete (every 13th event) RESETS the key. The resolve is two
+    map-side-combining aggregates + one key-local join; the same algebra the
+    lake table applies to its stored partials (TableSpec.agg_spec,
+    tests/test_agg_merge.py)."""
+    from .operators.aggmerge import resolve_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tagged = ev.select(
+        "user_id",
+        eid.alias("lsn"),
+        F.when(eid % 13 == 0, "D").otherwise("U").alias("op"),
+        _cents(F.col("value")).alias("spend_c"),
+        _cents(F.col("value")).alias("max_c"),
+        _cents(F.col("value")).alias("min_c"),
+        F.when(eid % 5 == 0, F.lit(None)).otherwise(F.col("props")).alias("last_props"),
+    )
+    out = resolve_aggregate(
+        tagged,
+        ["user_id"],
+        "lsn",
+        {"spend_c": "sum", "max_c": "max", "min_c": "min", "last_props": "last"},
+    )
+    return out.select(
+        "user_id",
+        F.col("spend_c").cast("long").alias("spend_c"),
+        F.col("max_c").cast("long").alias("max_c"),
+        F.col("min_c").cast("long").alias("min_c"),
+        "last_props",
+        F.col("last_lsn").cast("long").alias("last_lsn"),
+        "n_contrib",
+    ).orderBy("user_id")

@@ -114,21 +114,27 @@ def requeue_quarantined(
     still_bad = fixed.filter(bad)
     good = fixed.filter(~bad)
 
-    from pyspark.sql import Window
+    from ..operators.index import release_caches, with_global_index
 
     lsn_col = table.spec.lsn_col
-    w = Window.orderBy(F.col(lsn_col).asc_nulls_first())
     # mint above BOTH the applied high-water mark and the quarantined rows'
     # original (source-issued, never-applied) LSNs, so requeued LSNs never
     # collide with either space — a gap/overlap audit against the source
-    # stream stays unambiguous
+    # stream stays unambiguous. The gap-free ordinal comes from the
+    # two-pass range-partitioned indexer, not ROW_NUMBER over an
+    # unpartitioned window — that form funnels the whole requeue batch
+    # through one task, which matters when a poisoned upstream quarantines
+    # millions of rows, not dozens.
     qmax = fixed.agg(F.max(F.col(lsn_col))).first()[0]
     base = max(table.last_lsn, int(qmax) if qmax is not None else -1)
-    good = good.withColumn(
-        lsn_col, (F.lit(base) + F.row_number().over(w)).cast("long")
+    good = (
+        with_global_index(good, order_by=[lsn_col], index_col="_rq_idx")
+        .withColumn(lsn_col, (F.lit(base) + F.col("_rq_idx")).cast("long"))
+        .drop("_rq_idx")
     )
     stats = apply_changes(table, good, batch_id, normalize=normalize,
                           count_malformed=False)
+    release_caches()
 
     # consolidate the un-repairable remainder into one FRESH shard (never a
     # dir this job is lazily reading), deduped by source LSN so a

@@ -38,7 +38,16 @@ from pyspark.sql import types as T
 
 from ..operators.dedupe import EPOCH, lww_order
 from ..operators.evolve import align_to_schema, evolve_schema
-from ..schemas import BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED, TableSpec
+from ..schemas import (
+    AGG_N,
+    AGG_RESET,
+    BUCKET,
+    DELETED,
+    LSN_APPLIED,
+    PATCH,
+    TS_APPLIED,
+    TableSpec,
+)
 
 
 @dataclass
@@ -81,6 +90,58 @@ def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
         out[c] = lw.reindex(out.index)
     if out[DELETED].any():
         out.loc[out[DELETED], payload_cols] = None
+    return out.reset_index()
+
+
+def _fold_agg_pandas(pdf, keys: list[str], payload_cols: list[str],
+                     agg_spec: dict, int_cols: set[str], float_cols: set[str]):
+    """Within-batch fold for an aggregation-engine table (one Arrow batch =
+    one bucket partition): one PARTIAL row per key — accumulators over the
+    key's events AFTER its last in-batch delete, in log (LSN) order. A batch
+    containing a delete marks its partial ``_agg_reset`` so the read-time
+    merge discards older layers (operators/aggmerge.py has the algebra).
+
+    Vectorized: positional delete masks + two groupbys — no per-row Python.
+    Integer/float agg outputs use pandas nullable dtypes so a missing
+    accumulator survives the Arrow hop as NULL, not NaN/0."""
+    import numpy as np
+
+    pdf = pdf.sort_values(LSN_APPLIED, kind="stable").reset_index(drop=True)
+    pos = np.arange(len(pdf), dtype=np.int64)
+    deleted = pdf[DELETED].to_numpy()
+    pdf["_delpos"] = np.where(deleted, pos, -1)
+    last_del = pdf.groupby(keys, sort=False)["_delpos"].transform("max").to_numpy()
+    contrib_mask = (~deleted) & (pos > last_del)
+
+    g_all = pdf.groupby(keys, sort=False)
+    out = g_all.agg(
+        **{
+            TS_APPLIED: (TS_APPLIED, "max"),
+            LSN_APPLIED: (LSN_APPLIED, "max"),
+            AGG_RESET: (DELETED, "any"),
+            BUCKET: (BUCKET, "max"),
+        }
+    )
+    gc = pdf[contrib_mask].groupby(keys, sort=False)
+    out[AGG_N] = gc.size().reindex(out.index).fillna(0).astype("int64")
+    for c in payload_cols:
+        fn = agg_spec.get(c, "last")
+        if fn == "sum":
+            s = gc[c].sum(min_count=1)
+        elif fn == "min":
+            s = gc[c].min()
+        elif fn == "max":
+            s = gc[c].max()
+        else:  # last non-null, log order (pdf is LSN-sorted; .last skips NA)
+            s = gc[c].last()
+        s = s.reindex(out.index)
+        if c in int_cols:
+            s = s.astype("Int64")
+        elif c in float_cols:
+            s = s.astype("Float64")
+        out[c] = s
+    out[DELETED] = (out[AGG_N] == 0).to_numpy()
+    out["_op"] = None
     return out.reset_index()
 
 
@@ -459,6 +520,20 @@ class SnapshotParquetTable:
         """DDL analog of index create w/ mapping (index_ccdb.py:150-168)."""
         if self.exists():
             raise ValueError(f"table already exists at {self.root}")
+        if self.spec.agg_spec:
+            from ..operators.aggmerge import validate_agg_spec
+
+            validate_agg_spec(self.spec.agg_spec)
+            if self.spec.merge_mode != "mor":
+                raise ValueError("agg_spec requires merge_mode='mor'")
+            if self.spec.partial_updates:
+                raise ValueError("agg_spec and partial_updates are mutually exclusive")
+            unknown = sorted(
+                set(self.spec.agg_spec)
+                - {f.name for f in schema.fields if f.name not in self.spec.key_cols}
+            )
+            if unknown:
+                raise ValueError(f"agg_spec names non-payload columns: {unknown}")
         os.makedirs(self.root, exist_ok=True)
         m = {
             "version": 0,
@@ -502,6 +577,9 @@ class SnapshotParquetTable:
         ]
         if self.spec.partial_updates:
             fields.append(T.StructField(PATCH, T.BooleanType(), False))
+        if self.spec.agg_spec:
+            fields.append(T.StructField(AGG_RESET, T.BooleanType(), False))
+            fields.append(T.StructField(AGG_N, T.LongType(), False))
         return T.StructType(fields)
 
     def _read_files(self, entries: list[dict], m: dict) -> DataFrame | None:
@@ -716,6 +794,8 @@ class SnapshotParquetTable:
         shape — per-column max_by instead of one struct max_by."""
         keys = list(self.spec.key_cols)
         others = [c for c in df.columns if c not in keys]
+        if self.spec.agg_spec:
+            return self._resolve_agg(df)
         if PATCH in df.columns:
             ord_sql = f"struct({TS_APPLIED}, {LSN_APPLIED})"
             payload = [c for c in others if c not in (TS_APPLIED, LSN_APPLIED, DELETED, PATCH)]
@@ -755,6 +835,55 @@ class SnapshotParquetTable:
         out = df.groupBy(*[F.col(k) for k in keys]).agg(win.alias("_w"))
         return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
 
+    def _resolve_agg(self, df: DataFrame) -> DataFrame:
+        """Merge per-layer aggregation partials to final accumulator rows
+        (operators/aggmerge.py algebra). Per key: the newest reset layer's
+        LSN is the cutoff (its own partial already excludes the key's
+        pre-delete events); older layers are discarded; surviving partials
+        merge with each column's aggregate function. Liveness is
+        sum(_n_contrib) > 0 — a reset layer nothing followed is a tombstone.
+
+        Two map-side-combining aggregates + one key-local join (the cutoff
+        frame holds only keys that ever saw a delete). Closed over both
+        stored forms: fused per-batch partials and raw single-event rows
+        (write_path='raw')."""
+        from ..operators.aggmerge import merge_partial_exprs
+
+        spec = self.spec
+        keys = list(spec.key_cols)
+        meta = {TS_APPLIED, LSN_APPLIED, DELETED, AGG_RESET, AGG_N}
+        payload = [c for c in df.columns if c not in keys and c not in meta]
+        cuts = (
+            df.filter(F.col(AGG_RESET))
+            .groupBy(*keys)
+            .agg(F.max(F.col(LSN_APPLIED)).alias("_cut"))
+        )
+        kept = df.join(cuts, on=keys, how="left").filter(
+            F.col("_cut").isNull() | (F.col(LSN_APPLIED) >= F.col("_cut"))
+        )
+        aggs = merge_partial_exprs(spec.agg_spec, payload, LSN_APPLIED)
+        aggs += [
+            F.max(F.col(TS_APPLIED)).alias(TS_APPLIED),
+            F.max(F.col(LSN_APPLIED)).alias(LSN_APPLIED),
+            F.sum(F.col(AGG_N)).alias(AGG_N),
+            F.expr(f"bool_or({AGG_RESET})").alias(AGG_RESET),
+        ]
+        out = kept.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+        out = out.withColumn(DELETED, F.col(AGG_N) == F.lit(0))
+        # tombstones carry no accumulator state
+        return out.select(
+            *keys,
+            *[
+                F.when(F.col(DELETED), F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in payload
+            ],
+            TS_APPLIED,
+            LSN_APPLIED,
+            DELETED,
+            AGG_RESET,
+            AGG_N,
+        )
+
     # ------------------------------------------------------------ bootstrap
 
     def bootstrap(self, seed_df: DataFrame, schema: T.StructType | None = None) -> None:
@@ -771,6 +900,11 @@ class SnapshotParquetTable:
         )
         if self.spec.partial_updates:
             df = df.withColumn(PATCH, F.lit(False))
+        if self.spec.agg_spec:
+            # each seed row is the key's first contribution
+            df = df.withColumn(AGG_RESET, F.lit(False)).withColumn(
+                AGG_N, F.lit(1).cast("long")
+            )
         df = df.withColumn(BUCKET, self._bucket_expr())
         version = self._alloc_version()
         files = self._write_data(df, version=version)
@@ -886,6 +1020,11 @@ class SnapshotParquetTable:
             # the CoW full-outer resolve is row-image based; partial updates
             # are a merge-on-read feature (use merge_events), as in Paimon
             raise ValueError("partial_updates requires merge_mode='mor' (merge_events)")
+        if spec.agg_spec:
+            # merge() takes a PRE-DEDUPED batch (unique per key) — deduping
+            # a change stream destroys aggregation contributions; the agg
+            # engine folds every event via merge_events
+            raise ValueError("agg_spec requires merge_events (MoR apply path)")
 
         # --- schema evolution (column add / widen) before anything touches data
         tgt_schema = T.StructType.fromJson(m0["schema"])
@@ -1093,12 +1232,28 @@ class SnapshotParquetTable:
 
         payload_cols = [f.name for f in new_schema.fields if f.name not in keys]
 
+        agg_int_cols = {
+            f.name
+            for f in new_schema.fields
+            if f.name not in keys
+            and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        }
+        agg_float_cols = {
+            f.name
+            for f in new_schema.fields
+            if f.name not in keys and f.dataType.simpleString() in ("float", "double")
+        }
+
         def _fold(it):
             frames = list(it)
             if not frames:
                 return
             pdf = frames[0] if len(frames) == 1 else _pd.concat(frames, ignore_index=True)
-            if spec.partial_updates:
+            if spec.agg_spec:
+                pdf = _fold_agg_pandas(
+                    pdf, keys, payload_cols, spec.agg_spec, agg_int_cols, agg_float_cols
+                )
+            elif spec.partial_updates:
                 pdf = _fold_patches_pandas(pdf, keys, payload_cols, sort_cols)
             else:
                 pdf = pdf.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep="last")
@@ -1193,7 +1348,7 @@ class SnapshotParquetTable:
             # raw append: every version row, JVM-only apply path; dedup and
             # normalization defer to read-time resolve / compaction
             folded = with_op
-        elif spec.fold_engine == "arrow" and not spec.partial_updates:
+        elif spec.fold_engine == "arrow" and not spec.partial_updates and not spec.agg_spec:
             folded = with_op.mapInArrow(_fold_arrow, schema=out_schema)
         else:
             folded = with_op.mapInPandas(_fold, schema=out_schema)
@@ -1495,6 +1650,12 @@ class SnapshotParquetTable:
         ]
         if spec.partial_updates:
             cols.append((F.col(spec.op_col) == "P").alias(PATCH))
+        if spec.agg_spec:
+            # raw (unfused) rows are single-event partials: a delete is its
+            # own reset layer with nothing folded in; any other event is one
+            # contribution — the read-time merge is closed over this form
+            cols.append(is_del.alias(AGG_RESET))
+            cols.append(F.when(is_del, 0).otherwise(1).cast("long").alias(AGG_N))
         cols.append(F.col(BUCKET))
         return src.select(*cols, *(extra or []))
 

@@ -82,6 +82,11 @@ LSN_APPLIED = "_lsn_applied"  # LSN of the last applied writer (LWW tie-break)
 DELETED = "_deleted"  # tombstone flag: wins LWW against stale late updates
 BUCKET = "_bucket"  # storage bucket = pmod(xxhash64(conv_id), num_buckets)
 PATCH = "_patch"  # partial-update row: non-null payload cols overlay the base
+AGG_RESET = "_agg_reset"  # aggregation engine: this layer contains a delete —
+#   discard every OLDER layer for the key (this layer's partial already
+#   excludes the key's pre-delete events)
+AGG_N = "_n_contrib"  # aggregation engine: events folded into this partial
+#   (0 = pure tombstone); the resolve's liveness test is sum(_n_contrib) > 0
 
 INTERNAL_COLS = (TS_APPLIED, LSN_APPLIED, DELETED, BUCKET)
 
@@ -147,6 +152,14 @@ class TableSpec:
     # image. A patch never creates, deletes, or resurrects a row. See
     # operators/patch.py for the standalone resolve and its NULL caveat.
     partial_updates: bool = False
+    # aggregation merge engine (Paimon "aggregation" analog, MoR only,
+    # mutually exclusive with partial_updates): map of payload column ->
+    # aggregate function ("sum" | "min" | "max" | "last"); unlisted payload
+    # columns default to "last" (latest non-null, log order). Events FOLD
+    # INTO the stored row (the table is the accumulator); a delete RESETS
+    # the key. Storage holds mergeable per-batch PARTIALS; read/compaction
+    # merges them — see operators/aggmerge.py for the algebra.
+    agg_spec: dict | None = None
     # write a parquet bloom filter for the bucket column in LONG-LIVED data
     # files (bootstrap, CoW rewrites, compaction output — not MoR delta
     # appends, which are folded away before a bloom earns its ~3-4% write
