@@ -45,22 +45,34 @@ def quarantine_malformed(
     batch_df: DataFrame, spec, quarantine_dir: str, batch_id: int
 ) -> None:
     """Dead-letter sink: park the batch's malformed rows (null key parts)
-    under ``<dir>/b-<batch_id>`` with the failing reason, instead of losing
+    AND drop-action expectation violations (TableSpec.expectations) under
+    ``<dir>/b-<batch_id>`` with the failing reason(s), instead of losing
     them to the drop filter. Idempotent (overwrite per batch dir) so a
     replayed batch rewrites, never duplicates, its quarantine shard. The
     reference silently skips these rows (index_ccdb.py:104); a production
     CDC tail needs them inspectable."""
     import os
 
+    from .lake import _expectation_cols
+
+    drops = [
+        (name, viol)
+        for name, action, viol in _expectation_cols(spec, F.col(spec.op_col))
+        if action == "drop"
+    ]
+    pred = _bad_key_pred(spec)
+    for _, viol in drops:
+        pred = pred | viol
     reason = F.concat_ws(
         ",",
         *[
             F.when(F.col(k).isNull(), F.lit(f"null:{k}"))
             for k in spec.key_cols
         ],
+        *[F.when(viol, F.lit(f"exp:{name}")) for name, viol in drops],
     )
     (
-        batch_df.filter(_bad_key_pred(spec))
+        batch_df.filter(pred)
         .withColumn("_reason", reason)
         .withColumn("_batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -221,7 +233,15 @@ def apply_changes(
     # dead-letter the malformed rows AFTER the commit decided the batch is
     # fresh; the write runs only when the (already-computed) count is
     # non-zero, so the common clean batch pays nothing
-    if quarantine_dir is not None and not stats.skipped and stats.n_malformed > 0:
+    _drop_exps = {n for n, _p, a in spec.expectations if a == "drop"}
+    n_exp_dropped = sum(
+        c for n, c in (stats.expectations or {}).items() if n in _drop_exps
+    )
+    if (
+        quarantine_dir is not None
+        and not stats.skipped
+        and (stats.n_malformed > 0 or n_exp_dropped > 0)
+    ):
         quarantine_malformed(raw_df, spec, quarantine_dir, batch_id)
     # merge-on-read maintenance: fold delta layers periodically so read
     # amplification stays bounded (tombstones retained — reclaiming them is

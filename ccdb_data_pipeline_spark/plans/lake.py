@@ -64,6 +64,8 @@ class MergeStats:
     lsn_max: int | None = None
     snapshot_id: str = ""
     version: int = -1
+    # expectation name -> violation count (write-time data-quality gates)
+    expectations: dict | None = None
 
 
 def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
@@ -355,6 +357,33 @@ def _atomic_write_exclusive(path: str, data: str) -> None:
 class AuditFailedError(RuntimeError):
     """A write-audit-publish audit rejected the staged snapshot; the branch
     stays unpublished (main is untouched)."""
+
+
+class ExpectationFailedError(RuntimeError):
+    """A fail-action expectation saw violations: the batch is aborted BEFORE
+    the manifest commit (any files the apply job wrote stay unreferenced and
+    are reclaimed by orphan GC). Carries {expectation_name: violation_count}
+    in ``counts``."""
+
+    def __init__(self, batch_id: int, counts: dict):
+        self.batch_id = batch_id
+        self.counts = counts
+        super().__init__(
+            f"batch {batch_id} violates fail expectation(s) {counts}; not committed"
+        )
+
+
+def _expectation_cols(spec: TableSpec, op_col):
+    """(name, action, violation_expr) per expectation. A violation is a
+    non-delete event whose predicate is FALSE or NULL (DLT semantics) —
+    deletes carry no payload to validate."""
+    out = []
+    for name, pred, action in spec.expectations:
+        if action not in ("warn", "drop", "fail"):
+            raise ValueError(f"expectation {name!r}: unknown action {action!r}")
+        viol = (op_col != "D") & ~F.coalesce(F.expr(pred), F.lit(False))
+        out.append((name, action, viol))
+    return out
 
 
 class PublishConflictError(RuntimeError):
@@ -1047,6 +1076,14 @@ class SnapshotParquetTable:
 
         # --- per-bucket batch stats: one small agg drives lineage + the
         #     affected-bucket list (<= num_buckets rows to the driver).
+        #     Expectation violation counts ride the same agg (no extra pass);
+        #     drop-action rows are excluded AFTER counting, and the stats
+        #     (n/lsn range) keep covering them — the LSNs were consumed.
+        exps = _expectation_cols(spec, F.col(spec.op_col))
+        exp_aggs = [
+            F.sum(F.when(viol, 1).otherwise(0)).alias(f"exp_{name}")
+            for name, _, viol in exps
+        ]
         per_bucket = (
             src.groupBy(BUCKET)
             .agg(
@@ -1056,9 +1093,28 @@ class SnapshotParquetTable:
                 F.sum(F.when(F.col(spec.op_col) == "U", 1).otherwise(0)).alias("n_u"),
                 F.sum(F.when(F.col(spec.op_col) == "D", 1).otherwise(0)).alias("n_d"),
                 F.count("*").alias("n"),
+                *exp_aggs,
             )
             .collect()
         )
+        exp_counts = {
+            name: sum(int(r[f"exp_{name}"] or 0) for r in per_bucket)
+            for name, _, _ in exps
+        }
+        failed = {
+            name: exp_counts[name]
+            for name, action, _ in exps
+            if action == "fail" and exp_counts[name] > 0
+        }
+        if failed:
+            src.unpersist()
+            raise ExpectationFailedError(batch_id, failed)
+        drop_pred = None
+        for name, action, viol in exps:
+            if action == "drop":
+                drop_pred = viol if drop_pred is None else (drop_pred | viol)
+        if drop_pred is not None:
+            src = src.filter(~drop_pred)
         if not per_bucket:
             src.unpersist()
             return self._commit_empty(batch_id, summary_extra)
@@ -1073,6 +1129,7 @@ class SnapshotParquetTable:
             n_buckets=len(affected),
             lsn_min=min(r["lsn_min"] for r in per_bucket),
             lsn_max=max(r["lsn_max"] for r in per_bucket),
+            expectations=exp_counts or None,
         )
 
         # --- schema-era bookkeeping, then the mode-specific apply
@@ -1130,6 +1187,7 @@ class SnapshotParquetTable:
             "n_delete": stats.n_delete,
             "lsn_min": stats.lsn_min,
             "lsn_max": stats.lsn_max,
+            **({"expectations": exp_counts} if exps else {}),
             "affected_buckets": affected,
             "per_bucket": [
                 {
@@ -1288,8 +1346,12 @@ class SnapshotParquetTable:
         ok = ~bad
         with_op = self._as_delta_rows(src, new_schema, extra=[F.col(spec.op_col).alias("_op")])
         obs = Observation(f"cdc-batch-{batch_id}")
-        with_op = with_op.observe(
-            obs,
+        # expectations ride the same observe/filter node — violation counts
+        # and drop-action filtering cost no extra pass over the batch.
+        # NOTE: evaluated on the delta-row projection, whose payload is
+        # nulled for deletes; _expectation_cols gates on op != 'D'.
+        exps = _expectation_cols(spec, F.col("_op"))
+        obs_aggs = [
             F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
             F.sum(F.when(bad, 1).otherwise(0)).alias("n_malformed"),
             F.min(F.when(ok, F.col(LSN_APPLIED))).alias("lsn_min"),
@@ -1297,7 +1359,16 @@ class SnapshotParquetTable:
             F.sum(F.when(ok & (F.col("_op") == "I"), 1).otherwise(0)).alias("n_i"),
             F.sum(F.when(ok & (F.col("_op") == "U"), 1).otherwise(0)).alias("n_u"),
             F.sum(F.when(ok & (F.col("_op") == "D"), 1).otherwise(0)).alias("n_d"),
-        ).filter(ok)
+        ]
+        drop_pred = None
+        for name, action, viol in exps:
+            obs_aggs.append(
+                F.sum(F.when(ok & viol, 1).otherwise(0)).alias(f"exp_{name}")
+            )
+            if action == "drop":
+                drop_pred = viol if drop_pred is None else (drop_pred | viol)
+        keep = ok if drop_pred is None else (ok & ~drop_pred)
+        with_op = with_op.observe(obs, *obs_aggs).filter(keep)
 
         # the ONE shuffle: hash-distribute on bucket (plus, when the salt
         # fan > 1, hash(turn_idx) % salt — keys stay partition-local so
@@ -1385,6 +1456,17 @@ class SnapshotParquetTable:
             got = {"n": 0, "n_malformed": src.count(), "lsn_min": None,
                    "lsn_max": None, "n_i": 0, "n_u": 0, "n_d": 0}
         n_malformed = int(got["n_malformed"] or 0)
+        exp_counts = {name: int(got.get(f"exp_{name}") or 0) for name, _, _ in exps}
+        failed = {
+            name: exp_counts[name]
+            for name, action, _ in exps
+            if action == "fail" and exp_counts[name] > 0
+        }
+        if failed:
+            # abort BEFORE the manifest commit: the written delta files stay
+            # unreferenced (orphan GC reclaims them); the ledger is untouched
+            # so a repaired replay of this batch_id applies cleanly
+            raise ExpectationFailedError(batch_id, failed)
         if not got["n"]:
             extra = dict(summary_extra() if callable(summary_extra) else (summary_extra or {}))
             extra.setdefault("n_malformed", n_malformed)
@@ -1403,6 +1485,7 @@ class SnapshotParquetTable:
             n_buckets=len(affected),
             lsn_min=int(got["lsn_min"]),
             lsn_max=int(got["lsn_max"]),
+            expectations=exp_counts or None,
         )
 
         m = dict(m0)
@@ -1432,6 +1515,7 @@ class SnapshotParquetTable:
             "lsn_max": stats.lsn_max,
             "affected_buckets": affected,
             "per_bucket": per_bucket,
+            **({"expectations": exp_counts} if exps else {}),
             **(summary_extra() if callable(summary_extra) else (summary_extra or {})),
         }
         m["committed_at"] = time.time()

@@ -160,6 +160,18 @@ class TableSpec:
     # the key. Storage holds mergeable per-batch PARTIALS; read/compaction
     # merges them — see operators/aggmerge.py for the algebra.
     agg_spec: dict | None = None
+    # write-time data-quality expectations (Delta constraint / DLT
+    # expectation analog): (name, sql_predicate_that_must_hold, action)
+    # triples, evaluated per NON-DELETE source event inside the apply job's
+    # existing observe/filter node — no extra pass. A NULL predicate counts
+    # as a violation (DLT semantics). Actions:
+    #   "warn" — keep the row, count the violation (lineage summary);
+    #   "drop" — exclude the row (dead-letters when a quarantine_dir is
+    #            configured), count it;
+    #   "fail" — abort the batch BEFORE the manifest commit (written files
+    #            stay unreferenced -> orphan GC; replay of the repaired
+    #            batch is clean because nothing was committed).
+    expectations: tuple = ()
     # write a parquet bloom filter for the bucket column in LONG-LIVED data
     # files (bootstrap, CoW rewrites, compaction output — not MoR delta
     # appends, which are folded away before a bloom earns its ~3-4% write
