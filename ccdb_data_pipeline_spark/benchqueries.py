@@ -3405,3 +3405,52 @@ def cdc_agg_merge(spark, sf_dir):
         F.col("last_lsn").cast("long").alias("last_lsn"),
         "n_contrib",
     ).orderBy("user_id")
+
+
+@q(
+    "cdc_first_claim",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id AS lsn, ts,
+             CASE WHEN event_id % 211 = 0 THEN 'D' ELSE 'I' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    live AS (SELECT * FROM ev WHERE op <> 'D'),
+    w1 AS (SELECT user_id, MIN(ts) AS fts FROM live GROUP BY user_id),
+    w2 AS (
+      SELECT l.user_id, MIN(l.lsn) AS flsn
+      FROM live l JOIN w1 ON l.user_id = w1.user_id AND l.ts = w1.fts
+      GROUP BY l.user_id
+    )
+    SELECT l.user_id, l.v_c AS first_v_c, CAST(l.lsn AS BIGINT) AS first_lsn
+    FROM live l JOIN w2 ON l.user_id = w2.user_id AND l.lsn = w2.flsn
+    WHERE l.user_id NOT IN (SELECT user_id FROM ev WHERE op = 'D')
+    ORDER BY l.user_id
+    """,
+)
+def cdc_first_claim(spark, sf_dir):
+    """First-row merge engine semantics (TableSpec.first_row, Paimon
+    merge-engine=first-row analog) in standalone form: per key the FIRST
+    writer by (ts, lsn) wins — claim-once under at-least-once upstreams —
+    and a delete erases the key permanently. One map-side-combining
+    min_by aggregate; the lake table's layered resolve is
+    plans/lake.py _resolve_first (tests/test_first_row.py)."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tagged = ev.select(
+        "user_id",
+        eid.alias("lsn"),
+        "ts",
+        F.when(eid % 211 == 0, "D").otherwise("I").alias("op"),
+        _cents(F.col("value")).alias("v_c"),
+    )
+    not_d = "op <> 'D'"
+    out = tagged.groupBy("user_id").agg(
+        F.expr(f"min_by(v_c, struct(ts, lsn)) FILTER (WHERE {not_d})").alias("first_v_c"),
+        F.expr(f"min_by(lsn, struct(ts, lsn)) FILTER (WHERE {not_d})")
+        .cast("long")
+        .alias("first_lsn"),
+        F.expr("bool_or(op = 'D')").alias("_dead"),
+    )
+    return out.filter(~F.col("_dead")).drop("_dead").orderBy("user_id")

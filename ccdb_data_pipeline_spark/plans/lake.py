@@ -147,6 +147,20 @@ def _fold_agg_pandas(pdf, keys: list[str], payload_cols: list[str],
     return out.reset_index()
 
 
+def _fold_first_pandas(pdf, keys: list[str], sort_cols: list[str]):
+    """Within-batch collapse for a first-row table: per key, the FIRST
+    non-delete writer in (ts, lsn) order — unless the batch deletes the key,
+    in which case the (dominant, permanent) tombstone wins. Vectorized:
+    one stable sort + two drop_duplicates."""
+    import pandas as _pd
+
+    pdf = pdf.sort_values(sort_cols, kind="stable")
+    dels = pdf[pdf[DELETED]].drop_duplicates(keys, keep="last").set_index(keys)
+    firsts = pdf[~pdf[DELETED]].drop_duplicates(keys, keep="first").set_index(keys)
+    keep_first = firsts[~firsts.index.isin(dels.index)]
+    return _pd.concat([dels, keep_first]).reset_index()
+
+
 def _fold_lww_arrow(tbl, keys: list[str], sort_cols: list[str]):
     """LWW winner per key over a pyarrow Table — the zero-pandas analog of
     ``sort_values(sort_cols).drop_duplicates(keys, keep="last")``. The sort
@@ -557,12 +571,19 @@ class SnapshotParquetTable:
                 raise ValueError("agg_spec requires merge_mode='mor'")
             if self.spec.partial_updates:
                 raise ValueError("agg_spec and partial_updates are mutually exclusive")
+            if self.spec.first_row:
+                raise ValueError("agg_spec and first_row are mutually exclusive")
             unknown = sorted(
                 set(self.spec.agg_spec)
                 - {f.name for f in schema.fields if f.name not in self.spec.key_cols}
             )
             if unknown:
                 raise ValueError(f"agg_spec names non-payload columns: {unknown}")
+        if self.spec.first_row:
+            if self.spec.merge_mode != "mor":
+                raise ValueError("first_row requires merge_mode='mor'")
+            if self.spec.partial_updates:
+                raise ValueError("first_row and partial_updates are mutually exclusive")
         os.makedirs(self.root, exist_ok=True)
         m = {
             "version": 0,
@@ -825,6 +846,8 @@ class SnapshotParquetTable:
         others = [c for c in df.columns if c not in keys]
         if self.spec.agg_spec:
             return self._resolve_agg(df)
+        if self.spec.first_row:
+            return self._resolve_first(df, keys, others)
         if PATCH in df.columns:
             ord_sql = f"struct({TS_APPLIED}, {LSN_APPLIED})"
             payload = [c for c in others if c not in (TS_APPLIED, LSN_APPLIED, DELETED, PATCH)]
@@ -863,6 +886,40 @@ class SnapshotParquetTable:
         win = F.max_by(F.struct(*[F.col(c) for c in others]), ord_)
         out = df.groupBy(*[F.col(k) for k in keys]).agg(win.alias("_w"))
         return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+
+    def _resolve_first(self, df: DataFrame, keys: list[str], others: list[str]) -> DataFrame:
+        """First-row resolve: a key any layer deleted is dead (permanent
+        erasure); otherwise the MINIMUM (ts, lsn) writer across layers wins
+        (a late-arriving event with an earlier event time replaces a
+        provisional base-row winner — event-time-correct claim-once). One
+        map-side-combining aggregate, same shape as the LWW resolve."""
+        ord_ = F.struct(F.col(TS_APPLIED), F.col(LSN_APPLIED))
+        win = F.expr(
+            "min_by(struct({cols}), struct({ts}, {lsn})) FILTER (WHERE NOT {d})".format(
+                cols=", ".join(f"`{c}`" for c in others),
+                ts=TS_APPLIED,
+                lsn=LSN_APPLIED,
+                d=DELETED,
+            )
+        )
+        out = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.expr(f"bool_or({DELETED})").alias("_dead"),
+            win.alias("_w"),
+            F.max(F.col(TS_APPLIED)).alias("_ts_hi"),
+            F.max(F.col(LSN_APPLIED)).alias("_lsn_hi"),
+        )
+        dead = F.col("_dead")
+        sel = list(keys)
+        for c in others:
+            if c == TS_APPLIED:
+                sel.append(F.when(dead, F.col("_ts_hi")).otherwise(F.col(f"_w.{c}")).alias(c))
+            elif c == LSN_APPLIED:
+                sel.append(F.when(dead, F.col("_lsn_hi")).otherwise(F.col(f"_w.{c}")).alias(c))
+            elif c == DELETED:
+                sel.append(dead.alias(DELETED))
+            else:
+                sel.append(F.when(dead, F.lit(None)).otherwise(F.col(f"_w.{c}")).alias(c))
+        return out.select(*sel)
 
     def _resolve_agg(self, df: DataFrame) -> DataFrame:
         """Merge per-layer aggregation partials to final accumulator rows
@@ -1054,6 +1111,10 @@ class SnapshotParquetTable:
             # a change stream destroys aggregation contributions; the agg
             # engine folds every event via merge_events
             raise ValueError("agg_spec requires merge_events (MoR apply path)")
+        if spec.first_row:
+            # the upstream LWW dedup keeps the LAST writer — wrong engine;
+            # first-row folds via merge_events
+            raise ValueError("first_row requires merge_events (MoR apply path)")
 
         # --- schema evolution (column add / widen) before anything touches data
         tgt_schema = T.StructType.fromJson(m0["schema"])
@@ -1311,6 +1372,8 @@ class SnapshotParquetTable:
                 pdf = _fold_agg_pandas(
                     pdf, keys, payload_cols, spec.agg_spec, agg_int_cols, agg_float_cols
                 )
+            elif spec.first_row:
+                pdf = _fold_first_pandas(pdf, keys, sort_cols)
             elif spec.partial_updates:
                 pdf = _fold_patches_pandas(pdf, keys, payload_cols, sort_cols)
             else:
@@ -1419,7 +1482,12 @@ class SnapshotParquetTable:
             # raw append: every version row, JVM-only apply path; dedup and
             # normalization defer to read-time resolve / compaction
             folded = with_op
-        elif spec.fold_engine == "arrow" and not spec.partial_updates and not spec.agg_spec:
+        elif (
+            spec.fold_engine == "arrow"
+            and not spec.partial_updates
+            and not spec.agg_spec
+            and not spec.first_row
+        ):
             folded = with_op.mapInArrow(_fold_arrow, schema=out_schema)
         else:
             folded = with_op.mapInPandas(_fold, schema=out_schema)

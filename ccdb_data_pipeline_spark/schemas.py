@@ -172,6 +172,15 @@ class TableSpec:
     #            stay unreferenced -> orphan GC; replay of the repaired
     #            batch is clean because nothing was committed).
     expectations: tuple = ()
+    # first-row merge engine (Paimon merge-engine=first-row analog, MoR
+    # only, exclusive with partial_updates/agg_spec): the FIRST writer per
+    # key wins by (ts, lsn) — later events are ignored (at-source insert
+    # dedup: claim-once semantics under at-least-once upstreams). Unlike
+    # Paimon, deletes ARE supported and dominate permanently: a 'D' erases
+    # the key and later events do not resurrect it (the GDPR-erasure
+    # contract); reclaim tombstones only past the lateness horizon, as with
+    # LWW tables.
+    first_row: bool = False
     # write a parquet bloom filter for the bucket column in LONG-LIVED data
     # files (bootstrap, CoW rewrites, compaction output — not MoR delta
     # appends, which are folded away before a bloom earns its ~3-4% write
