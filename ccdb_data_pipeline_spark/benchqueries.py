@@ -3454,3 +3454,103 @@ def cdc_first_claim(spark, sf_dir):
         F.expr("bool_or(op = 'D')").alias("_dead"),
     )
     return out.filter(~F.col("_dead")).drop("_dead").orderBy("user_id")
+
+
+@q(
+    "embedding_sq8_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(dv, x -> CAST(round(x * 127.0 / sqrt(list_inner_product(dv, dv))) AS BIGINT)) AS qv
+      FROM v
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CAST(list_inner_product(q.qv, c.qv) AS BIGINT) AS dot_q
+      FROM qz q, qz c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT qid, cid AS neighbor_id, dot_q, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, cid) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY qid, rank
+    """,
+)
+def embedding_sq8_topk(spark, sf_dir):
+    """INT8 scalar-quantized ANN (FAISS SQ8 analog): normalize + round onto
+    the [-127,127] grid map-side, rank by the exact integer dot product of
+    the codes — 4x less scan bytes than float32 brute force at 10^9
+    vectors, and the score is engine-exact (integer, no float ties)."""
+    from .operators.similarity import sq8_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(
+        e, e.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    ).orderBy("qid", "rank")
+
+
+@q(
+    "turn_integrity",
+    """
+    WITH t AS (
+      SELECT user_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'tool'
+                  ELSE 'assistant' END AS role,
+             ts, event_id,
+             LAG(CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                      WHEN event_type = 'error' THEN 'tool'
+                      ELSE 'assistant' END)
+               OVER (PARTITION BY user_id ORDER BY event_id) AS prev_role,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+           CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_regressions,
+           MIN(CASE WHEN prev_role IS NULL THEN role END) AS first_role
+    FROM t GROUP BY user_id
+    HAVING SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) > 0
+        OR SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+)
+def turn_integrity(spark, sf_dir):
+    """Transcript-structure audit (the training-data gate every agent-trace
+    pipeline runs before SFT export): per conversation, flag role-alternation
+    violations (two consecutive turns by the same speaker in LSN order) and
+    event-time regressions (ts decreasing while the log position advances —
+    out-of-order capture). One window pass + one groupBy on the same key, so
+    AQE coalesces them into a single shuffle; emits only violating convs
+    (the quarantine set), which at 10^10 scale is the small output."""
+    ev = _t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    t = ev.select(
+        "user_id",
+        role.alias("role"),
+        "ts",
+        F.lag(role).over(w).alias("prev_role"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    out = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_role_repeats"),
+        F.sum(F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ts_regressions"),
+        F.min(F.when(F.col("prev_role").isNull(), F.col("role"))).alias("first_role"),
+    )
+    return out.filter(
+        (F.col("n_role_repeats") > 0) | (F.col("n_ts_regressions") > 0)
+    ).orderBy("user_id")

@@ -212,3 +212,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("cid").alias("neighbor_id"), "cos_bp", "rank")
     )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """INT8 scalar quantization (the FAISS SQ8 / Lucene int8-HNSW storage
+    trick): L2-normalize, then round each component onto the [-127, 127]
+    integer grid — 4x smaller than float32, and the ANN distance becomes an
+    exact INTEGER dot product (SIMD-friendly, no float drift across engines
+    or partitionings). Map-side only: no shuffle, no Python. The expression
+    is spelled ``round(x * 127.0 / norm)`` so an oracle engine evaluating
+    the same literal shape is bit-identical (same IEEE op order)."""
+    nrm = _norm(F.col(vec_col))
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(127.0) / nrm).cast("int")
+    )
+    return df.select(F.col(id_col), *(keep or []), q.alias(out_col))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8-quantized vectors: both sides are
+    quantized once (map-side), the query side is broadcast, and ranking is
+    by the exact integer dot product of the int8 codes (= cosine * 127^2 up
+    to quantization error, monotone enough for recall@k). At 10^9 vectors
+    this is the memory-bound scan variant: 4x fewer bytes per row than
+    float32 brute force, integer multiply-add instead of FMA, and the score
+    is engine-exact (no float tie instability). Ties break on corpus id."""
+    qq = F.broadcast(
+        sq8_quantize(queries, id_col, vec_col).select(
+            F.col(id_col).alias("qid"), F.col("qvec").alias("_qa")
+        )
+    )
+    cq = sq8_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), F.col("qvec").alias("_qb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("dot_q"), "cid")
+    return (
+        cq.crossJoin(qq)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dot_q", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "dot_q", "rank")
+    )
