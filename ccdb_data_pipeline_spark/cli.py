@@ -19,6 +19,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   tag     --table DIR --name N [--version V]       pin a snapshot (GC-immune, immutable name)
   untag   --table DIR --name N                     release a pinned snapshot
   rate    --table DIR                              per-batch ingest rate report from the ledger
+  rename  --table DIR --from OLD --to NEW          metadata-only column rename (field-id analog)
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
-                                    "tag", "untag", "rate"])
+                                    "tag", "untag", "rate", "rename"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -66,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
                     "Morton-curve clustering instead of the key sort")
     ap.add_argument("--version", type=int, default=None,
                     help="tag: version to pin (default: current)")
+    ap.add_argument("--from", dest="rename_from", help="rename: current column name")
+    ap.add_argument("--to", dest="rename_to", help="rename: new column name")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -150,6 +153,9 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "untag":
         table.drop_tag(a.name)
         print(json.dumps({"dropped": a.name}))
+    elif a.cmd == "rename":
+        v = table.rename_column(a.rename_from, a.rename_to)
+        print(json.dumps({"renamed": [a.rename_from, a.rename_to], "version": v}))
     elif a.cmd == "history":
         for m in table.history():
             print(json.dumps({

@@ -646,6 +646,20 @@ class SnapshotParquetTable:
         for sid, paths in by_sid.items():
             era = self._internal_schema(T.StructType.fromJson(m["schemas"][str(sid)]))
             df = self.spark.read.schema(era).parquet(*paths)
+            # renames that postdate this era map its old column names onto
+            # the current ones BEFORE alignment (Iceberg field-id semantics:
+            # the stored column IS the renamed field; a later re-add of the
+            # retired name is a different field and stays null here).
+            # Applied in sid order so chained renames (a->b, then b->c)
+            # compose.
+            for r in m.get("renames", []):
+                if int(r["sid"]) > sid and r["from"] in df.columns:
+                    if r["to"] in df.columns:
+                        raise RuntimeError(
+                            f"rename {r['from']}->{r['to']} collides with an "
+                            f"existing column in schema era {sid}"
+                        )
+                    df = df.withColumnRenamed(r["from"], r["to"])
             parts.append(align_to_schema(df, cur))
         out = parts[0]
         for p in parts[1:]:
@@ -1117,6 +1131,7 @@ class SnapshotParquetTable:
             raise ValueError("first_row requires merge_events (MoR apply path)")
 
         # --- schema evolution (column add / widen) before anything touches data
+        source = self._apply_rename_map(source, m0)
         tgt_schema = T.StructType.fromJson(m0["schema"])
         data_cols = [c for c in source.columns if c not in (spec.op_col, spec.lsn_col)]
         batch_payload = T.StructType([source.schema[c] for c in data_cols])
@@ -1324,6 +1339,7 @@ class SnapshotParquetTable:
         spec = self.spec
 
         # --- schema evolution (column add / widen) from the raw batch schema
+        events = self._apply_rename_map(events, m0)
         tgt_schema = T.StructType.fromJson(m0["schema"])
         data_cols = [c for c in events.columns if c not in (spec.op_col, spec.lsn_col)]
         batch_payload = T.StructType([events.schema[c] for c in data_cols])
@@ -1895,6 +1911,69 @@ class SnapshotParquetTable:
         m["committed_at"] = time.time()
         self._commit(m, expected_ref=cur["version"])
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg field-id rename analog): no
+        data file is touched. The manifest gains a new schema era carrying
+        the new name plus a rename-log entry ``{from, to, sid}``; at read
+        time each OLDER era applies the renames that postdate it before
+        aligning to the current schema (see ``_read_files``), so files
+        written under the old name keep serving the renamed column — and a
+        later re-add of the retired name is a distinct field (null in
+        pre-rename files), exactly Iceberg's field-id behavior. The
+        reference's rename mechanism is the positional header swap in
+        /root/reference/common/csv2json.py:74-77 — edit the field file,
+        rewrite the whole output; here a rename is O(manifest) at any table
+        size. Key/bucket/ts/lsn columns are rejected: their names are wired
+        into the TableSpec every writer constructs with (rename those by
+        migrating the spec, a deliberate operational event)."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(cur["schema"])
+        names = [f.name for f in schema.fields]
+        reserved = {TS_APPLIED, LSN_APPLIED, DELETED, PATCH, BUCKET, AGG_RESET, AGG_N}
+        protected = {*self.spec.key_cols, self.spec.bucket_col, self.spec.ts_col,
+                     self.spec.lsn_col, self.spec.op_col}
+        if old not in names:
+            raise ValueError(f"no column {old!r}; table has {names}")
+        if old in protected:
+            raise ValueError(f"{old!r} is a key/bucket/ts column — spec-wired, not renameable")
+        if new in names or new in reserved or not new:
+            raise ValueError(f"target name {new!r} already exists or is reserved")
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        new_sid = max(int(k) for k in cur["schemas"]) + 1
+        m = dict(cur)
+        m["version"] = self._alloc_version()
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["parent_snapshot_id"] = cur["snapshot_id"]
+        m["schemas"] = dict(cur["schemas"])
+        m["schemas"][str(new_sid)] = new_schema.jsonValue()
+        m["schema"] = new_schema.jsonValue()
+        m["current_schema_id"] = new_sid
+        m["renames"] = list(cur.get("renames", [])) + [
+            {"from": old, "to": new, "sid": new_sid}
+        ]
+        m["summary"] = {"op": "rename_column", "from": old, "to": new}
+        m["committed_at"] = time.time()
+        self._commit(m, expected_ref=cur["version"])
+        return m["version"]
+
+    def _apply_rename_map(self, df: DataFrame, m: dict) -> DataFrame:
+        """Map a source batch's retired column names onto their current ones
+        (producers lagging a rename DDL). Only the unambiguous case — the
+        batch has the old name and NOT the new — is remapped; opt out with
+        ``TableSpec.remap_renamed_columns=False`` for strictly literal
+        names."""
+        if not self.spec.remap_renamed_columns:
+            return df
+        for r in m.get("renames", []):
+            if r["from"] in df.columns and r["to"] not in df.columns:
+                df = df.withColumnRenamed(r["from"], r["to"])
+        return df
+
     # ------------------------------------------------------ write-audit-publish
 
     def create_branch(self, name: str) -> "SnapshotParquetTable":
@@ -2403,6 +2482,13 @@ class SnapshotParquetTable:
                 T.StructField(LSN_APPLIED, T.LongType()),
             ]
         )
+        # renames committed between the two versions: map the older state's
+        # retired names onto the newer schema before aligning (same chain
+        # rule as _read_files, scoped to renames m1 hasn't seen)
+        m1_sid = int(m1.get("current_schema_id", 0))
+        for r in m2.get("renames", []):
+            if int(r["sid"]) > m1_sid and r["from"] in s1.columns and r["to"] not in s1.columns:
+                s1 = s1.withColumnRenamed(r["from"], r["to"])
         s1 = align_to_schema(s1, tgt).select(*user_cols, TS_APPLIED, LSN_APPLIED)
         s2 = s2.select(*user_cols, TS_APPLIED, LSN_APPLIED)
         a, b = s1.alias("a"), s2.alias("b")

@@ -207,6 +207,14 @@ class TableSpec:
     # pandas conversion is the dominant Python-side cost. Partial-update
     # tables always use the pandas fold (the patch overlay is pandas-only).
     fold_engine: str = "arrow"
+    # after a rename_column DDL, producers may lag a deploy cycle and keep
+    # emitting the OLD column name. With this on (default), merge paths map
+    # a batch column that matches a rename's retired name onto the current
+    # name — but only when the batch lacks the current name (the unambiguous
+    # lag case). Turn off to treat incoming names strictly literally (a
+    # retired name then union-evolves into a brand-new column, Iceberg's
+    # strict behavior).
+    remap_renamed_columns: bool = True
 
     def bloom_write_options(self) -> dict[str, str]:
         if not self.bloom_filter:
