@@ -20,6 +20,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   untag   --table DIR --name N                     release a pinned snapshot
   rate    --table DIR                              per-batch ingest rate report from the ledger
   rename  --table DIR --from OLD --to NEW          metadata-only column rename (field-id analog)
+  drop-column --table DIR --name COL               metadata-only column drop (re-add reads null for old rows)
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
-                                    "tag", "untag", "rate", "rename"])
+                                    "tag", "untag", "rate", "rename", "drop-column"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -156,6 +157,9 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "rename":
         v = table.rename_column(a.rename_from, a.rename_to)
         print(json.dumps({"renamed": [a.rename_from, a.rename_to], "version": v}))
+    elif a.cmd == "drop-column":
+        v = table.drop_column(a.name)
+        print(json.dumps({"dropped_column": a.name, "version": v}))
     elif a.cmd == "history":
         for m in table.history():
             print(json.dumps({

@@ -328,6 +328,34 @@ def _probe_array(spark, n: int):
     return col
 
 
+def _apply_schema_events(df: DataFrame, m: dict, after_sid: int) -> DataFrame:
+    """Replay the manifest's rename/drop log onto a frame written under
+    schema era ``after_sid``: only events with a NEWER sid apply, in sid
+    order (so chains compose — drop x then rename y->x is legal). This is
+    how field-id semantics fall out of name-keyed parquet files: an era
+    older than a drop loses that column here, so a later re-add of the same
+    name (a different field) aligns to null instead of resurrecting stale
+    values."""
+    events = sorted(
+        [("rename", r) for r in m.get("renames", [])]
+        + [("drop", d) for d in m.get("drops", [])],
+        key=lambda e: int(e[1]["sid"]),
+    )
+    for kind, r in events:
+        if int(r["sid"]) <= after_sid:
+            continue
+        if kind == "rename" and r["from"] in df.columns:
+            if r["to"] in df.columns:
+                raise RuntimeError(
+                    f"rename {r['from']}->{r['to']} collides with an existing "
+                    f"column in schema era {after_sid}"
+                )
+            df = df.withColumnRenamed(r["from"], r["to"])
+        elif kind == "drop" and r["name"] in df.columns:
+            df = df.drop(r["name"])
+    return df
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -646,20 +674,13 @@ class SnapshotParquetTable:
         for sid, paths in by_sid.items():
             era = self._internal_schema(T.StructType.fromJson(m["schemas"][str(sid)]))
             df = self.spark.read.schema(era).parquet(*paths)
-            # renames that postdate this era map its old column names onto
-            # the current ones BEFORE alignment (Iceberg field-id semantics:
-            # the stored column IS the renamed field; a later re-add of the
-            # retired name is a different field and stays null here).
-            # Applied in sid order so chained renames (a->b, then b->c)
-            # compose.
-            for r in m.get("renames", []):
-                if int(r["sid"]) > sid and r["from"] in df.columns:
-                    if r["to"] in df.columns:
-                        raise RuntimeError(
-                            f"rename {r['from']}->{r['to']} collides with an "
-                            f"existing column in schema era {sid}"
-                        )
-                    df = df.withColumnRenamed(r["from"], r["to"])
+            # rename/drop events that postdate this era rewrite its column
+            # names BEFORE alignment (Iceberg field-id semantics: the stored
+            # column IS the renamed field; a dropped-then-re-added name is a
+            # DIFFERENT field, so pre-drop values must not resurface).
+            # Applied in sid order so chains (a->b then b->c; drop x then
+            # rename y->x) compose.
+            df = _apply_schema_events(df, m, after_sid=sid)
             parts.append(align_to_schema(df, cur))
         out = parts[0]
         for p in parts[1:]:
@@ -1944,6 +1965,43 @@ class SnapshotParquetTable:
                 for f in schema.fields
             ]
         )
+        return self._commit_schema_ddl(
+            cur, new_schema, "renames", lambda sid: {"from": old, "to": new, "sid": sid},
+            {"op": "rename_column", "from": old, "to": new},
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop (Iceberg DROP COLUMN analog): no data
+        file is touched — the field leaves the schema, old files' bytes stay
+        until compaction rewrites them, and the drop log keeps field-id
+        semantics: if the same NAME is later re-added (a new field), rows
+        written before the drop read as null for it instead of resurrecting
+        stale values (see ``_apply_schema_events``). Key/bucket/ts columns
+        are spec-wired and rejected. Lagging producers that keep emitting
+        the dropped column re-union-evolve it as a NEW field (strict Iceberg
+        behavior — stop the producer before dropping, or the re-add is
+        intentional)."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(cur["schema"])
+        names = [f.name for f in schema.fields]
+        protected = {*self.spec.key_cols, self.spec.bucket_col, self.spec.ts_col,
+                     self.spec.lsn_col, self.spec.op_col}
+        if name not in names:
+            raise ValueError(f"no column {name!r}; table has {names}")
+        if name in protected:
+            raise ValueError(f"{name!r} is a key/bucket/ts column — spec-wired, not droppable")
+        if self.spec.agg_spec and name in self.spec.agg_spec:
+            raise ValueError(f"{name!r} is an aggregation-engine column; amend agg_spec first")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        return self._commit_schema_ddl(
+            cur, new_schema, "drops", lambda sid: {"name": name, "sid": sid},
+            {"op": "drop_column", "name": name},
+        )
+
+    def _commit_schema_ddl(self, cur: dict, new_schema: T.StructType,
+                           log_key: str, log_entry, summary: dict) -> int:
+        """Commit a metadata-only schema DDL: new schema era + an append to
+        the named event log, CAS-protected against concurrent writers."""
         new_sid = max(int(k) for k in cur["schemas"]) + 1
         m = dict(cur)
         m["version"] = self._alloc_version()
@@ -1953,10 +2011,8 @@ class SnapshotParquetTable:
         m["schemas"][str(new_sid)] = new_schema.jsonValue()
         m["schema"] = new_schema.jsonValue()
         m["current_schema_id"] = new_sid
-        m["renames"] = list(cur.get("renames", [])) + [
-            {"from": old, "to": new, "sid": new_sid}
-        ]
-        m["summary"] = {"op": "rename_column", "from": old, "to": new}
+        m[log_key] = list(cur.get(log_key, [])) + [log_entry(new_sid)]
+        m["summary"] = summary
         m["committed_at"] = time.time()
         self._commit(m, expected_ref=cur["version"])
         return m["version"]
@@ -2482,13 +2538,10 @@ class SnapshotParquetTable:
                 T.StructField(LSN_APPLIED, T.LongType()),
             ]
         )
-        # renames committed between the two versions: map the older state's
-        # retired names onto the newer schema before aligning (same chain
-        # rule as _read_files, scoped to renames m1 hasn't seen)
-        m1_sid = int(m1.get("current_schema_id", 0))
-        for r in m2.get("renames", []):
-            if int(r["sid"]) > m1_sid and r["from"] in s1.columns and r["to"] not in s1.columns:
-                s1 = s1.withColumnRenamed(r["from"], r["to"])
+        # renames/drops committed between the two versions: rewrite the older
+        # state's column names before aligning (same chain rule as
+        # _read_files, scoped to events m1 hasn't seen)
+        s1 = _apply_schema_events(s1, m2, after_sid=int(m1.get("current_schema_id", 0)))
         s1 = align_to_schema(s1, tgt).select(*user_cols, TS_APPLIED, LSN_APPLIED)
         s2 = s2.select(*user_cols, TS_APPLIED, LSN_APPLIED)
         a, b = s1.alias("a"), s2.alias("b")

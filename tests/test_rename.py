@@ -133,3 +133,49 @@ def test_rename_validation(spark, tmp_path):
         t.rename_column("tool", "text")
     with pytest.raises(ValueError, match="already exists or is reserved"):
         t.rename_column("tool", "_deleted")
+
+
+def test_drop_column_hides_old_data(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "a", "bash", 1)]), 0)
+    t.drop_column("tool")
+    assert "tool" not in t.read().columns
+    cols = [f.name for f in t.schema.fields]
+    assert "tool" not in cols
+
+
+def test_drop_then_readd_is_a_new_field(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "a", "stale-secret", 1)]), 0)
+    t.drop_column("tool")
+    # a later batch re-introduces the NAME (union evolution): new field
+    t.merge_events(_batch(spark, [(2, "I", "c2", 0, "b", "fresh", 2)]), 1)
+    st = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in t.read().collect()}
+    # pre-drop row must NOT resurrect the stale value
+    assert st == {("c1", 0): None, ("c2", 0): "fresh"}
+    # compaction physically rewrites; semantics unchanged
+    t.compact()
+    st2 = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in t.read().collect()}
+    assert st2 == st
+
+
+def test_drop_then_rename_other_column_onto_freed_name(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "payload", "old-tool", 1)]), 0)
+    t.drop_column("tool")
+    t.rename_column("text", "tool")  # freed name, legal; chains by sid
+    st = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in t.read().collect()}
+    assert st == {("c1", 0): "payload"}  # text's value, not the dropped field's
+
+
+def test_drop_validation_and_time_travel(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "a", "bash", 1)]), 0)
+    v_before = t.current_version()
+    with pytest.raises(ValueError, match="not droppable"):
+        t.drop_column("conv_id")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    t.drop_column("tool")
+    old = t.read(version=v_before)
+    assert old.collect()[0]["tool"] == "bash"  # time travel: field still there
