@@ -21,6 +21,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   rate    --table DIR                              per-batch ingest rate report from the ledger
   rename  --table DIR --from OLD --to NEW          metadata-only column rename (field-id analog)
   drop-column --table DIR --name COL               metadata-only column drop (re-add reads null for old rows)
+  add-column  --table DIR --name COL --type DDL [--default V]   explicit ADD COLUMN with initial default
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
-                                    "tag", "untag", "rate", "rename", "drop-column"])
+                                    "tag", "untag", "rate", "rename", "drop-column",
+                                    "add-column"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -70,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="tag: version to pin (default: current)")
     ap.add_argument("--from", dest="rename_from", help="rename: current column name")
     ap.add_argument("--to", dest="rename_to", help="rename: new column name")
+    ap.add_argument("--type", dest="col_type", help="add-column: DDL type (e.g. string, bigint)")
+    ap.add_argument("--default", dest="col_default", default=None,
+                    help="add-column: initial default for pre-existing rows")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
 
@@ -160,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "drop-column":
         v = table.drop_column(a.name)
         print(json.dumps({"dropped_column": a.name, "version": v}))
+    elif a.cmd == "add-column":
+        v = table.add_column(a.name, a.col_type, default=a.col_default)
+        print(json.dumps({"added_column": a.name, "type": a.col_type,
+                          "default": a.col_default, "version": v}))
     elif a.cmd == "history":
         for m in table.history():
             print(json.dumps({

@@ -338,7 +338,8 @@ def _apply_schema_events(df: DataFrame, m: dict, after_sid: int) -> DataFrame:
     values."""
     events = sorted(
         [("rename", r) for r in m.get("renames", [])]
-        + [("drop", d) for d in m.get("drops", [])],
+        + [("drop", d) for d in m.get("drops", [])]
+        + [("add", a) for a in m.get("adds", []) if a.get("default") is not None],
         key=lambda e: int(e[1]["sid"]),
     )
     for kind, r in events:
@@ -353,6 +354,14 @@ def _apply_schema_events(df: DataFrame, m: dict, after_sid: int) -> DataFrame:
             df = df.withColumnRenamed(r["from"], r["to"])
         elif kind == "drop" and r["name"] in df.columns:
             df = df.drop(r["name"])
+        elif kind == "add" and r["name"] not in df.columns:
+            # initial-default (Iceberg v3 analog): rows that predate the
+            # column read the declared default, not null — metadata-only,
+            # constant-folded by Catalyst, no file rewritten
+            dt_ = T.StructType.fromJson({"type": "struct", "fields": [
+                {"name": r["name"], "type": r["type"], "nullable": True, "metadata": {}},
+            ]}).fields[0].dataType
+            df = df.withColumn(r["name"], F.lit(r["default"]).cast(dt_))
     return df
 
 
@@ -1996,6 +2005,35 @@ class SnapshotParquetTable:
         return self._commit_schema_ddl(
             cur, new_schema, "drops", lambda sid: {"name": name, "sid": sid},
             {"op": "drop_column", "name": name},
+        )
+
+    def add_column(self, name: str, dtype, default=None) -> int:
+        """Explicit ADD COLUMN DDL (columns also union-evolve implicitly from
+        batches; the explicit form pre-declares the field before producers
+        emit it and, unlike implicit evolution, can carry an INITIAL DEFAULT
+        — the Iceberg v3 initial-default analog). With a default, rows
+        written before the column existed read the default instead of null;
+        metadata-only (the fill is a constant-folded literal per old schema
+        era at read — see ``_apply_schema_events``), no file rewritten.
+        Rows written AFTER the add keep whatever the producer sent (nulls
+        stay null — no write-default). Defaults are restricted to JSON
+        primitives so the manifest stays engine-portable."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(cur["schema"])
+        names = [f.name for f in schema.fields]
+        reserved = {TS_APPLIED, LSN_APPLIED, DELETED, PATCH, BUCKET, AGG_RESET, AGG_N}
+        if name in names or name in reserved or not name:
+            raise ValueError(f"column {name!r} already exists or is reserved")
+        if isinstance(dtype, str):
+            dtype = T.DataType.fromDDL(dtype)
+        if default is not None and not isinstance(default, (str, int, float, bool)):
+            raise ValueError("default must be a JSON primitive (str/int/float/bool)")
+        new_schema = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
+        return self._commit_schema_ddl(
+            cur, new_schema, "adds",
+            lambda sid: {"name": name, "sid": sid, "type": dtype.jsonValue(),
+                         "default": default},
+            {"op": "add_column", "name": name, "default": default},
         )
 
     def _commit_schema_ddl(self, cur: dict, new_schema: T.StructType,

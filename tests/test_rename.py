@@ -179,3 +179,38 @@ def test_drop_validation_and_time_travel(spark, tmp_path):
     t.drop_column("tool")
     old = t.read(version=v_before)
     assert old.collect()[0]["tool"] == "bash"  # time travel: field still there
+
+
+def test_add_column_with_initial_default(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "a", "bash", 1)]), 0)
+    t.add_column("channel", "string", default="web")
+    # pre-existing row reads the default, not null (no file rewritten)
+    assert {r["conv_id"]: r["channel"] for r in t.read().collect()} == {"c1": "web"}
+    # a post-add batch WITHOUT the column writes null (no write-default)
+    t.merge_events(_batch(spark, [(2, "I", "c2", 0, "b", "sed", 2)]), 1)
+    st = {r["conv_id"]: r["channel"] for r in t.read().collect()}
+    assert st == {"c1": "web", "c2": None}
+    # a post-add batch WITH the column keeps its values
+    import pyspark.sql.functions as F
+    b3 = _batch(spark, [(3, "I", "c3", 0, "c", None, 3)]).withColumn(
+        "channel", F.lit("api")
+    )
+    t.merge_events(b3, 2)
+    st = {r["conv_id"]: r["channel"] for r in t.read().collect()}
+    assert st == {"c1": "web", "c2": None, "c3": "api"}
+    # compaction rewrites the default into the data; semantics unchanged
+    t.compact()
+    assert {r["conv_id"]: r["channel"] for r in t.read().collect()} == st
+
+
+def test_add_column_typed_default_and_validation(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "a", None, 1)]), 0)
+    t.add_column("score", "bigint", default=0)
+    row = t.read().collect()[0]
+    assert row["score"] == 0 and type(row["score"]) is int
+    with pytest.raises(ValueError, match="already exists or is reserved"):
+        t.add_column("text", "string")
+    with pytest.raises(ValueError, match="JSON primitive"):
+        t.add_column("meta", "string", default={"x": 1})
