@@ -699,8 +699,18 @@ class SnapshotParquetTable:
     def read(self, version: int | None = None, include_internal: bool = False,
              buckets: list[int] | None = None,
              columns: list[str] | None = None,
-             time_range: tuple | None = None) -> DataFrame:
+             time_range: tuple | None = None,
+             read_optimized: bool = False) -> DataFrame:
         """Snapshot read (time travel via ``version``). Excludes tombstones.
+
+        ``read_optimized=True`` is the Hudi RO-view analog: serve ONLY base
+        (compacted) files — delta layers are skipped entirely, so no
+        per-key resolve runs and every bucket takes the plain-scan path.
+        The result is stale by at most the compaction lag (rows merged
+        since the last compact() are invisible; their pre-compaction base
+        versions serve instead) but the plan is a pure pushdown scan —
+        the right trade for latency-insensitive analytical readers on a
+        hot table. Default (real-time view) folds delta layers per key.
 
         ``time_range=(lo, hi)`` (datetimes or ISO strings, naive = UTC,
         inclusive) returns only rows whose ``ts_col`` falls in the window
@@ -757,6 +767,11 @@ class SnapshotParquetTable:
         dirty: list[dict] = []
         for b, files in m["buckets"].items():
             if buckets is not None and int(b) not in buckets:
+                continue
+            if read_optimized:
+                clean.extend(
+                    e for e in files if not e.get("delta") and _ts_overlaps(e)
+                )
                 continue
             if any(e.get("delta") for e in files):
                 # all-or-nothing: resolving winners needs every layer
@@ -2726,6 +2741,28 @@ class SnapshotParquetTable:
         """``SELECT ... TIMESTAMP AS OF``: snapshot read at the version
         current as of wall-clock ``ts``. Accepts read()'s kwargs."""
         return self.read(version=self.version_as_of(ts), **kw)
+
+    def changes_since(self, ts, to_version: int | None = None) -> DataFrame:
+        """Timestamp-addressed incremental view (Hudi incremental-query /
+        Delta CDF timestamp form): all changes committed strictly AFTER
+        wall-clock ``ts`` (datetime or unix seconds), resolved to the last
+        snapshot at-or-before ``ts`` on this ref's ancestry and delegated to
+        ``table_changes``. Commits are wall-clock-stamped at manifest write
+        (``committed_at``), so consumers can poll with a remembered
+        timestamp instead of tracking version numbers."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        base = None
+        for m in self.history():
+            if float(m.get("committed_at", 0)) <= ts:
+                base = m["version"]
+            else:
+                break
+        if base is None:
+            raise ValueError(
+                f"no snapshot at or before {ts} on this ref (history may be expired)"
+            )
+        return self.table_changes(base, to_version)
 
     def history(self) -> list[dict]:
         """This ref's committed snapshots (oldest first), following the
