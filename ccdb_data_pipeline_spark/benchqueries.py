@@ -3554,3 +3554,51 @@ def turn_integrity(spark, sf_dir):
     return out.filter(
         (F.col("n_role_repeats") > 0) | (F.col("n_ts_regressions") > 0)
     ).orderBy("user_id")
+
+
+@q(
+    "context_budget",
+    """
+    WITH costed AS (
+      SELECT user_id, event_id, ts,
+             length(event_type) + 1 AS cost,
+             SUM(length(event_type) + 1)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cost) AS BIGINT) AS kept_cost,
+           CAST(MIN(event_id) AS BIGINT) AS oldest_kept
+    FROM costed WHERE cum <= 48
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def context_budget(spark, sf_dir):
+    """Context-window assembly (the serving-side twin of pack_sequences):
+    per conversation keep the NEWEST turns whose cumulative token cost fits
+    a fixed budget — a reverse running sum over (ts, lsn) DESC, then the
+    same-key groupBy. One shuffle total: the window partitions by the
+    groupBy key, so AQE reuses the exchange. At 10^10 turns the window
+    state is O(1) per row (running sum), no buffering of the frame."""
+    ev = _t(spark, sf_dir, "events")
+    cost = F.length("event_type") + F.lit(1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    costed = ev.select(
+        "user_id", "event_id", cost.alias("cost"), F.sum(cost).over(w).alias("cum")
+    )
+    return (
+        costed.filter(F.col("cum") <= 48)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cost").cast("long").alias("kept_cost"),
+            F.min("event_id").cast("long").alias("oldest_kept"),
+        )
+        .orderBy("user_id")
+    )
