@@ -3602,3 +3602,53 @@ def context_budget(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "sft_pairs",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                  WHEN event_type = 'error' THEN 'tool'
+                  ELSE 'assistant' END AS role,
+             LEAD(CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                       WHEN event_type = 'error' THEN 'tool'
+                       ELSE 'assistant' END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_role,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+      FROM events
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS prompt_id,
+           CAST(next_id AS BIGINT) AS response_id
+    FROM t WHERE role = 'user' AND next_role = 'assistant'
+    ORDER BY user_id, prompt_id
+    """,
+)
+def sft_pairs(spark, sf_dir):
+    """SFT pair extraction (the training-data export every transcript
+    pipeline ends in): each user turn immediately followed by an assistant
+    turn in event-time order becomes a (prompt, response) example. One
+    window pass partitioned by conversation — LEAD carries O(1) state, no
+    self-join (the naive pairing is an equi-join of the table with itself
+    on adjacent positions: double scan + shuffle, strictly worse)."""
+    ev = _t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.col("event_id").alias("prompt_id"),
+        role.alias("role"),
+        F.lead(role).over(w).alias("next_role"),
+        F.lead("event_id").over(w).alias("response_id"),
+    )
+    return (
+        t.filter((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        .select("user_id", "prompt_id", F.col("response_id").cast("long"))
+        .orderBy("user_id", "prompt_id")
+    )
