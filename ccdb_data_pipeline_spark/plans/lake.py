@@ -1094,6 +1094,9 @@ class SnapshotParquetTable:
         opts = {} if delta else self.spec.bloom_write_options()
         if delta and self.spec.delta_codec:
             opts["compression"] = self.spec.delta_codec
+        if not delta and self.spec.max_file_rows:
+            # target-file-size splitting for long-lived files (see TableSpec)
+            opts["maxRecordsPerFile"] = str(self.spec.max_file_rows)
         (
             part.write.mode("overwrite")
             .options(**opts)

@@ -215,6 +215,17 @@ class TableSpec:
     # retired name then union-evolves into a brand-new column, Iceberg's
     # strict behavior).
     remap_renamed_columns: bool = True
+    # split LONG-LIVED data files (bootstrap / CoW / compaction output) at
+    # this many rows (Iceberg write.target-file-size analog, row-count
+    # form). At 10^10 rows / 4096 buckets a compacted bucket holds ~2.4M
+    # rows — one monolithic file per bucket caps read parallelism at one
+    # task per bucket and makes object-store range reads coarse; splitting
+    # keeps scan tasks balanced. The manifest tracks N files per bucket
+    # natively (MoR already does), readers/point-lookups are unaffected
+    # (winners stay disjoint across the split). None = one file per bucket
+    # partition. MoR delta appends are never split (they are already
+    # batch-sized and short-lived).
+    max_file_rows: int | None = 4_000_000
 
     def bloom_write_options(self) -> dict[str, str]:
         if not self.bloom_filter:
