@@ -32,7 +32,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--convs", type=int, default=4000)
+    ap.add_argument("--engines", default="arrow,pandas",
+                    help="comma-separated fold_engine pair to interleave (e.g. jvm,arrow)")
     args = ap.parse_args()
+    eng_a, eng_b = args.engines.split(",")
 
     from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
     from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
@@ -57,9 +60,9 @@ def main() -> None:
     changes.persist().count()
     seed = gen_seed_pandas(n_convs=min(args.convs, 20000))
 
-    results: dict[str, list] = {"arrow": [], "pandas": []}
+    results: dict[str, list] = {eng_a: [], eng_b: []}
     for rep in range(args.reps):
-        for engine in ("arrow", "pandas") if rep % 2 == 0 else ("pandas", "arrow"):
+        for engine in (eng_a, eng_b) if rep % 2 == 0 else (eng_b, eng_a):
             spec = TableSpec(num_buckets=64, merge_mode="mor", fold_engine=engine)
             t = SnapshotParquetTable(
                 spark, f"{work}/t-{engine}-{rep}", spec

@@ -146,6 +146,34 @@ def normalize_arrow_table(tbl, spec: TableSpec, payload_str_cols: list[str]):
     return tbl
 
 
+def normalize_payload_jvm(df: DataFrame, spec: TableSpec, payload_str_cols: list[str]) -> DataFrame:
+    """The SAME normalization policy as normalize_pandas_frame /
+    normalize_arrow_table, expressed as pure JVM Catalyst expressions (no
+    Python worker at all) — used by the fold_engine="jvm" apply path. The
+    whitespace class is the explicit ``_PY_WS`` spelling (Java regex treats
+    the class chars literally, same set RE2 and pandas use), so all three
+    engines normalize byte-identically: strip leading/trailing unicode
+    whitespace, collapse inner runs to single spaces; ""->null first (same
+    order as the other engines: an all-whitespace string collapses to "",
+    not null)."""
+    cols = {}
+    for c in payload_str_cols:
+        if c in spec.empty_to_null_exempt or c not in df.columns:
+            continue
+        cols[c] = F.when(F.col(c) == "", None).otherwise(F.col(c))
+    for c in spec.normalize_ws_cols:
+        if c not in df.columns:
+            continue
+        base = cols.get(c, F.col(c))
+        stripped = F.regexp_replace(base, f"^[{_PY_WS}]+|[{_PY_WS}]+$", "")
+        cols[c] = F.regexp_replace(stripped, _WS_RUN_RE2, " ")
+    if not cols:
+        return df
+    return df.select(
+        *[cols.get(c, F.col(c)).alias(c) for c in df.columns]
+    )
+
+
 def has_text(c: Column) -> Column:
     """has_narrative analog (index_ccdb.py:26-29)."""
     return c.isNotNull() & (c != "")

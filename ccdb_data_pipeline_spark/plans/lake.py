@@ -1377,7 +1377,7 @@ class SnapshotParquetTable:
         import pandas as _pd
         from pyspark.sql import Observation
 
-        from ..functions.normalize import normalize_pandas_frame
+        from ..functions.normalize import normalize_pandas_frame, normalize_payload_jvm
 
         m0 = self.manifest()
         if m0.get("mode", "cow") != "mor":
@@ -1525,36 +1525,66 @@ class SnapshotParquetTable:
         # one) fall back to hash scatter + hive dirs; a real cluster at 4096
         # buckets would broadcast the probe map instead.
         flat = n_parts <= self._EXACT_PLACEMENT_MAX
+        part_cols: list[str] = []  # partition-helper cols, dropped post-fold
         if flat:
             arr = _probe_array(self.spark, n_parts)
-            with_op = (
-                with_op.withColumn(
-                    "_probe", F.element_at(arr, pid.cast("int") + F.lit(1))
-                )
-                .repartition(n_parts, F.col("_probe"))
-                .drop("_probe")
-            )
+            with_op = with_op.withColumn(
+                "_probe", F.element_at(arr, pid.cast("int") + F.lit(1))
+            ).repartition(n_parts, F.col("_probe"))
+            part_cols = ["_probe"]
         elif write_salt > 1:
-            with_op = (
-                with_op.withColumn("_salt", salt_id)
-                .repartition(n_parts, F.col(BUCKET), F.col("_salt"))
-                .drop("_salt")
+            with_op = with_op.withColumn("_salt", salt_id).repartition(
+                n_parts, F.col(BUCKET), F.col("_salt")
             )
+            part_cols = ["_salt"]
         else:
             with_op = with_op.repartition(n_bkts, F.col(BUCKET))
+        plain_lww = (
+            not spec.partial_updates and not spec.agg_spec and not spec.first_row
+        )
         if m0.get("write_path", "fused") == "raw":
             # raw append: every version row, JVM-only apply path; dedup and
             # normalization defer to read-time resolve / compaction
-            folded = with_op
-        elif (
-            spec.fold_engine == "arrow"
-            and not spec.partial_updates
-            and not spec.agg_spec
-            and not spec.first_row
-        ):
-            folded = with_op.mapInArrow(_fold_arrow, schema=out_schema)
+            folded = with_op.drop(*part_cols)
+        elif spec.fold_engine == "jvm" and plain_lww:
+            # all-JVM fused fold: the groupBy clusters on the SAME columns
+            # the repartition hashed (partition-helper col + keys), so
+            # Catalyst's subset rule accepts the existing distribution — no
+            # second exchange. max_by over one struct picks the LWW winner
+            # with a single (ts, lsn) comparison per row (LSN uniqueness
+            # makes it deterministic), map-side partials collapse hot keys
+            # before the fetch, and normalization is Catalyst expressions —
+            # no Python worker anywhere in the apply path.
+            # group on EXACTLY the repartition columns + keys: flat probe
+            # (-> [_probe]), salted hive (-> [BUCKET, _salt]), plain
+            # (-> [BUCKET]); the subset rule needs every partitioning
+            # expression inside the grouping set
+            if flat:
+                grp = ["_probe"]
+            elif write_salt > 1:
+                grp = [BUCKET, "_salt"]
+            else:
+                grp = [BUCKET]
+            others = [c for c in with_op.columns if c not in keys and c not in grp]
+            win = F.expr(
+                "max_by(struct({cols}), struct({ts}, {lsn}))".format(
+                    cols=", ".join(f"`{c}`" for c in others),
+                    ts=TS_APPLIED, lsn=LSN_APPLIED,
+                )
+            )
+            carry = [c for c in grp if c in out_cols]  # BUCKET when grouped on
+            folded = (
+                with_op.groupBy(*grp, *[F.col(k) for k in keys])
+                .agg(win.alias("_w"))
+                .select(*keys, *carry, *[F.col(f"_w.{c}").alias(c) for c in others])
+            )
+            if normalize:
+                folded = normalize_payload_jvm(folded, spec, payload_str_cols)
+            folded = folded.select(*out_cols)
+        elif spec.fold_engine == "arrow" and plain_lww:
+            folded = with_op.drop(*part_cols).mapInArrow(_fold_arrow, schema=out_schema)
         else:
-            folded = with_op.mapInPandas(_fold, schema=out_schema)
+            folded = with_op.drop(*part_cols).mapInPandas(_fold, schema=out_schema)
         folded = folded.drop("_op")
 
         # --- schema-era bookkeeping + write (no extra repartition: rows are

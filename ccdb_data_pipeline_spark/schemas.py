@@ -202,10 +202,18 @@ class TableSpec:
     # fused-fold execution engine: "arrow" runs the per-bucket LWW dedup +
     # normalization as pyarrow.compute kernels inside mapInArrow (no
     # Arrow->pandas conversion — payload strings never materialize as Python
-    # objects); "pandas" is the mapInPandas fold. Identical semantics
-    # (tested); arrow is the default because on wide text payloads the
-    # pandas conversion is the dominant Python-side cost. Partial-update
-    # tables always use the pandas fold (the patch overlay is pandas-only).
+    # objects); "pandas" is the mapInPandas fold; "jvm" is an all-Catalyst
+    # fold (max_by groupBy that reuses the write repartition via the subset
+    # rule — one exchange total — plus expression-level normalization): no
+    # Python worker anywhere, for deployments where Python workers are
+    # unavailable or cold-start-expensive. All three are byte-identical
+    # (tested). Arrow stays the default on measurement: the jvm plan is a
+    # SortAggregate whose max_by struct buffer copies the full text payload
+    # through sort+agg, while the arrow fold sorts dominance columns only
+    # and gathers payload once, for winners — interleaved A/B (local[8],
+    # 2M events, 100-word texts): arrow 293.6k ev/s vs jvm 230.5k on the
+    # cleanest reps (see BENCH.md). Partial-update/agg/first-row tables
+    # always use the pandas fold.
     fold_engine: str = "arrow"
     # after a rename_column DDL, producers may lag a deploy cycle and keep
     # emitting the OLD column name. With this on (default), merge paths map
