@@ -77,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="add-column: initial default for pre-existing rows")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
+    if a.cmd == "add-column" and not a.col_type:
+        ap.error("add-column requires --type (a DDL type, e.g. string, bigint)")
 
     spark = build_session(app_name=f"cdc-{a.cmd}", master=a.master)
     table = SnapshotParquetTable(spark, a.table, TableSpec(num_buckets=a.buckets))

@@ -26,6 +26,7 @@ them once the stream's lateness horizon passes.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -2007,7 +2008,11 @@ class SnapshotParquetTable:
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
         names = [f.name for f in schema.fields]
-        reserved = {TS_APPLIED, LSN_APPLIED, DELETED, PATCH, BUCKET, AGG_RESET, AGG_N}
+        # internal columns AND the change-batch wire names (op/lsn are
+        # stripped from batches as flags — a payload column named after
+        # them could never be written)
+        reserved = {TS_APPLIED, LSN_APPLIED, DELETED, PATCH, BUCKET, AGG_RESET,
+                    AGG_N, self.spec.op_col, self.spec.lsn_col}
         protected = {*self.spec.key_cols, self.spec.bucket_col, self.spec.ts_col,
                      self.spec.lsn_col, self.spec.op_col}
         if old not in names:
@@ -2069,13 +2074,28 @@ class SnapshotParquetTable:
         cur = self.manifest()
         schema = T.StructType.fromJson(cur["schema"])
         names = [f.name for f in schema.fields]
-        reserved = {TS_APPLIED, LSN_APPLIED, DELETED, PATCH, BUCKET, AGG_RESET, AGG_N}
+        reserved = {TS_APPLIED, LSN_APPLIED, DELETED, PATCH, BUCKET, AGG_RESET,
+                    AGG_N, self.spec.op_col, self.spec.lsn_col}
         if name in names or name in reserved or not name:
             raise ValueError(f"column {name!r} already exists or is reserved")
         if isinstance(dtype, str):
             dtype = T.DataType.fromDDL(dtype)
         if default is not None and not isinstance(default, (str, int, float, bool)):
             raise ValueError("default must be a JSON primitive (str/int/float/bool)")
+        if default is not None:
+            # eager cast check at DDL time — an invalid default would
+            # otherwise surface only later: as null on every pre-add row
+            # (non-ANSI) or as a read-time cast error (ANSI)
+            try:
+                chk = self.spark.range(1).select(
+                    F.lit(default).cast(dtype).alias("v")
+                ).first()["v"]
+            except Exception:
+                chk = None
+            if chk is None:
+                raise ValueError(
+                    f"default {default!r} does not cast to {dtype.simpleString()}"
+                )
         new_schema = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
         return self._commit_schema_ddl(
             cur, new_schema, "adds",
@@ -2111,7 +2131,13 @@ class SnapshotParquetTable:
         names."""
         if not self.spec.remap_renamed_columns:
             return df
+        live = {f.name for f in T.StructType.fromJson(m["schema"]).fields}
         for r in m.get("renames", []):
+            # a retired name that was later legitimately reintroduced into
+            # the CURRENT schema is a live field — incoming batches using it
+            # mean the new field, never the pre-rename one
+            if r["from"] in live:
+                continue
             if r["from"] in df.columns and r["to"] not in df.columns:
                 df = df.withColumnRenamed(r["from"], r["to"])
         return df
@@ -2389,7 +2415,17 @@ class SnapshotParquetTable:
         Tombstone reclaim (``drop_tombstones``) applies to the buckets this
         call rewrites; a tombstone in an untouched clean bucket survives
         until that bucket is next rewritten (standard Iceberg/Hudi
-        behavior). No-op (no new snapshot) when nothing qualifies."""
+        behavior). On a FIRST-ROW table, ``drop_tombstones=True`` (the
+        maintenance default) is downgraded to keep: the engine's contract is
+        that a delete suppresses ANY later duplicate of the claim — not just
+        late data inside an LWW horizon — so reclaiming the tombstone would
+        let an at-least-once retry re-claim an erased key. Pass
+        ``drop_tombstones="force"`` once the upstream's retry window has
+        provably closed. No-op (no new snapshot) when nothing qualifies."""
+        if self.spec.first_row and drop_tombstones is True:
+            drop_tombstones = False
+        elif drop_tombstones == "force":
+            drop_tombstones = True
         m0 = self.manifest()
         carried: dict[str, list[dict]] = {}
         target: dict[str, list[dict]] = {}
@@ -2782,20 +2818,13 @@ class SnapshotParquetTable:
         snapshot at-or-before ``ts`` on this ref's ancestry and delegated to
         ``table_changes``. Commits are wall-clock-stamped at manifest write
         (``committed_at``), so consumers can poll with a remembered
-        timestamp instead of tracking version numbers."""
+        timestamp instead of tracking version numbers. Naive datetimes are
+        UTC (the engine-wide convention — same as read(time_range=...))."""
         if hasattr(ts, "timestamp"):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
             ts = ts.timestamp()
-        base = None
-        for m in self.history():
-            if float(m.get("committed_at", 0)) <= ts:
-                base = m["version"]
-            else:
-                break
-        if base is None:
-            raise ValueError(
-                f"no snapshot at or before {ts} on this ref (history may be expired)"
-            )
-        return self.table_changes(base, to_version)
+        return self.table_changes(self.version_as_of(ts), to_version)
 
     def history(self) -> list[dict]:
         """This ref's committed snapshots (oldest first), following the

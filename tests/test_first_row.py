@@ -108,3 +108,22 @@ def test_first_row_validation(spark, tmp_path):
         SnapshotParquetTable(spark, os.path.join(str(tmp_path), "v"), spec).create(
             TRANSCRIPT_SCHEMA
         )
+
+
+def test_default_compact_keeps_erasure_tombstones(spark, tmp_path):
+    """Standard maintenance compact() must not reopen erased keys on a
+    first-row table: drop_tombstones=True is downgraded to keep; 'force'
+    performs the reclaim once the upstream retry window has closed."""
+    t = _table(spark, tmp_path, name="guard")
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "claim", 1),
+                                  (2, "D", "c1", 0, None, 2)]), 0)
+    t.compact()  # maintenance default: must KEEP the tombstone
+    # an at-least-once duplicate retry of the claim must stay suppressed
+    t.merge_events(_batch(spark, [(3, "I", "c1", 0, "retry", 3)]), 1)
+    assert _read_state(t) == {}
+    t2 = _table(spark, tmp_path, name="forced")
+    t2.merge_events(_batch(spark, [(1, "I", "c1", 0, "claim", 1),
+                                   (2, "D", "c1", 0, None, 2)]), 0)
+    t2.compact(drop_tombstones="force")  # explicit: retry window closed
+    t2.merge_events(_batch(spark, [(3, "I", "c1", 0, "reclaim", 3)]), 1)
+    assert _read_state(t2) == {("c1", 0): "reclaim"}

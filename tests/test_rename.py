@@ -214,3 +214,32 @@ def test_add_column_typed_default_and_validation(spark, tmp_path):
         t.add_column("text", "string")
     with pytest.raises(ValueError, match="JSON primitive"):
         t.add_column("meta", "string", default={"x": 1})
+
+
+def test_reintroduced_name_is_not_remapped(spark, tmp_path):
+    """After rename tool->tool_name, explicitly re-adding 'tool' makes it a
+    live field again: producer batches using 'tool' mean the NEW field and
+    must not be lag-remapped onto tool_name."""
+    t = _table(spark, tmp_path)
+    t.merge_events(_batch(spark, [(1, "I", "c1", 0, "a", "bash", 1)]), 0)
+    t.rename_column("tool", "tool_name")
+    t.add_column("tool", "string")
+    t.merge_events(_batch(spark, [(2, "I", "c2", 0, "b", "fresh", 2)]), 1)
+    st = {r["conv_id"]: (r["tool_name"], r["tool"]) for r in t.read().collect()}
+    assert st == {"c1": ("bash", None), "c2": (None, "fresh")}
+
+
+def test_wire_column_names_are_reserved_targets(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists or is reserved"):
+        t.rename_column("tool", "op")
+    with pytest.raises(ValueError, match="already exists or is reserved"):
+        t.rename_column("tool", "lsn")
+    with pytest.raises(ValueError, match="already exists or is reserved"):
+        t.add_column("op", "string")
+
+
+def test_add_column_default_must_cast(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not cast"):
+        t.add_column("score", "bigint", default="lots")
