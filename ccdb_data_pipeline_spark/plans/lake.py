@@ -2386,6 +2386,7 @@ class SnapshotParquetTable:
                 only_dirty: bool = True,
                 buckets: list[int] | None = None,
                 zorder_by: tuple[str, ...] = (),
+                max_buckets: int | None = None,
                 _retries: int = 2) -> None:
         """Fold merge-on-read layers and merge small files — the
         rewrite_data_files analog of the archive re-merge (s3_utils.py:21-59).
@@ -2436,6 +2437,21 @@ class SnapshotParquetTable:
                 target[b] = fs
             else:
                 carried[b] = fs
+        if max_buckets is not None and len(target) > max_buckets:
+            # IO-budgeted maintenance (Iceberg rewrite_data_files
+            # max-file-group / Hudi inline-compact-budget analog): rewrite
+            # only the max_buckets DIRTIEST buckets this run — most delta
+            # layers first (read amplification), then most files (small-file
+            # pressure) — and carry the rest untouched for the next sweep.
+            # Repeated budgeted calls converge: each rewrite makes its
+            # buckets clean, so the next call picks the next-dirtiest set.
+            def _dirt(fs: list) -> tuple:
+                return (sum(1 for e in fs if e.get("delta")), len(fs))
+
+            ranked = sorted(target.items(), key=lambda kv: _dirt(kv[1]), reverse=True)
+            for b, fs in ranked[max_buckets:]:
+                carried[b] = fs
+            target = dict(ranked[:max_buckets])
         entries = [e for fs in target.values() for e in fs]
         df = self._read_files(entries, m0)
         if df is None:
@@ -2507,6 +2523,7 @@ class SnapshotParquetTable:
                     only_dirty=only_dirty,
                     buckets=buckets,
                     zorder_by=zorder_by,
+                    max_buckets=max_buckets,
                     _retries=_retries - 1,
                 )
 

@@ -110,3 +110,71 @@ def test_change_feed_quiet_across_incremental_compact(spark, tmp_path):
     v_before = t.current_version()
     t.compact()
     assert t.table_changes(v_before, t.current_version()).count() == 0
+
+
+def test_budgeted_compact_converges(spark, tmp_path):
+    """IO-budgeted maintenance (compact(max_buckets=k)): each run rewrites
+    only the k dirtiest buckets (most delta layers first), carries the rest
+    verbatim, never changes content — and repeated budgeted runs converge to
+    a fully clean table (each sweep picks the next-dirtiest set)."""
+    t = _mk(spark, tmp_path)
+    ch = gen_changes_pandas(3000, n_convs=N_CONVS, seed=11)
+    apply_changes(t, spark.createDataFrame(ch, CHANGE_SCHEMA), batch_id=0)
+    # second batch deepens some buckets' delta stacks unevenly
+    ch2 = _narrow_changes()
+    apply_changes(t, spark.createDataFrame(ch2, CHANGE_SCHEMA), batch_id=1)
+
+    def dirty(m):
+        return {
+            b: fs for b, fs in m["buckets"].items()
+            if any(e.get("delta") for e in fs) or len(fs) > 1
+        }
+
+    m0 = t.manifest()
+    d0 = dirty(m0)
+    assert len(d0) > 2, "need >2 dirty buckets to exercise the budget"
+    before = table_to_pandas(t.read())
+
+    k = 2
+    t.compact(max_buckets=k)
+    m1 = t.manifest()
+    assert m1["summary"]["op"] == "compact"
+    assert m1["summary"]["n_buckets_rewritten"] == k
+    # the rewritten pair is the dirtiest by (delta layers, file count)
+    def depth(fs):
+        return (sum(1 for e in fs if e.get("delta")), len(fs))
+    rewritten = {b for b in d0 if m1["buckets"][b] != m0["buckets"][b]}
+    assert len(rewritten) == k
+    floor = min(depth(d0[b]) for b in rewritten)
+    for b, fs in d0.items():
+        if b not in rewritten:
+            assert depth(fs) <= floor
+    # unpicked buckets (dirty or clean) carried verbatim
+    for b, fs in m0["buckets"].items():
+        if b not in rewritten:
+            assert m1["buckets"][b] == fs
+    assert_tables_equal(table_to_pandas(t.read()), before)
+
+    # repeated budgeted sweeps converge to fully clean
+    for _ in range(16):
+        if not dirty(t.manifest()):
+            break
+        t.compact(max_buckets=k)
+    assert not dirty(t.manifest())
+    assert_tables_equal(table_to_pandas(t.read()), before)
+
+
+def test_budget_larger_than_dirty_set_is_plain_incremental(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    apply_changes(
+        t, spark.createDataFrame(_narrow_changes(), CHANGE_SCHEMA), batch_id=0
+    )
+    m0 = t.manifest()
+    n_dirty = sum(
+        1 for fs in m0["buckets"].values()
+        if any(e.get("delta") for e in fs) or len(fs) > 1
+    )
+    t.compact(max_buckets=1000)
+    m1 = t.manifest()
+    assert m1["summary"]["n_buckets_rewritten"] == n_dirty
+    assert not any(e.get("delta") for fs in m1["buckets"].values() for e in fs)
