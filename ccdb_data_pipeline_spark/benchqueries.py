@@ -3652,3 +3652,46 @@ def sft_pairs(spark, sf_dir):
         .select("user_id", "prompt_id", F.col("response_id").cast("long"))
         .orderBy("user_id", "prompt_id")
     )
+
+
+@q(
+    "cdc_shard_watermarks",
+    """
+    WITH numbered AS (
+      SELECT event_id, user_id % 8 AS shard_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 8
+                                ORDER BY ts, event_id) AS shard_lsn
+      FROM events
+    ), feed AS (
+      SELECT shard_id, shard_lsn FROM numbered WHERE event_id % 97 <> 0
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(shard_lsn) AS BIGINT) AS lsn_min,
+           CAST(MAX(shard_lsn) AS BIGINT) AS lsn_max,
+           CAST(MAX(shard_lsn) - MIN(shard_lsn) + 1
+                - COUNT(DISTINCT shard_lsn) AS BIGINT) AS n_gaps
+    FROM feed GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def cdc_shard_watermarks(spark, sf_dir):
+    """Multi-shard ingest audit (sources/shards.py): the events table
+    replayed as 8 upstream shards, each with its own contiguous LSN
+    sequence; ~1% of events dropped to simulate upstream loss. The feed is
+    bit-packed through pack_shard_lsn (the real multi-source wire path),
+    and shard_watermarks recovers per-shard high/low watermarks + gap
+    counts from the PACKED global LSN alone — one map-side-combining
+    groupBy over n_shards groups, no skew, no second pass."""
+    from .sources.shards import pack_shard_lsn, shard_watermarks
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy(F.col("user_id") % 8).orderBy("ts", "event_id")
+    numbered = ev.select(
+        "event_id",
+        (F.col("user_id") % 8).alias("shard_id"),
+        F.row_number().over(w).alias("shard_lsn"),
+    )
+    feed = numbered.filter(F.col("event_id") % 97 != 0).select(
+        pack_shard_lsn("shard_id", "shard_lsn", 10).alias("lsn")
+    )
+    return shard_watermarks(feed, shard_bits=10)

@@ -23,11 +23,15 @@ predicate.
 from __future__ import annotations
 
 import datetime as dt
+import json
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import functions as F
 
 from ..operators.index import release_caches, with_global_index
-from ..schemas import TableSpec
+from ..schemas import DELETED, TableSpec
 from .apply import apply_changes
 from .lake import MergeStats, SnapshotParquetTable
 
@@ -193,3 +197,151 @@ def apply_retention(
         ts=now,
         read_columns=[table.spec.ts_col],
     )
+
+
+class PurgeVerificationError(RuntimeError):
+    """Raised when a hard purge's post-scan still finds payload bytes for a
+    purged key in any retained data file."""
+
+
+def purge_where(
+    table: SnapshotParquetTable,
+    predicate: str,
+    ts: dt.datetime | None = None,
+    read_columns: list[str] | None = None,
+    drop_tombstones: bool = False,
+    drop_tags: bool = False,
+) -> dict:
+    """Right-to-erasure HARD purge (GDPR Art. 17 / Iceberg "purge" pattern):
+    make every byte of the matched rows' payload physically unreachable in
+    the table directory — not just logically deleted — and prove it.
+
+    A ``delete_where`` alone is a LOGICAL delete: the tombstone wins LWW but
+    the old row images stay in earlier snapshots (time travel) and in
+    not-yet-compacted base/delta files. This runs the full erasure pipeline
+    as one workflow, then attests the result:
+
+    1. tombstone matched rows (normal exactly-once change batch, so the
+       erasure itself is in the ledger + change feed — auditable);
+    2. ``compact`` the affected buckets (rewrites every layer; the LWW
+       winner for a purged key is the tombstone, whose payload is null);
+    3. ``expire_snapshots(retain_last=1)`` — drops every pre-purge manifest
+       and the data files only they referenced (this is inherent: hard
+       erasure and unlimited time travel are mutually exclusive);
+    4. ``remove_orphans`` — reclaims uncommitted crash debris too;
+    5. VERIFY: re-read every data file still referenced by any retained
+       manifest (era-aligned, tombstones included) and broadcast-semi-join
+       against the purged key set. Payload rows found -> raise
+       :class:`PurgeVerificationError`; key-only tombstone rows are
+       reported (``n_key_tombstones``) and expected unless
+       ``drop_tombstones=True``.
+
+    ``drop_tombstones=False`` (default) keeps the key-only tombstone row so
+    a late, lower-dominance pre-purge event cannot resurrect the payload;
+    ``True`` erases even the keys (resurrection protection gone — only safe
+    once the upstream retry window has passed).
+
+    Refuses to run while staging branches exist, or while tags pin old
+    snapshots (their manifests would keep pre-purge files alive); pass
+    ``drop_tags=True`` to drop all tags first. The malformed-row quarantine
+    dir (plans/apply.py) is OUTSIDE the table root and not touched here —
+    purge it separately if it may hold the subject's rows.
+
+    Scale shape: steps 1-2 cost O(matched buckets); step 5 is a full scan
+    of the retained table ONCE, as a pure map-side job (pushdown scan +
+    broadcast hash semi-join on the keys, no shuffle) — the unavoidable
+    price of an attestation, run off the ingest path.
+
+    Returns the attestation dict (counts, bytes reclaimed, files scanned).
+    """
+    ts = ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    branches = table.branches()
+    if branches:
+        raise ValueError(
+            f"cannot hard-purge with staging branches alive {sorted(branches)}: "
+            "their manifests pin pre-purge files — publish or drop them first"
+        )
+    tags = table.tags()
+    if tags and not drop_tags:
+        raise ValueError(
+            f"cannot hard-purge with tags pinning old snapshots {sorted(tags)}: "
+            "pass drop_tags=True to drop them"
+        )
+    for name in list(tags):
+        table.drop_tag(name)
+
+    keys = list(table.spec.key_cols)
+    cols = None
+    if read_columns is not None:
+        cols = list(dict.fromkeys([*keys, *read_columns]))
+    # materialize the matched key set OUTSIDE the table before mutating it
+    # (a lazy plan would re-read post-delete state and verify nothing)
+    key_dir = tempfile.mkdtemp(prefix="purge-keys-")
+    try:
+        (table.read(columns=cols).filter(predicate)
+         .select(*keys).distinct().write.mode("overwrite").parquet(key_dir))
+        key_df = table.spark.read.parquet(key_dir)
+        n_keys = key_df.count()
+
+        stats: MergeStats | None = None
+        if n_keys:
+            events = _as_events(table, key_df, "D", ts)
+            try:
+                stats = apply_changes(table, events, batch_id=table.last_batch_id + 1)
+            finally:
+                release_caches()
+        # first-row tables refuse plain drop_tombstones=True (claim-once
+        # semantics); the caller asked for full erasure, so force it there
+        dt_mode: bool | str = drop_tombstones
+        if drop_tombstones and table.spec.first_row:
+            dt_mode = "force"
+        table.compact(drop_tombstones=dt_mode, only_dirty=True)
+        reclaim = table.expire_snapshots(retain_last=1)
+        orphans = table.remove_orphans()
+
+        # --- attestation scan over every retained data file ---
+        n_files = 0
+        n_payload = 0
+        n_tomb = 0
+        seen: set[str] = set()
+        bkeys = F.broadcast(key_df)
+        mdir = os.path.join(table.root, "manifests")
+        for fn in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+            if not (fn.startswith("m-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            entries = [
+                e for fs in m["buckets"].values() for e in fs
+                if e["path"] not in seen
+            ]
+            seen.update(e["path"] for e in entries)
+            df = table._read_files(entries, m)
+            if df is None:
+                continue
+            n_files += len(entries)
+            hit = df.join(bkeys, on=keys, how="left_semi")
+            row = hit.agg(
+                F.count(F.when(F.col(DELETED), True)).alias("tomb"),
+                F.count(F.when(~F.col(DELETED), True)).alias("live"),
+            ).collect()[0]
+            n_tomb += row["tomb"]
+            n_payload += row["live"]
+
+        out = {
+            "n_keys": n_keys,
+            "n_deleted": stats.n_delete if stats is not None else 0,
+            "n_files_scanned": n_files,
+            "n_residual_payload_rows": n_payload,
+            "n_key_tombstones": n_tomb,
+            "bytes_reclaimed": reclaim["bytes_reclaimed"] + orphans["bytes_reclaimed"],
+            "n_data_files_deleted": (
+                reclaim["n_data_files_deleted"] + orphans["n_data_files_deleted"]
+            ),
+            "clean": n_payload == 0 and (n_tomb == 0 or not drop_tombstones),
+        }
+        if not out["clean"]:
+            raise PurgeVerificationError(f"purge attestation failed: {out}")
+        return out
+    finally:
+        shutil.rmtree(key_dir, ignore_errors=True)

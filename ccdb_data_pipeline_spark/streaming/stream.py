@@ -83,7 +83,18 @@ def start_ingest(
     re-emits the missing feed from the committed snapshots (manifest lookup
     by batch_id), so the feed converges to exactly one complete dir per
     applied batch."""
-    if source_format == "parquet":
+    if isinstance(segments_dir, dict):
+        # multi-shard upstream: {shard_id: segments_dir} — one file-source
+        # per shard (independent offsets inside this query's ONE checkpoint),
+        # per-shard LSNs bit-packed into the global LSN (sources/shards.py)
+        if source_format != "parquet":
+            raise ValueError("sharded ingest supports parquet segments only")
+        from ..sources.shards import sharded_segments_stream
+
+        changes = sharded_segments_stream(
+            spark, segments_dir, schema, max_files_per_trigger
+        )
+    elif source_format == "parquet":
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
