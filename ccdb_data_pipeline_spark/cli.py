@@ -22,6 +22,8 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   rename  --table DIR --from OLD --to NEW          metadata-only column rename (field-id analog)
   drop-column --table DIR --name COL               metadata-only column drop (re-add reads null for old rows)
   add-column  --table DIR --name COL --type DDL [--default V]   explicit ADD COLUMN with initial default
+  fsck    --table DIR                              metadata/disk integrity audit (exit 1 on violations)
+  purge   --table DIR --where PRED [--drop-tags]   hard purge: rewrite files, expire history, GC bytes
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
                                     "tag", "untag", "rate", "rename", "drop-column",
-                                    "add-column"])
+                                    "add-column", "fsck", "purge"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -75,6 +77,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--type", dest="col_type", help="add-column: DDL type (e.g. string, bigint)")
     ap.add_argument("--default", dest="col_default", default=None,
                     help="add-column: initial default for pre-existing rows")
+    ap.add_argument("--drop-tags", action="store_true",
+                    help="purge: also drop tags pinning pre-purge snapshots")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
     if a.cmd == "add-column" and not a.col_type:
@@ -148,6 +152,16 @@ def main(argv: list[str] | None = None) -> int:
         expired = table.expire_snapshots(retain_last=a.retain_last)
         orphans = table.remove_orphans()
         print(json.dumps({"expired": expired, "orphans": orphans}))
+    elif a.cmd == "fsck":
+        from .plans.fsck import fsck
+
+        rep = fsck(table)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
+    elif a.cmd == "purge":
+        from .plans.dml import purge_where
+
+        print(json.dumps(purge_where(table, a.where, drop_tags=a.drop_tags)))
     elif a.cmd == "stats":
         print(json.dumps(table.stats()))
     elif a.cmd == "rate":

@@ -57,8 +57,20 @@ def start_ingest(
     dedupe_within_watermark: str | None = None,
     quarantine_dir: str | None = None,
     source_format: str = "parquet",
+    compact_every: int | None = None,
+    compact_budget: int | None = 64,
 ):
     """Start the CDC ingest stream; returns the StreamingQuery.
+
+    compact_every: when set, run an IO-budgeted incremental compaction
+    after every N applied (non-replayed) micro-batches — Hudi's inline
+    compaction analog. The budget (``compact_budget`` buckets per sweep,
+    dirtiest first) bounds the pause it injects between batches, and
+    repeated sweeps converge, so MoR read amplification stays flat on a
+    long-running stream without any external maintenance scheduler. For
+    latency-critical ingest keep this unset and run compaction from a
+    SEPARATE process instead — concurrent commits reconcile via the
+    lost-CAS validate-and-rebase path (plans/lake.py).
 
     dedupe_within_watermark: when set (e.g. ``"2 hours"``), suppress
     re-delivered change events in-stream with
@@ -126,11 +138,18 @@ def start_ingest(
         )
         changes = timed.unionByName(changes.filter(F.col(spec.ts_col).isNull()))
 
+    applied_since_compact = [0]
+
     def _fb(batch_df, batch_id: int) -> None:
         stats = apply_changes(
             table, batch_df, batch_id, normalize=normalize,
             quarantine_dir=quarantine_dir,
         )
+        if compact_every and not stats.skipped:
+            applied_since_compact[0] += 1
+            if applied_since_compact[0] >= compact_every:
+                applied_since_compact[0] = 0
+                table.compact(drop_tombstones=False, max_buckets=compact_budget)
         if emit_changes_dir is not None:
             if not stats.skipped:
                 _emit_batch_changes(table, emit_changes_dir, batch_id, stats.version)

@@ -1,0 +1,96 @@
+"""Inline streaming compaction (start_ingest compact_every): budgeted
+maintenance sweeps ride the ingest loop so MoR read amplification stays
+bounded on a long-running stream — content never changes, oracle still
+matches, and the change feed stays quiet across the sweeps."""
+
+import os
+
+from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+from ccdb_data_pipeline_spark.sources.binlog import (
+    gen_changes_pandas,
+    gen_seed_pandas,
+    write_segments,
+)
+from ccdb_data_pipeline_spark.streaming.stream import run_ingest
+
+from tests.oracle import assert_tables_equal, replay, table_to_pandas
+
+
+def _max_delta_depth(t):
+    m = t.manifest()
+    return max(
+        (sum(1 for e in fs if e.get("delta")) for fs in m["buckets"].values()),
+        default=0,
+    )
+
+
+def test_inline_compact_bounds_read_amplification(spark, tmp_path):
+    seed = gen_seed_pandas(n_convs=40, seed=11)
+    ch = gen_changes_pandas(1600, n_convs=40, seed=11)
+
+    def ingest(compact_every):
+        d = os.path.join(str(tmp_path), f"run-{compact_every}")
+        binlog = os.path.join(d, "binlog")
+        write_segments(ch, binlog, n_segments=8, replay_segment=None)
+        t = SnapshotParquetTable(
+            spark, os.path.join(d, "t"), TableSpec(num_buckets=8, merge_mode="mor")
+        )
+        t.create(TRANSCRIPT_SCHEMA)
+        bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+        run_ingest(
+            spark, binlog, t, os.path.join(d, "ckpt"),
+            max_files_per_trigger=1, compact_every=compact_every,
+        )
+        return t
+
+    plain = ingest(None)
+    inline = ingest(2)
+
+    # same final content either way, equal to the oracle replay
+    expected = replay(seed, [ch])
+    assert_tables_equal(table_to_pandas(plain.read()), expected)
+    assert_tables_equal(table_to_pandas(inline.read()), expected)
+
+    # the sweeps actually ran (compact ops in the history)...
+    ops = [m.get("summary", {}).get("op") for m in inline.history()]
+    assert ops.count("compact") >= 3
+    # ...and they bound delta stacking: without maintenance the deepest
+    # bucket accumulates one layer per batch; with it, at most
+    # compact_every un-swept layers remain
+    assert _max_delta_depth(plain) >= 6
+    assert _max_delta_depth(inline) <= 2
+
+
+def test_inline_compact_keeps_change_feed_quiet(spark, tmp_path):
+    """table_changes across an inline-compacted window reports only the
+    real row changes (compaction carry-overs are suppressed)."""
+    seed = gen_seed_pandas(n_convs=20, seed=4)
+    ch = gen_changes_pandas(400, n_convs=20, seed=4)
+    binlog = os.path.join(str(tmp_path), "binlog")
+    write_segments(ch, binlog, n_segments=4, replay_segment=None)
+    t = SnapshotParquetTable(
+        spark, os.path.join(str(tmp_path), "t"), TableSpec(num_buckets=8, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    v0 = t.current_version()
+    run_ingest(
+        spark, binlog, t, os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=1, compact_every=1, compact_budget=4,
+    )
+    feed = t.table_changes(v0, t.current_version())
+    # every change in the feed is a genuine insert/update/delete of a key
+    # the stream touched — LWW winners match a direct diff of the snapshots
+    post = {
+        (r["conv_id"], r["turn_idx"])
+        for r in feed.select("conv_id", "turn_idx").distinct().collect()
+    }
+    touched = {
+        (c, int(ti))
+        for c, ti in ch[ch.conv_id.notna()][["conv_id", "turn_idx"]].itertuples(
+            index=False
+        )
+    }
+    assert post <= touched
