@@ -2409,6 +2409,128 @@ def ivm_signed_delta(spark, sf_dir):
 
 
 @q(
+    "ivm_join_delta",
+    """
+    WITH win AS (
+      SELECT * FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e) WHERE rn = 1 AND event_type <> 'error'
+    ),
+    dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'PRIME' ELSE c_mktsegment END AS segment,
+             c_acctbal
+      FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT w.user_id, w.event_type,
+           CAST(round(w.value * 100) AS BIGINT)     AS value_c,
+           d.segment,
+           CAST(round(d.c_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM win w JOIN dim d ON w.user_id = d.c_custkey
+    ORDER BY user_id, event_type
+    """,
+)
+def ivm_join_delta(spark, sf_dir):
+    """Incremental JOIN view maintenance end-to-end through the REAL lake
+    backend (plans/ivm.py IncrementalJoinView): ingest the event stream
+    into a fact table (two batches split at the median LSN) and customers
+    into a dim table, build the materialized fact ⋈ dim view at the first
+    versions, then mutate BOTH tables — post-cutoff events on the fact,
+    segment updates (custkey%3=0 → 'PRIME') and deletes (custkey%7=0) on
+    the dim — and refresh. The refresh folds ONLY the two change feeds
+    (ΔA⋈B₁ + A₀⋈ΔB, both sides bucket-pruned via read_keys when the join
+    key is the bucket column); the oracle recomputes the final join from
+    scratch. A hash match proves incremental == full re-join, including
+    the ΔA⋈ΔB cross term for keys whose fact AND dim rows both changed."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.ivm import IncrementalJoinView
+    from .plans.lake import SnapshotParquetTable
+
+    base = os.path.join(tempfile.gettempdir(), f"cdc-ivmj-{uuid.uuid4().hex}")
+    fact_spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=8,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    cutoff = ev.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    fact = SnapshotParquetTable(spark, os.path.join(base, "fact"), fact_spec)
+    b0 = lww_latest(ev.filter(F.col("event_id") <= cutoff), fact_spec)
+    fact.create(b0.drop("op", "event_id").schema)
+    fact.merge(b0, batch_id=0)
+
+    dim_spec = TableSpec(
+        key_cols=("c_custkey",),
+        bucket_col="c_custkey",
+        ts_col="dim_ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=8,
+        merge_mode="cow",
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            "c_acctbal",
+            F.lit("2024-01-01").cast("timestamp").alias("dim_ts"),
+            F.lit("U").alias("op"),
+            F.col("c_custkey").cast("long").alias("lsn"),
+        )
+    )
+    dim = SnapshotParquetTable(spark, os.path.join(base, "dim"), dim_spec)
+    dim.create(cust.drop("op", "lsn").schema)
+    dim.merge(cust, batch_id=0)
+
+    view = IncrementalJoinView(
+        spark, os.path.join(base, "view"), on={"user_id": "c_custkey"}
+    )
+    view.refresh(fact, dim)  # initial full build at (v_fact0, v_dim0)
+
+    # window 2: fact gets the post-cutoff events; dim gets updates + deletes
+    fact.merge(lww_latest(ev.filter(F.col("event_id") > cutoff), fact_spec), batch_id=1)
+    upd = cust.filter((F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 7 != 0)).withColumn(
+        "segment", F.lit("PRIME")
+    ).withColumn("dim_ts", F.lit("2024-02-01").cast("timestamp")).withColumn(
+        "lsn", F.col("lsn") + 100000
+    )
+    dele = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "op", F.lit("D")
+    ).withColumn("dim_ts", F.lit("2024-02-01").cast("timestamp")).withColumn(
+        "lsn", F.col("lsn") + 200000
+    )
+    dim.merge(upd.unionByName(dele), batch_id=1)
+    view.refresh(fact, dim)  # incremental: ΔA⋈B₁ + A₀⋈ΔB only
+
+    return (
+        view.read()
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            "segment",
+            _cents(F.col("c_acctbal")).alias("acctbal_c"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
     "mm_frame_sample",
     """
     WITH meta AS (

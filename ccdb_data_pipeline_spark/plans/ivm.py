@@ -165,3 +165,204 @@ class IncrementalAggView:
         return df.groupBy(*self.group_cols).agg(
             F.sum(w).cast("long").alias("n_rows"), *sums
         )
+
+
+class IncrementalJoinView:
+    """A materialized equi-join of two lake tables — ``fact ⋈ dim`` on
+    ``on`` (fact_col → dim_col) — maintained incrementally from BOTH
+    tables' change feeds.
+
+    The delta-join algebra (DBSP / Materialize's bilinear rule): with
+    ``A₁ = A₀ + ΔA`` and ``B₁ = B₀ + ΔB``,
+
+        ``A₁⋈B₁ = A₀⋈B₀ + ΔA⋈B₁ + A₀⋈ΔB``
+
+    so one refresh folds exactly two delta joins into the stored state —
+    never a full re-join. Pre/post images from ``table_changes`` carry the
+    signs (+1 insert/postimage, -1 delete/preimage); consolidation is a
+    groupBy over the full output row with ``SUM(sign)``, keeping net-count
+    > 0. Group migrations, payload updates on either side, and deletes all
+    fall out of the signed algebra with no special cases — including a fact
+    row AND its dim row changing in the same window (the cross term
+    ``ΔA⋈ΔB`` is absorbed by joining ΔA against B at its NEW version).
+
+    Scale shape per refresh: O(ΔA · dim-lookup) + O(ΔB · fact-lookup) +
+    O(|state ∩ touched|) — never O(fact table). When a join column is the
+    other table's bucket column the lookup side is served by ``read_keys``
+    (bucket-pruned point reads: k changed keys touch k buckets of a
+    10^10-row table); otherwise the delta side broadcasts into a pruned
+    scan. Only INNER equi-joins with a unique dim key are supported — the
+    FK-enrichment shape (transcript turns ⋈ conversation metadata) that
+    dominates real pipelines.
+
+    Crash safety mirrors :class:`IncrementalAggView`: state dirs are
+    written first, then a MARKER file recording BOTH applied table
+    versions swaps atomically; a crashed refresh replays idempotently.
+
+    The reference has no equivalent — its join-shaped enrichment is done
+    per-request in Elasticsearch; here the joined view stays fresh from
+    the CDC feed at O(changes) cost.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        on: Mapping[str, str] | Sequence[str],
+        max_lookup: int = 5000,
+    ):
+        self.spark = spark
+        self.root = root
+        self.on = dict(on) if isinstance(on, Mapping) else {c: c for c in on}
+        self.max_lookup = int(max_lookup)
+
+    # ------------------------------------------------------------ state IO
+
+    @property
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, "MARKER")
+
+    def applied_versions(self) -> tuple[int, int]:
+        """(fact_version, dim_version) the visible state reflects; (-1, -1)
+        before the first refresh."""
+        if not os.path.exists(self._marker_path):
+            return (-1, -1)
+        with open(self._marker_path) as f:
+            m = json.load(f)
+        return (int(m["fact_version"]), int(m["dim_version"]))
+
+    def _state_dir(self) -> str | None:
+        if not os.path.exists(self._marker_path):
+            return None
+        with open(self._marker_path) as f:
+            return os.path.join(self.root, json.load(f)["state"])
+
+    def read(self, with_multiplicity: bool = False) -> DataFrame:
+        """The maintained join as of the last refresh."""
+        d = self._state_dir()
+        if d is None:
+            raise ValueError("view has no state yet; call refresh() first")
+        df = self.spark.read.parquet(d)
+        return df if with_multiplicity else df.drop("_n")
+
+    # ------------------------------------------------------------ refresh
+
+    def _out_cols(self, fact, dim) -> tuple[list[str], list[str]]:
+        fact_cols = [f.name for f in fact.schema.fields]
+        dim_cols = [f.name for f in dim.schema.fields]
+        dim_out = [c for c in dim_cols if c not in self.on.values()]
+        clash = sorted(set(fact_cols) & set(dim_out))
+        if clash:
+            raise ValueError(
+                f"dim payload columns {clash} collide with fact columns; "
+                "rename them on the dim table first"
+            )
+        missing = sorted(set(self.on) - set(fact_cols))
+        if missing:
+            raise ValueError(f"join columns {missing} not in fact schema")
+        return fact_cols, dim_out
+
+    def _dim_side(self, dim, version: int, key_vals: list | None) -> DataFrame:
+        """dim state at ``version`` with join cols renamed to fact names,
+        bucket-pruned to ``key_vals`` when the join key is dim's bucket col."""
+        jcols = list(self.on.items())
+        if (
+            key_vals is not None
+            and len(jcols) == 1
+            and jcols[0][1] == dim.spec.bucket_col
+            and len(key_vals) <= self.max_lookup
+        ):
+            d = dim.read_keys(key_vals, version=version)
+        else:
+            d = dim.read(version=version)
+        return d.select(
+            *[F.col(dc).alias(fc) for fc, dc in jcols],
+            *[c for c in d.columns if c not in self.on.values()],
+        )
+
+    def _fact_side(self, fact, version: int, key_vals: list | None) -> DataFrame:
+        jcols = list(self.on.keys())
+        if (
+            key_vals is not None
+            and len(jcols) == 1
+            and jcols[0] == fact.spec.bucket_col
+            and len(key_vals) <= self.max_lookup
+        ):
+            return fact.read_keys(key_vals, version=version)
+        return fact.read(version=version)
+
+    def _collect_keys(self, df: DataFrame, col: str) -> list | None:
+        """Distinct join-key values of a delta frame, for bucket pruning;
+        None when the delta is too wide to prune (fall back to a scan)."""
+        rows = df.select(col).distinct().limit(self.max_lookup + 1).collect()
+        if len(rows) > self.max_lookup:
+            return None
+        return [r[0] for r in rows if r[0] is not None]
+
+    def refresh(self, fact, dim) -> dict:
+        """Fold all changes on either table since the last refresh."""
+        vf, vd = fact.current_version(), dim.current_version()
+        af, ad = self.applied_versions()
+        if (af, ad) == (vf, vd):
+            return {"fact_version": vf, "dim_version": vd, "n_changes": 0}
+
+        fact_cols, dim_out = self._out_cols(fact, dim)
+        out_cols = fact_cols + dim_out
+        fkeys = list(self.on.keys())
+
+        if af < 0:
+            # first build: the only full-join this view ever performs
+            new_state = (
+                fact.read(version=vf)
+                .join(self._dim_side(dim, vd, None), on=fkeys, how="inner")
+                .select(*out_cols)
+                .withColumn("_n", F.lit(1).cast("long"))
+            )
+            n_changes = -1
+        else:
+            da = fact.table_changes(af, vf)
+            db = dim.table_changes(ad, vd)
+            fact_jcol = fkeys[0]
+            # ΔA ⋈ B₁ : signed fact deltas against the dim's NEW state
+            part1 = (
+                da.withColumn("_n", _sign().cast("long"))
+                .select(*fact_cols, "_n")
+                .join(
+                    self._dim_side(dim, vd, self._collect_keys(da, fact_jcol)),
+                    on=fkeys,
+                    how="inner",
+                )
+                .select(*out_cols, "_n")
+            )
+            # A₀ ⋈ ΔB : signed dim deltas against the fact's OLD state
+            db_signed = db.withColumn("_n", _sign().cast("long")).select(
+                *[F.col(dc).alias(fc) for fc, dc in self.on.items()],
+                *dim_out,
+                "_n",
+            )
+            part2 = (
+                self._fact_side(fact, af, self._collect_keys(db_signed, fact_jcol))
+                .join(db_signed, on=fkeys, how="inner")
+                .select(*out_cols, "_n")
+            )
+            old = self.read(with_multiplicity=True)
+            new_state = (
+                old.unionByName(part1)
+                .unionByName(part2)
+                .groupBy(*out_cols)
+                .agg(F.sum("_n").cast("long").alias("_n"))
+                .filter(F.col("_n") > 0)
+            )
+            n_changes = da.count() + db.count()
+
+        rel = f"state-{vf:010d}-{vd:010d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, rel)
+        new_state.write.mode("overwrite").parquet(out)
+        old_dir = self._state_dir()
+        _atomic_write(
+            self._marker_path,
+            json.dumps({"fact_version": vf, "dim_version": vd, "state": rel}),
+        )
+        if old_dir and os.path.isdir(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+        return {"fact_version": vf, "dim_version": vd, "n_changes": n_changes}
