@@ -2531,6 +2531,117 @@ def ivm_join_delta(spark, sf_dir):
 
 
 @q(
+    "spj_cobucket_join",
+    """
+    WITH win AS (
+      SELECT * FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e) WHERE rn = 1 AND event_type <> 'error'
+    ),
+    dim AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_custkey % 4 = 0 THEN 'VIP' ELSE c_mktsegment END AS segment,
+             c_acctbal
+      FROM customer WHERE c_custkey % 9 <> 0
+    )
+    SELECT w.user_id, w.event_type,
+           CAST(round(w.value * 100) AS BIGINT)     AS value_c,
+           d.segment,
+           CAST(round(d.c_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM win w JOIN dim d USING (user_id)
+    ORDER BY user_id, event_type
+    """,
+)
+def spj_cobucket_join(spark, sf_dir):
+    """Storage-partitioned join (plans/spj.py): events and customers land
+    in two lake tables co-bucketed on user_id (same xxhash64 % 8 layout),
+    the dim then takes an UNCOMPACTED delta batch (segment updates + key
+    deletes), and join_cobucketed joins the two tables bucket-locally —
+    the per-task arrow kernel resolves the dim's MoR delta layers, drops
+    tombstones, and hash-joins inside the task. The plan moves only
+    num_buckets metadata rows; no data shuffle, no Spark join node
+    (asserted in tests/test_spj.py). The oracle recomputes the join the
+    ordinary way — a hash match proves the shuffle-free path is exact."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.lake import SnapshotParquetTable
+    from .plans.spj import join_cobucketed
+
+    base = os.path.join(tempfile.gettempdir(), f"cdc-spj-{uuid.uuid4().hex}")
+    fact_spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=8,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    fact = SnapshotParquetTable(spark, os.path.join(base, "fact"), fact_spec)
+    b0 = lww_latest(ev, fact_spec)
+    fact.create(b0.drop("op", "event_id").schema)
+    fact.merge(b0, batch_id=0)
+
+    dim_spec = TableSpec(
+        key_cols=("user_id",),
+        bucket_col="user_id",
+        ts_col="dim_ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=8,
+        merge_mode="mor",
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("dim_ts"),
+        F.lit("U").alias("op"),
+        F.col("c_custkey").cast("long").alias("lsn"),
+    )
+    dim = SnapshotParquetTable(spark, os.path.join(base, "dim"), dim_spec)
+    dim.create(cust.drop("op", "lsn").schema)
+    dim.merge(cust, batch_id=0)
+    # an uncompacted second batch: the join's arrow kernel must fold it
+    upd = cust.filter((F.col("user_id") % 4 == 0) & (F.col("user_id") % 9 != 0)).withColumn(
+        "segment", F.lit("VIP")
+    ).withColumn("dim_ts", F.lit("2024-02-01").cast("timestamp")).withColumn(
+        "lsn", F.col("lsn") + 100000
+    )
+    dele = cust.filter(F.col("user_id") % 9 == 0).withColumn(
+        "op", F.lit("D")
+    ).withColumn("dim_ts", F.lit("2024-02-01").cast("timestamp")).withColumn(
+        "lsn", F.col("lsn") + 200000
+    )
+    dim.merge(upd.unionByName(dele), batch_id=1)
+
+    joined = join_cobucketed(
+        fact,
+        dim,
+        on=["user_id"],
+        columns_a=["event_type", "value"],
+        columns_b=["segment", "c_acctbal"],
+    )
+    return joined.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_c"),
+        "segment",
+        _cents(F.col("c_acctbal")).alias("acctbal_c"),
+    ).orderBy("user_id", "event_type")
+
+
+@q(
     "mm_frame_sample",
     """
     WITH meta AS (
