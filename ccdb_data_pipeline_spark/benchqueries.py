@@ -3928,3 +3928,166 @@ def cdc_shard_watermarks(spark, sf_dir):
         pack_shard_lsn("shard_id", "shard_lsn", 10).alias("lsn")
     )
     return shard_watermarks(feed, shard_bits=10)
+
+
+# =====================================================================
+# Training-data corpus curation, round 2: duplicate spans, weighted
+# mixing, composed per-doc keep/drop verdict
+# =====================================================================
+
+
+@q(
+    "dup_span_stats",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+    ),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    kg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+             i -> array_to_string(ws[i:i+4], ' ')))) AS g
+      FROM w WHERE len(ws) >= 5
+    ),
+    cnt AS (SELECT g, COUNT(*) AS nd FROM kg GROUP BY g)
+    SELECT kg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS n_shared,
+           CAST(round(10000.0 * (COUNT(*) FILTER (WHERE c.nd >= 2)) / COUNT(*)) AS BIGINT)
+                                                             AS shared_bp
+    FROM kg JOIN cnt c ON c.g = kg.g
+    GROUP BY kg.doc_id ORDER BY doc_id
+    """,
+)
+def dup_span_stats(spark, sf_dir):
+    """Exact duplicate-SPAN statistics (operators/dedup_text.py
+    duplicate_span_stats): word 5-grams shared across >= 2 documents —
+    the substring-level memorization signal document-level dedup misses
+    (Lee et al. 2022). Shingling is array-side with per-doc dedup BEFORE
+    the explode; every shuffle is keyed on xxhash64(shingle) (8-byte
+    exchange keys, not n-gram strings); the doc-count join reuses the
+    groupBy's exchange partitioning. Oracle: DuckDB list_transform
+    5-grams, same distinct/threshold semantics on the raw strings."""
+    from .operators.dedup_text import duplicate_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+@q(
+    "dataset_mix_weighted",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
+          CASE source WHEN 'src0' THEN 'ffff' WHEN 'src1' THEN '7fff'
+                      WHEN 'src2' THEN '3fff' ELSE '1fff' END
+    ORDER BY doc_id
+    """,
+)
+def dataset_mix_weighted(spark, sf_dir):
+    """Deterministic weighted corpus mixing (operators/sampling.py
+    dataset_mix): keep src0 fully, src1 at 1/2, src2 at 1/4, every other
+    source at 1/8 — the per-source upsample/downsample knob of an LLM
+    training mix, as one map-side md5-threshold filter. Pure function of
+    (doc_id, source): the mix is a reproducible dataset definition, stable
+    under re-partitioning and cluster size, join-consistent with any other
+    table sampled on the same key. No shuffle at any scale."""
+    from .operators.sampling import dataset_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dataset_mix(
+            d, "source", "doc_id",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.125,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+
+@q(
+    "dedup_decisions",
+    "WITH RECURSIVE p AS (" + _MINHASH_PAIRS_BODY + r"""),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+    h AS (
+      SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS th
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY th) AS exact_canon FROM h),
+    q AS (SELECT doc_id, keep FROM (""" + "__GOPHER__" + r"""))
+    SELECT d.doc_id,
+           CAST(ex.exact_canon AS BIGINT)                    AS exact_canon,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT)   AS near_canon,
+           CAST(q.keep AS BIGINT)                            AS quality_keep,
+           CASE WHEN ex.exact_canon <> d.doc_id                  THEN 'drop_exact'
+                WHEN COALESCE(c.component, d.doc_id) <> d.doc_id THEN 'drop_near'
+                WHEN q.keep = 0                                  THEN 'drop_quality'
+                ELSE 'keep' END                               AS verdict
+    FROM documents d
+    JOIN ex USING (doc_id)
+    LEFT JOIN comp c USING (doc_id)
+    JOIN q USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_decisions(spark, sf_dir):
+    """The composed per-document curation VERDICT — what a training-data
+    pipeline actually ships: exact dedup (normalized-text hash, keep the
+    min doc_id), near-dup clusters (MinHash+LSH pairs -> connected
+    components, keep the canonical min id), Gopher quality gate — folded
+    into one precedence ruling (exact > near > quality > keep) with the
+    evidence columns alongside. Every stage reuses the already-verified
+    operator (dedup_exact / dedup_components / gopher_quality plans); the
+    only new work is two broadcast-size joins on doc_id. Oracle: the same
+    three verified CTE fragments composed with identical precedence."""
+    from .operators.components import connected_components
+    from .operators.dedup_text import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    ex = d.select("doc_id", F.md5(norm).alias("th")).withColumn(
+        "exact_canon", F.min("doc_id").over(W.partitionBy("th"))
+    )
+    pairs = minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=8, band_size=2,
+        threshold_bp=2000, hash_mode="md5",
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    quality = gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    near_canon = F.coalesce(F.col("component"), F.col("doc_id"))
+    verdict = (
+        F.when(F.col("exact_canon") != F.col("doc_id"), F.lit("drop_exact"))
+        .when(near_canon != F.col("doc_id"), F.lit("drop_near"))
+        .when(F.col("quality_keep") == 0, F.lit("drop_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("doc_id")
+        .join(ex.select("doc_id", "exact_canon"), "doc_id")
+        .join(comp, "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.col("exact_canon").cast("long").alias("exact_canon"),
+            near_canon.cast("long").alias("near_canon"),
+            F.col("quality_keep").cast("long").alias("quality_keep"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["dedup_decisions"] = ORACLE["dedup_decisions"].replace(
+    "__GOPHER__", ORACLE["gopher_quality"].rsplit("ORDER BY", 1)[0]
+)

@@ -267,3 +267,38 @@ def simhash_near_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 8) -> 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document exact duplicate-SPAN statistics — the memorization
+    signal document-level dedup misses (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": cross-document repeated
+    substrings). A span is a word n-gram; a span is SHARED when it occurs
+    in >= 2 distinct documents. Emits per doc: distinct-span count,
+    shared-span count, shared fraction in basis points.
+
+    Plan shape: shingle array-side (word_shingles — per-doc dedup happens
+    BEFORE the explode), then key every shuffle on ``xxhash64(shingle)``
+    so exchanges carry 8-byte keys instead of raw n-gram strings; count
+    docs per span; join back on the SAME hashed key (the exchange
+    partitioning is reused); one final groupBy(doc). Two logical shuffles
+    total — the suffix-array-free approximation that actually distributes
+    at 10^10 spans."""
+    sh = word_shingles(df, id_col, text_col, n=n).select(
+        id_col, F.xxhash64("shingle").alias("_g")
+    )
+    per_g = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        sh.join(per_g, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.count_if(F.col("_nd") >= 2).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "shared_bp",
+            F.round(10000.0 * F.col("n_shared") / F.col("n_spans")).cast("long"),
+        )
+    )

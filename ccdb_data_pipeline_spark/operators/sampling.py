@@ -44,3 +44,29 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     """
     digest = F.md5(F.col(key_col).cast("string"))
     return df.filter(digest.substr(1, _WIDTH) <= hash_threshold(rate))
+
+
+def dataset_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic weighted corpus MIXING: per-source sampling rates in
+    one map-side filter (the multi-source generalization of hash_sample —
+    the knob every LLM training mix turns: upsample the curated source,
+    downsample the crawl).
+
+    Each row survives iff md5(key)[:4] <= threshold(rate-of-its-source);
+    sources absent from ``rates`` fall back to ``default_rate``. Because
+    the decision is a pure function of (key, source), the mix is a
+    reproducible dataset DEFINITION rather than a sampling run: stable
+    under re-partitioning, cluster size, and re-execution, and consistent
+    across derived tables keyed on the same id. No shuffle at any scale —
+    the CASE collapses to a codegen'd branch riding the scan."""
+    expr = F.lit(hash_threshold(default_rate))
+    for s, r in sorted(rates.items(), reverse=True):
+        expr = F.when(F.col(source_col) == s, F.lit(hash_threshold(r))).otherwise(expr)
+    digest = F.md5(F.col(key_col).cast("string"))
+    return df.filter(digest.substr(1, _WIDTH) <= expr)

@@ -93,3 +93,28 @@ def test_simhash_near_pairs(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(sim, "doc_id", max_hamming=12).collect()}
     assert pairs[(1, 3)] == 0
     assert (1, 2) in pairs
+
+
+def test_duplicate_span_stats(spark):
+    from ccdb_data_pipeline_spark.operators.dedup_text import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # spans: "a b c d e", "b c d e f"
+            (2, "a b c d e x"),      # shares "a b c d e" with doc 1
+            (3, "z y x w v"),        # one span, unshared
+            (4, "a b"),              # too short for a 5-gram -> absent
+            (5, "q q q q q q q q"),  # within-doc repeats dedup to ONE span
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"], r["shared_bp"])
+        for r in duplicate_span_stats(docs, "doc_id", "text", n=5).collect()
+    }
+    assert got == {
+        1: (2, 1, 5000),
+        2: (2, 1, 5000),
+        3: (1, 0, 0),
+        5: (1, 0, 0),
+    }

@@ -45,3 +45,35 @@ def test_consistent_across_tables(spark):
     jf = _ids(hash_sample(fact, "k", 0.2).select("k"))
     jd = _ids(hash_sample(dim, "k", 0.2).select("k"))
     assert jf == jd
+
+
+def test_dataset_mix_rates_and_determinism(spark):
+    from ccdb_data_pipeline_spark.operators.sampling import dataset_mix
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    mixed = dataset_mix(df, "src", "k", {"s0": 1.0, "s1": 0.0}, default_rate=0.5)
+    got = {(r["k"], r["src"]) for r in mixed.collect()}
+    # s0 fully kept, s1 fully dropped
+    assert all(src != "s1" for _, src in got)
+    assert sum(1 for _, src in got if src == "s0") == 1000
+    # unlisted source falls back to default_rate (~0.5, wide tolerance)
+    n_s2 = sum(1 for _, src in got if src == "s2")
+    assert 380 < n_s2 < 620
+    # deterministic under re-partitioning
+    again = {
+        (r["k"], r["src"])
+        for r in dataset_mix(
+            df.repartition(13, "k"), "src", "k", {"s0": 1.0, "s1": 0.0}, 0.5
+        ).collect()
+    }
+    assert got == again
+
+
+def test_dataset_mix_nests_within_source(spark):
+    from ccdb_data_pipeline_spark.operators.sampling import dataset_mix
+
+    df = spark.createDataFrame([(i, "a") for i in range(1000)], ["k", "src"])
+    lo = {r["k"] for r in dataset_mix(df, "src", "k", {"a": 0.2}).collect()}
+    hi = {r["k"] for r in dataset_mix(df, "src", "k", {"a": 0.6}).collect()}
+    assert lo <= hi  # raising a source's weight only ADDS rows
