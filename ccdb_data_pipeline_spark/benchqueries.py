@@ -4091,3 +4091,96 @@ def dedup_decisions(spark, sf_dir):
 ORACLE["dedup_decisions"] = ORACLE["dedup_decisions"].replace(
     "__GOPHER__", ORACLE["gopher_quality"].rsplit("ORDER BY", 1)[0]
 )
+
+
+@q(
+    "docview_incremental",
+    r"""
+    WITH turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+             CASE WHEN event_id % 5 = 0 THEN event_type || '!' ELSE event_type END AS seg
+      FROM events
+      WHERE NOT (event_id % 7 = 0 AND event_id % 5 <> 0)
+    )
+    SELECT conv_id,
+           string_agg(seg, '>' ORDER BY event_id) AS doc,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM turns GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def docview_incremental(spark, sf_dir):
+    """Incrementally-maintained conversation DOCUMENT view (plans/ivm.py
+    IncrementalDocView — the CDC→training-text loop): events land in a
+    lake table as turns (batch 0), then a second batch edits every %5
+    turn mid-conversation and deletes the %7 ones; each refresh re-renders
+    ONLY the changed conversations (bucket-pruned read_keys point reads,
+    O(changed convs) never O(table)) and carries every other document
+    unchanged. The returned state is the view's stored parquet. Oracle:
+    DuckDB renders the FINAL table state directly with ordered string_agg
+    — a hash match proves incremental re-render == full rebuild through
+    mid-document edits and whole/partial deletes."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .plans.ivm import IncrementalDocView
+    from .plans.lake import SnapshotParquetTable
+
+    base = os.path.join(tempfile.gettempdir(), f"cdc-docview-{uuid.uuid4().hex}")
+    spec = TableSpec(
+        key_cols=("conv_id", "turn_idx"),
+        bucket_col="conv_id",
+        ts_col="ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=8,
+        merge_mode="mor",
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    t = SnapshotParquetTable(spark, os.path.join(base, "t"), spec)
+    ev = _t(spark, sf_dir, "events")
+    cid = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    b0 = ev.select(
+        F.col("event_id").cast("long").alias("lsn"),
+        F.lit("I").alias("op"),
+        cid.alias("conv_id"),
+        F.col("event_id").cast("long").alias("turn_idx"),
+        F.col("event_type").alias("seg"),
+        F.col("ts"),
+    )
+    t.create(b0.drop("op", "lsn").schema)
+    t.merge(b0, batch_id=0)
+
+    view = IncrementalDocView(
+        spark,
+        os.path.join(base, "v"),
+        group_col="conv_id",
+        order_cols=("turn_idx",),
+        segment_sql="seg",
+        sep=">",
+    )
+    view.refresh(t)
+
+    day = F.expr("INTERVAL 1 DAY")
+    upd = ev.filter(F.col("event_id") % 5 == 0).select(
+        (F.col("event_id").cast("long") + F.lit(10_000_000)).alias("lsn"),
+        F.lit("U").alias("op"),
+        cid.alias("conv_id"),
+        F.col("event_id").cast("long").alias("turn_idx"),
+        F.concat(F.col("event_type"), F.lit("!")).alias("seg"),
+        (F.col("ts") + day).alias("ts"),
+    )
+    dele = ev.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 5 != 0)).select(
+        (F.col("event_id").cast("long") + F.lit(20_000_000)).alias("lsn"),
+        F.lit("D").alias("op"),
+        cid.alias("conv_id"),
+        F.col("event_id").cast("long").alias("turn_idx"),
+        F.lit(None).cast("string").alias("seg"),
+        (F.col("ts") + day).alias("ts"),
+    )
+    t.merge(upd.unionByName(dele), batch_id=1)
+    view.refresh(t)
+    return view.read().select("conv_id", "doc", "n_turns").orderBy("conv_id")

@@ -366,3 +366,149 @@ class IncrementalJoinView:
         if old_dir and os.path.isdir(old_dir):
             shutil.rmtree(old_dir, ignore_errors=True)
         return {"fact_version": vf, "dim_version": vd, "n_changes": n_changes}
+
+
+class IncrementalDocView:
+    """One rendered DOCUMENT per group (a conversation's turns concatenated
+    in order), maintained from the change feed by re-rendering ONLY the
+    changed groups.
+
+    The signed-delta algebra of :class:`IncrementalAggView` cannot maintain
+    an order-sensitive concatenation — a turn edited in the middle of a
+    conversation is not a commutative group delta. But the group is the
+    natural re-render unit: each refresh collects the conv_ids touched by
+    the change window, point-reads exactly those conversations
+    (``read_keys`` — bucket-pruned, O(changed convs) never O(table)),
+    renders them fresh, and swaps them into the stored state; every other
+    document is carried unchanged. Fully-deleted conversations drop out
+    (read_keys returns no surviving turns for them).
+
+    This is the reference's CDC→document-store loop (delta pull →
+    re-index changed complaints, index_ccdb.py:121-147) generalized to
+    multi-row documents: the ES doc was one source row; a conversation
+    document is ALL its turns in stable order — exactly the
+    transcript-to-training-text step run incrementally.
+
+    ``segment_sql`` renders one turn (SQL expression over the table's
+    columns); ``order_cols`` give the stable within-group order (struct
+    compare = lexicographic, ties broken by later order cols). A change
+    window wider than ``max_lookup`` distinct groups falls back to a full
+    re-render (the IN-list would stop pruning anyway).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_col: str = "conv_id",
+        order_cols: Sequence[str] = ("turn_idx",),
+        segment_sql: str = "concat(coalesce(role, ''), ': ', coalesce(text, ''))",
+        sep: str = "\n",
+        max_lookup: int = 10_000,
+    ):
+        self.spark = spark
+        self.root = root
+        self.group_col = group_col
+        self.order_cols = list(order_cols)
+        self.segment_sql = segment_sql
+        self.sep = sep
+        self.max_lookup = max_lookup
+
+    # ------------------------------------------------------------ state IO
+
+    @property
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, "MARKER")
+
+    def applied_version(self) -> int:
+        if not os.path.exists(self._marker_path):
+            return -1
+        with open(self._marker_path) as f:
+            return int(json.load(f)["table_version"])
+
+    def _state_dir(self) -> str | None:
+        if not os.path.exists(self._marker_path):
+            return None
+        with open(self._marker_path) as f:
+            return os.path.join(self.root, json.load(f)["state"])
+
+    def read(self) -> DataFrame:
+        """The rendered documents as of the last refresh:
+        (group, doc, n_turns)."""
+        d = self._state_dir()
+        if d is None:
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(self.group_col, T.StringType()),
+                        T.StructField("doc", T.StringType()),
+                        T.StructField("n_turns", T.LongType()),
+                    ]
+                ),
+            )
+        return self.spark.read.parquet(d)
+
+    # ------------------------------------------------------------- render
+
+    def _render(self, df: DataFrame) -> DataFrame:
+        """groupBy → collect_list(struct(order, segment)) → array_sort →
+        transform → array_join: ONE map-side-combining agg; the per-group
+        sort happens after collection (no window, no second shuffle)."""
+        seg = F.expr(self.segment_sql)
+        ordered = F.array_sort(
+            F.collect_list(F.struct(*self.order_cols, seg.alias("_seg")))
+        )
+        return df.groupBy(self.group_col).agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s["_seg"]), self.sep
+            ).alias("doc"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+
+    # ------------------------------------------------------------ refresh
+
+    def refresh(self, table: SnapshotParquetTable) -> dict:
+        target = table.current_version()
+        applied = self.applied_version()
+        if applied >= target:
+            return {"applied_from": applied, "applied_to": applied, "n_changes": 0}
+
+        if applied < 0:
+            # first build: the only table-sized render this view performs
+            new_state = self._render(table.read(version=target))
+            n_changes = -1
+        else:
+            feed = table.table_changes(applied, target)
+            rows = (
+                feed.select(self.group_col)
+                .distinct()
+                .limit(self.max_lookup + 1)
+                .collect()
+            )
+            n_changes = feed.count()
+            if len(rows) > self.max_lookup:
+                new_state = self._render(table.read(version=target))
+            else:
+                keys = [r[0] for r in rows if r[0] is not None]
+                old = self.read()
+                if not keys:
+                    new_state = old
+                else:
+                    fresh = self._render(table.read_keys(keys, version=target))
+                    new_state = old.filter(
+                        ~F.col(self.group_col).isin(keys)
+                    ).unionByName(fresh)
+
+        rel = f"state-{target:010d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, rel)
+        new_state.write.mode("overwrite").parquet(out)
+        old_dir = self._state_dir()
+        _atomic_write(
+            self._marker_path, json.dumps({"table_version": target, "state": rel})
+        )
+        if old_dir and os.path.isdir(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+        return {"applied_from": applied, "applied_to": target, "n_changes": n_changes}

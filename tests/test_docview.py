@@ -1,0 +1,100 @@
+"""Incrementally-maintained conversation-document view == full re-render,
+through mid-conversation edits, whole-conversation deletes, appends and new
+conversations (the CDC→training-text loop, re-render-changed-groups-only)."""
+
+from datetime import datetime
+
+import pandas as pd
+
+from ccdb_data_pipeline_spark.plans.ivm import IncrementalDocView
+from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
+
+TS = datetime(2025, 1, 1)
+TS2 = datetime(2025, 1, 2)
+
+
+def _batch(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return spark.createDataFrame(pdf, CHANGE_SCHEMA)
+
+
+def _docs(view):
+    return {r["conv_id"]: (r["doc"], r["n_turns"]) for r in view.read().collect()}
+
+
+def _full_render(view, table):
+    return {
+        r["conv_id"]: (r["doc"], r["n_turns"])
+        for r in view._render(table.read()).collect()
+    }
+
+
+def test_docview_tracks_changes_per_group(spark, tmp_path):
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=4, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    view = IncrementalDocView(spark, str(tmp_path / "docs"))
+
+    t.merge(
+        _batch(
+            spark,
+            [
+                (1, "I", "a", 0, "user", "hi", None, TS),
+                (2, "I", "a", 1, "assistant", "hello", None, TS),
+                (3, "I", "b", 0, "user", "bye", None, TS),
+                (4, "I", "b", 1, "assistant", "later", None, TS),
+            ],
+        ),
+        batch_id=0,
+    )
+    stats = view.refresh(t)
+    assert stats["applied_to"] == t.current_version()
+    got = _docs(view)
+    assert got == _full_render(view, t)
+    assert got["a"] == ("user: hi\nassistant: hello", 2)
+
+    # mid-conversation edit + whole-conv delete + append + new conv
+    t.merge(
+        _batch(
+            spark,
+            [
+                (5, "U", "a", 0, "user", "hi there", None, TS2),
+                (6, "D", "b", 0, None, None, None, TS2),
+                (7, "D", "b", 1, None, None, None, TS2),
+                (8, "I", "a", 2, "user", "thanks", None, TS2),
+                (9, "I", "c", 0, "user", "new", None, TS2),
+            ],
+        ),
+        batch_id=1,
+    )
+    stats = view.refresh(t)
+    assert stats["n_changes"] > 0
+    got = _docs(view)
+    assert got == _full_render(view, t)
+    assert got["a"] == ("user: hi there\nassistant: hello\nuser: thanks", 3)
+    assert "b" not in got  # fully-deleted conversation dropped out
+    assert got["c"] == ("user: new", 1)
+
+    # idempotent no-op refresh
+    assert view.refresh(t)["n_changes"] == 0
+    assert _docs(view) == got
+
+
+def test_docview_out_of_order_turn_arrival(spark, tmp_path):
+    """A turn that ARRIVES later but sorts earlier lands in its ordinal
+    position, not at the end — rendering is by turn_idx, not ingest order."""
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    view = IncrementalDocView(spark, str(tmp_path / "docs"))
+
+    t.merge(_batch(spark, [(1, "I", "a", 1, "assistant", "second", None, TS)]), batch_id=0)
+    view.refresh(t)
+    t.merge(_batch(spark, [(2, "I", "a", 0, "user", "first", None, TS2)]), batch_id=1)
+    view.refresh(t)
+    assert _docs(view)["a"] == ("user: first\nassistant: second", 2)
