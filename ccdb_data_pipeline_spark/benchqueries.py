@@ -4115,7 +4115,7 @@ def docview_incremental(spark, sf_dir):
     turn mid-conversation and deletes the %7 ones; each refresh re-renders
     ONLY the changed conversations (bucket-pruned read_keys point reads,
     O(changed convs) never O(table)) and carries every other document
-    unchanged. The returned state is the view's stored parquet. Oracle:
+    unchanged. The state itself is a MoR lake table — refresh writes deltas proportional to the change set, never a full state rewrite. Oracle:
     DuckDB renders the FINAL table state directly with ordered string_agg
     — a hash match proves incremental re-render == full rebuild through
     mid-document edits and whole/partial deletes."""

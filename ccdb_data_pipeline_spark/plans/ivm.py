@@ -371,17 +371,23 @@ class IncrementalJoinView:
 class IncrementalDocView:
     """One rendered DOCUMENT per group (a conversation's turns concatenated
     in order), maintained from the change feed by re-rendering ONLY the
-    changed groups.
+    changed groups — with the state stored AS A LAKE TABLE, so state I/O
+    is O(changed docs) too.
 
     The signed-delta algebra of :class:`IncrementalAggView` cannot maintain
     an order-sensitive concatenation — a turn edited in the middle of a
     conversation is not a commutative group delta. But the group is the
     natural re-render unit: each refresh collects the conv_ids touched by
-    the change window, point-reads exactly those conversations
-    (``read_keys`` — bucket-pruned, O(changed convs) never O(table)),
-    renders them fresh, and swaps them into the stored state; every other
-    document is carried unchanged. Fully-deleted conversations drop out
-    (read_keys returns no surviving turns for them).
+    the change window, point-reads exactly those conversations from the
+    source (``read_keys`` — bucket-pruned, O(changed convs) never
+    O(table)), renders them fresh, and MERGES them into the derived lake
+    table: re-rendered docs as upserts, conversations whose turns all
+    disappeared as tombstones. Because the state is a MoR lake table, a
+    refresh writes delta files proportional to the change set — not a full
+    state rewrite, the property that keeps a 10^10-conversation view
+    maintainable — and inherits compaction, time travel, and the
+    exactly-once batch ledger (batch_id = source snapshot version, so a
+    crashed refresh replays as a no-op).
 
     This is the reference's CDC→document-store loop (delta pull →
     re-index changed complaints, index_ccdb.py:121-147) generalized to
@@ -393,7 +399,7 @@ class IncrementalDocView:
     columns); ``order_cols`` give the stable within-group order (struct
     compare = lexicographic, ties broken by later order cols). A change
     window wider than ``max_lookup`` distinct groups falls back to a full
-    re-render (the IN-list would stop pruning anyway).
+    re-render + full key diff (the IN-list would stop pruning anyway).
     """
 
     def __init__(
@@ -405,7 +411,10 @@ class IncrementalDocView:
         segment_sql: str = "concat(coalesce(role, ''), ': ', coalesce(text, ''))",
         sep: str = "\n",
         max_lookup: int = 10_000,
+        num_buckets: int = 16,
     ):
+        from ..schemas import TableSpec
+
         self.spark = spark
         self.root = root
         self.group_col = group_col
@@ -413,30 +422,34 @@ class IncrementalDocView:
         self.segment_sql = segment_sql
         self.sep = sep
         self.max_lookup = max_lookup
+        self.table = SnapshotParquetTable(
+            spark,
+            os.path.join(root, "table"),
+            TableSpec(
+                key_cols=(group_col,),
+                bucket_col=group_col,
+                ts_col="_dv_ts",
+                lsn_col="_dv_lsn",
+                op_col="op",
+                num_buckets=num_buckets,
+                merge_mode="mor",
+                empty_to_null_exempt=(),
+                normalize_ws_cols=(),
+            ),
+        )
 
     # ------------------------------------------------------------ state IO
 
-    @property
-    def _marker_path(self) -> str:
-        return os.path.join(self.root, "MARKER")
-
     def applied_version(self) -> int:
-        if not os.path.exists(self._marker_path):
+        """Source snapshot version the view reflects (-1 = not built)."""
+        if not self.table.exists():
             return -1
-        with open(self._marker_path) as f:
-            return int(json.load(f)["table_version"])
-
-    def _state_dir(self) -> str | None:
-        if not os.path.exists(self._marker_path):
-            return None
-        with open(self._marker_path) as f:
-            return os.path.join(self.root, json.load(f)["state"])
+        return self.table.last_batch_id
 
     def read(self) -> DataFrame:
         """The rendered documents as of the last refresh:
         (group, doc, n_turns)."""
-        d = self._state_dir()
-        if d is None:
+        if not self.table.exists():
             from pyspark.sql import types as T
 
             return self.spark.createDataFrame(
@@ -449,7 +462,7 @@ class IncrementalDocView:
                     ]
                 ),
             )
-        return self.spark.read.parquet(d)
+        return self.table.read(columns=[self.group_col, "doc", "n_turns"])
 
     # ------------------------------------------------------------- render
 
@@ -468,6 +481,26 @@ class IncrementalDocView:
             F.count(F.lit(1)).cast("long").alias("n_turns"),
         )
 
+    def _stamp(self, rendered: DataFrame, version: int, op: str) -> DataFrame:
+        return rendered.select(
+            self.group_col,
+            "doc",
+            "n_turns",
+            F.lit(None).cast("timestamp").alias("_dv_ts"),
+            F.lit(version).cast("long").alias("_dv_lsn"),
+            F.lit(op).alias("op"),
+        )
+
+    def _tombstones(self, keys_df: DataFrame, version: int) -> DataFrame:
+        return keys_df.select(
+            self.group_col,
+            F.lit(None).cast("string").alias("doc"),
+            F.lit(None).cast("long").alias("n_turns"),
+            F.lit(None).cast("timestamp").alias("_dv_ts"),
+            F.lit(version).cast("long").alias("_dv_lsn"),
+            F.lit("D").alias("op"),
+        )
+
     # ------------------------------------------------------------ refresh
 
     def refresh(self, table: SnapshotParquetTable) -> dict:
@@ -478,37 +511,46 @@ class IncrementalDocView:
 
         if applied < 0:
             # first build: the only table-sized render this view performs
-            new_state = self._render(table.read(version=target))
-            n_changes = -1
-        else:
-            feed = table.table_changes(applied, target)
-            rows = (
-                feed.select(self.group_col)
-                .distinct()
-                .limit(self.max_lookup + 1)
-                .collect()
-            )
-            n_changes = feed.count()
-            if len(rows) > self.max_lookup:
-                new_state = self._render(table.read(version=target))
-            else:
-                keys = [r[0] for r in rows if r[0] is not None]
-                old = self.read()
-                if not keys:
-                    new_state = old
-                else:
-                    fresh = self._render(table.read_keys(keys, version=target))
-                    new_state = old.filter(
-                        ~F.col(self.group_col).isin(keys)
-                    ).unionByName(fresh)
+            batch = self._stamp(self._render(table.read(version=target)), target, "U")
+            self.table.create(batch.drop("op", "_dv_lsn").schema)
+            self.table.merge(batch, batch_id=target)
+            return {"applied_from": -1, "applied_to": target, "n_changes": -1}
 
-        rel = f"state-{target:010d}-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.root, rel)
-        new_state.write.mode("overwrite").parquet(out)
-        old_dir = self._state_dir()
-        _atomic_write(
-            self._marker_path, json.dumps({"table_version": target, "state": rel})
+        feed = table.table_changes(applied, target)
+        rows = (
+            feed.select(self.group_col)
+            .distinct()
+            .limit(self.max_lookup + 1)
+            .collect()
         )
-        if old_dir and os.path.isdir(old_dir):
-            shutil.rmtree(old_dir, ignore_errors=True)
-        return {"applied_from": applied, "applied_to": target, "n_changes": n_changes}
+        n_changes = feed.count()
+        if len(rows) > self.max_lookup:
+            # wide window: full re-render; tombstone docs that vanished
+            fresh = self._render(table.read(version=target))
+            gone = self.read().select(self.group_col).join(
+                fresh.select(self.group_col), self.group_col, "left_anti"
+            )
+        else:
+            keys = [r[0] for r in rows if r[0] is not None]
+            if not keys:
+                # changes touched no renderable group (all-null keys):
+                # an empty merge still advances the batch ledger
+                fresh = self._render(table.read(version=target).limit(0))
+                gone = fresh.select(self.group_col)
+            else:
+                fresh = self._render(table.read_keys(keys, version=target))
+                keys_df = self.spark.createDataFrame(
+                    [(k,) for k in keys], [self.group_col]
+                )
+                gone = keys_df.join(
+                    fresh.select(self.group_col), self.group_col, "left_anti"
+                )
+        batch = self._stamp(fresh, target, "U").unionByName(
+            self._tombstones(gone, target)
+        )
+        self.table.merge(batch, batch_id=target)
+        return {
+            "applied_from": applied,
+            "applied_to": target,
+            "n_changes": n_changes,
+        }

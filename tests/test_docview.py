@@ -98,3 +98,43 @@ def test_docview_out_of_order_turn_arrival(spark, tmp_path):
     t.merge(_batch(spark, [(2, "I", "a", 0, "user", "first", None, TS2)]), batch_id=1)
     view.refresh(t)
     assert _docs(view)["a"] == ("user: first\nassistant: second", 2)
+
+
+def test_docview_state_is_lake_table(spark, tmp_path):
+    """The state inherits lake-table machinery: O(changed) delta merges,
+    compaction, and the exactly-once ledger (replaying a refresh after a
+    'crash' — same source version — is a no-op)."""
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    view = IncrementalDocView(spark, str(tmp_path / "docs"), num_buckets=2)
+
+    t.merge(
+        _batch(
+            spark,
+            [
+                (1, "I", "a", 0, "user", "one", None, TS),
+                (2, "I", "b", 0, "user", "two", None, TS),
+            ],
+        ),
+        batch_id=0,
+    )
+    view.refresh(t)
+    t.merge(_batch(spark, [(3, "U", "a", 0, "user", "one!", None, TS2)]), batch_id=1)
+    view.refresh(t)
+    before = _docs(view)
+    assert before["a"] == ("user: one!", 1)
+
+    # crash-replay: force a merge of the same source version again — the
+    # batch ledger (batch_id = source version) makes it a skipped no-op
+    stats = view.table.merge(
+        view._stamp(view._render(t.read()), t.current_version(), "U"),
+        batch_id=t.current_version(),
+    )
+    assert stats.skipped
+    assert _docs(view) == before
+
+    # compacting the view's own lake table changes nothing visible
+    view.table.compact()
+    assert _docs(view) == before
