@@ -4184,3 +4184,42 @@ def docview_incremental(spark, sf_dir):
     t.merge(upd.unionByName(dele), batch_id=1)
     view.refresh(t)
     return view.read().select("conv_id", "doc", "n_turns").orderBy("conv_id")
+
+
+@q(
+    "train_shard_layout",
+    r"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dg FROM documents
+    ),
+    s AS (
+      SELECT doc_id, dg,
+             CAST(((strpos('0123456789abcdef', substr(dg, 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(dg, 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(dg, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(dg, 4, 1)) - 1)) % 8 AS INTEGER)
+               AS shard
+      FROM d
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY dg, doc_id) AS BIGINT)
+             AS pos
+    FROM s ORDER BY shard, pos
+    """,
+)
+def train_shard_layout(spark, sf_dir):
+    """Deterministic global shuffle for training export (operators/export.py
+    shard_layout): shard = md5(key)[:4] % 8, pos = md5 rank within the
+    shard — the corpus order a trainer sees is a PURE FUNCTION of keys,
+    identical on every re-export, cluster size, partitioning, and engine
+    (the oracle recomputes it hex-nibble-for-nibble in DuckDB). Assignment
+    is map-side; the only shuffle is the per-shard sort — paid in parallel
+    across shards, never as one global sort."""
+    from .operators.export import shard_layout
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        shard_layout(d.select("doc_id"), "doc_id", 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

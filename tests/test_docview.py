@@ -138,3 +138,44 @@ def test_docview_state_is_lake_table(spark, tmp_path):
     # compacting the view's own lake table changes nothing visible
     view.table.compact()
     assert _docs(view) == before
+
+
+def test_stream_keeps_docview_fresh(spark, tmp_path):
+    """Binlog tail -> lake table -> conversation documents, fresh after
+    every micro-batch (the full CDC→training-text loop, streaming)."""
+    from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+    from ccdb_data_pipeline_spark.sources.binlog import (
+        gen_changes_pandas,
+        gen_seed_pandas,
+        write_segments,
+    )
+    from ccdb_data_pipeline_spark.streaming.stream import run_ingest
+
+    seed = gen_seed_pandas(n_convs=25, seed=19)
+    changes = gen_changes_pandas(600, n_convs=25, seed=19)
+    write_segments(changes, str(tmp_path / "binlog"), n_segments=4)
+
+    table = SnapshotParquetTable(
+        spark, str(tmp_path / "t"), TableSpec(num_buckets=4, merge_mode="mor")
+    )
+    table.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(table, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+
+    view = IncrementalDocView(spark, str(tmp_path / "docs"), num_buckets=4)
+    refreshes = []
+
+    def on_batch(stats):
+        if not stats.skipped:
+            refreshes.append(view.refresh(table))
+
+    run_ingest(
+        spark,
+        str(tmp_path / "binlog"),
+        table,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        on_batch=on_batch,
+    )
+    assert len(refreshes) >= 2
+    assert all(r["n_changes"] >= 0 for r in refreshes[1:])
+    assert _docs(view) == _full_render(view, table)
