@@ -79,3 +79,72 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     extras = [F.col(c) for c in df.columns if c not in names]
     return df.select(*cols, *extras)
+
+
+def classify_compat(table: T.StructType, producer: T.StructType) -> dict:
+    """Producer-schema admission gate: classify what APPLYING a feed with
+    ``producer``'s shape to a table with ``table``'s shape would mean,
+    BEFORE any data moves — the schema-registry compatibility check a CDC
+    pipeline runs when a new producer version shows up (the reference's
+    analog is the strict positional arity check, csv2json.py:46-52, which
+    can only hard-fail; this one says WHAT would change).
+
+    Returns ``{"verdict": ..., "adds": [...], "widens": [(name, from, to)],
+    "narrows": [...], "conflicts": [(name, table_t, producer_t)],
+    "missing": [...]}`` where verdict is:
+
+    - ``"identical"``    — same fields, same types (order ignored);
+    - ``"compatible"``   — applying evolves the table losslessly: new
+      nullable columns and/or numeric widenings only. ``missing`` producer
+      columns are fine (null-filled), matching evolve_schema;
+    - ``"incompatible"`` — at least one type conflict outside the widening
+      lattice, or a producer type NARROWER than the table's (admitting it
+      would silently widen producer data into the table type — allowed —
+      BUT a narrower producer is still compatible; only cross-family
+      conflicts are fatal).
+    """
+    tmap = {f.name: f.dataType for f in table.fields}
+    pmap = {f.name: f.dataType for f in producer.fields}
+    adds = sorted(set(pmap) - set(tmap))
+    missing = sorted(set(tmap) - set(pmap))
+    widens, narrows, conflicts = [], [], []
+    for name in sorted(set(tmap) & set(pmap)):
+        a, b = tmap[name], pmap[name]
+        if a == b:
+            continue
+        try:
+            w = _widen(a, b)
+        except TypeError:
+            conflicts.append((name, a.simpleString(), b.simpleString()))
+            continue
+        if w == a:
+            narrows.append((name, a.simpleString(), b.simpleString()))
+        else:
+            widens.append((name, a.simpleString(), b.simpleString()))
+    if conflicts:
+        verdict = "incompatible"
+    elif adds or widens or narrows or missing:
+        verdict = "compatible"
+    else:
+        verdict = "identical"
+    return {
+        "verdict": verdict,
+        "adds": adds,
+        "missing": missing,
+        "widens": widens,
+        "narrows": narrows,
+        "conflicts": conflicts,
+    }
+
+
+def require_compat(table: T.StructType, producer: T.StructType) -> dict:
+    """Admission gate that RAISES on an incompatible producer (the strict
+    mode a production relay runs before letting a new producer version
+    write), returning the classification otherwise."""
+    rep = classify_compat(table, producer)
+    if rep["verdict"] == "incompatible":
+        raise TypeError(
+            "incompatible producer schema: "
+            + ", ".join(f"{n}: {a} vs {b}" for n, a, b in rep["conflicts"])
+        )
+    return rep

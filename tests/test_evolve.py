@@ -112,3 +112,54 @@ def test_evolution_then_more_v1_batches(spark, tmp_path):
     assert len(row) == 1
     assert row.iloc[0]["text"] == "old schema row"
     assert pd.isna(row.iloc[0]["tool_args"])
+
+
+def test_classify_compat_verdicts():
+    from pyspark.sql import types as T
+
+    from ccdb_data_pipeline_spark.operators.evolve import (
+        classify_compat,
+        require_compat,
+    )
+
+    table = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    # identical (order ignored)
+    same = T.StructType([table["x"], table["k"], table["n"]])
+    assert classify_compat(table, same)["verdict"] == "identical"
+
+    # adds + widen + missing -> compatible, fully itemized
+    prod = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("tool_args", T.StringType()),
+        ]
+    )
+    rep = classify_compat(table, prod)
+    assert rep["verdict"] == "compatible"
+    assert rep["adds"] == ["tool_args"]
+    assert rep["missing"] == ["x"]
+    assert rep["widens"] == [("n", "int", "bigint")]
+
+    # narrower producer is compatible (data widens into the table type)
+    narrow = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("n", T.ShortType())]
+    )
+    rep = classify_compat(table, narrow)
+    assert rep["verdict"] == "compatible" and rep["narrows"] == [
+        ("n", "int", "smallint")
+    ]
+
+    # cross-family conflict -> incompatible, and require_compat raises
+    bad = T.StructType([T.StructField("n", T.StringType())])
+    assert classify_compat(table, bad)["verdict"] == "incompatible"
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="incompatible producer schema"):
+        require_compat(table, bad)
