@@ -51,6 +51,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/quiet_pairs.jsonl")
     ap.add_argument("--max-pairs", type=int, default=12)
     ap.add_argument("--poll-secs", type=float, default=30.0)
+    ap.add_argument("--pin-cpus", action="store_true",
+                    help="taskset each side to exactly its local[N] cores: "
+                         "true fixed-core scaling (otherwise local[N] leaks "
+                         "GC/IO/Python-worker threads onto spare host cores, "
+                         "inflating the low side)")
     args = ap.parse_args()
 
     factor = 1.0
@@ -70,10 +75,12 @@ def main() -> None:
             lo = run_once(args.low, args.events, args.convs, args.batches,
                           warmup=1, text_words=args.text_words,
                           binlog_cache=args.binlog_cache, compact=False,
-                          write_salt=args.salt)["cdc"]
+                          write_salt=args.salt,
+                          pin_cpus=lo_n if args.pin_cpus else None)["cdc"]
             hi = run_once(args.high, args.events, args.convs, args.batches,
                           warmup=1, text_words=args.text_words, write_salt=args.salt,
-                          binlog_cache=args.binlog_cache, compact=False)["cdc"]
+                          binlog_cache=args.binlog_cache, compact=False,
+                          pin_cpus=hi_n if args.pin_cpus else None)["cdc"]
         except Exception as e:  # noqa: BLE001 — keep sampling through transient failures
             rec["error"] = str(e)[:200]
             with open(args.out, "a") as f:

@@ -24,8 +24,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_once(master: str, events: int, convs: int, batches: int,
              mode: str = "mor", warmup: int = 2, write_path: str = "fused",
              text_words: int = 0, binlog_cache: str | None = None,
-             compact: bool = True, write_salt: str = "auto") -> dict:
-    cmd = [
+             compact: bool = True, write_salt: str = "auto",
+             pin_cpus: int | None = None) -> dict:
+    """``pin_cpus=N`` taskset-pins the WHOLE process tree (JVM, Python
+    workers, GC/IO threads) to CPUs 0..N-1 — without it, local[2] means
+    "2 task slots + unbounded runtime threads" on a 32-vCPU host, which
+    inflates the low side of a scaling pair; with it, each side gets
+    exactly the cores a real fixed-core executor would."""
+    cmd = []
+    if pin_cpus:
+        cmd += ["taskset", "-c", f"0-{pin_cpus - 1}"]
+    cmd += [
         sys.executable, os.path.join(REPO, "bench.py"), "--cdc-only",
         "--master", master, "--cdc-events", str(events),
         "--cdc-convs", str(convs), "--cdc-batches", str(batches),

@@ -4223,3 +4223,50 @@ def train_shard_layout(spark, sf_dir):
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN {c} % 10 < 8 THEN 'train' WHEN {c} % 10 = 8 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@q(
+    "split_leakage_audit",
+    "WITH p AS (" + _MINHASH_PAIRS_BODY + f""")
+    SELECT id_a, id_b,
+           {_SPLIT_CASE.format(c='id_a')} AS split_a,
+           {_SPLIT_CASE.format(c='id_b')} AS split_b,
+           jaccard_bp
+    FROM p
+    WHERE ({_SPLIT_CASE.format(c='id_a')}) <> ({_SPLIT_CASE.format(c='id_b')})
+    ORDER BY id_a, id_b
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Cross-split contamination audit: near-duplicate pairs (the verified
+    MinHash+LSH plan) whose members land in DIFFERENT train/val/test
+    splits — eval answers leaking into training data, the failure
+    stratified splitting alone cannot see. Because the split is a pure
+    function of the key (same rule as stratified_split), the assignment is
+    a map-side CASE on the pair frame itself — no join against a split
+    table at any scale. Oracle: identical pair CTE + identical CASE."""
+    from .operators.dedup_text import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=8, band_size=2,
+        threshold_bp=2000, hash_mode="md5",
+    )
+    split = lambda c: (  # noqa: E731
+        F.when(F.col(c) % 10 < 8, "train")
+        .when(F.col(c) % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        pairs.withColumn("split_a", split("id_a"))
+        .withColumn("split_b", split("id_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard_bp")
+        .orderBy("id_a", "id_b")
+    )
