@@ -179,3 +179,61 @@ def test_stream_keeps_docview_fresh(spark, tmp_path):
     assert len(refreshes) >= 2
     assert all(r["n_changes"] >= 0 for r in refreshes[1:])
     assert _docs(view) == _full_render(view, table)
+
+
+def test_docview_property_random_streams(spark, tmp_path_factory):
+    """Hypothesis: ANY op/key/ts stream, split at arbitrary batch
+    boundaries with a refresh after every batch, leaves the view equal to
+    a full re-render of the table — including ts ties, deletes racing
+    updates, empty-change batches and conversations that vanish."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ccdb_data_pipeline_spark.plans.apply import apply_changes
+    from datetime import datetime, timedelta
+
+    BASE = datetime(2025, 6, 1)
+    _event = st.fixed_dictionaries(
+        {
+            "op": st.sampled_from(["I", "U", "D"]),
+            "conv_id": st.sampled_from(["a", "b", "c"]),
+            "turn_idx": st.integers(min_value=0, max_value=2),
+            "role": st.sampled_from(["user", "assistant"]),
+            "text": st.sampled_from(["x", "y", "same text", ""]),
+            "tool": st.none(),
+            "ts": st.integers(min_value=0, max_value=5).map(
+                lambda s: BASE + timedelta(seconds=s)
+            ),
+        }
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        events=st.lists(_event, min_size=1, max_size=20),
+        nb=st.integers(min_value=1, max_value=3),
+    )
+    def run(events, nb):
+        rows = [dict(e, lsn=i + 1) for i, e in enumerate(events)]
+        pdf = pd.DataFrame(rows, columns=CHANGE_SCHEMA.fieldNames())
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        root = tmp_path_factory.mktemp("dvprop")
+        t = SnapshotParquetTable(
+            spark, str(root / "t"), TableSpec(num_buckets=2, merge_mode="mor")
+        )
+        t.create(TRANSCRIPT_SCHEMA)
+        view = IncrementalDocView(spark, str(root / "v"), num_buckets=2)
+        for i, part in enumerate(np.array_split(pdf, nb)):
+            apply_changes(t, spark.createDataFrame(part, CHANGE_SCHEMA), batch_id=i)
+            view.refresh(t)
+        assert _docs(view) == _full_render(view, t)
+
+    run()
