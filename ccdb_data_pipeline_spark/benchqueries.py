@@ -4270,3 +4270,55 @@ def split_leakage_audit(spark, sf_dir):
         .select("id_a", "id_b", "split_a", "split_b", "jaccard_bp")
         .orderBy("id_a", "id_b")
     )
+
+
+@q(
+    "mix_token_share",
+    """
+    WITH kept AS (
+      SELECT source,
+             length(text) - length(replace(text, ' ', '')) + 1 AS toks
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
+            CASE source WHEN 'src0' THEN 'ffff' WHEN 'src1' THEN '7fff'
+                        WHEN 'src2' THEN '3fff' ELSE '1fff' END
+    ),
+    per AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+            FROM kept GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(round(10000.0 * n_tokens / SUM(n_tokens) OVER ()) AS BIGINT)
+             AS share_bp
+    FROM per ORDER BY source
+    """,
+)
+def mix_token_share(spark, sf_dir):
+    """The mix REPORT a trainer reads: per-source document and TOKEN counts
+    of the weighted mix (same rates as dataset_mix_weighted) plus each
+    source's token share of the final corpus in basis points — training
+    mixes are budgeted in tokens, not documents, and the md5 filter samples
+    documents, so the achieved token share is an output to verify, not an
+    input. One map-side filter + one groupBy; the share normalization is a
+    20-row window, free at any corpus size."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import dataset_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = dataset_mix(
+        d, "source", "doc_id", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.125,
+    )
+    toks = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(10000.0 * F.col("n_tokens") / total).cast("long").alias("share_bp"),
+    ).orderBy("source")
