@@ -4322,3 +4322,72 @@ def mix_token_share(spark, sf_dir):
         "n_tokens",
         F.round(10000.0 * F.col("n_tokens") / total).cast("long").alias("share_bp"),
     ).orderBy("source")
+
+
+@q(
+    "asof_tolerance_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, value, event_id FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+        FROM events e WHERE event_type = 'click') WHERE rn = 1
+    ),
+    buys AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT b.event_id AS buy_lsn, b.user_id, b.ts,
+             b.value AS bval, c.ts AS cts, c.event_id AS clsn, c.value AS cval
+      FROM buys b ASOF LEFT JOIN clicks c
+        ON b.user_id = c.user_id AND c.ts <= b.ts
+    )
+    SELECT buy_lsn, user_id, ts,
+           CAST(round(bval * 100) AS BIGINT) AS buy_value_c,
+           CASE WHEN cts IS NOT NULL AND floor(epoch(ts)) - floor(epoch(cts)) <= 3600
+                THEN cts END AS click_ts,
+           CASE WHEN cts IS NOT NULL AND floor(epoch(ts)) - floor(epoch(cts)) <= 3600
+                THEN clsn END AS click_lsn,
+           CASE WHEN cts IS NOT NULL AND floor(epoch(ts)) - floor(epoch(cts)) <= 3600
+                THEN CAST(round(cval * 100) AS BIGINT) END AS click_value_c
+    FROM j ORDER BY buy_lsn
+    """,
+)
+def asof_tolerance_attribution(spark, sf_dir):
+    """As-of join with a freshness TOLERANCE (pandas merge_asof(tolerance=)
+    semantics): a purchase attributes to the user's most recent click ONLY
+    if it happened within the last hour — a stale state event must not
+    attribute across a session boundary. Same single-shuffle union+window
+    plan as asof_click_attribution; the tolerance is a map-side predicate
+    on the carried match (operators/asof.py tolerance_seconds). Oracle:
+    DuckDB native ASOF JOIN post-filtered with the identical gap rule."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.struct("value", "event_id"), "event_id").alias("_w"))
+        .select(
+            "user_id", "ts",
+            F.col("_w.value").alias("value"),
+            F.col("_w.event_id").alias("event_id"),
+        )
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        buys, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], right_tiebreak="event_id",
+        tolerance_seconds=3600,
+    )
+    return j.select(
+        F.col("event_id").alias("buy_lsn"),
+        "user_id",
+        "ts",
+        _cents(F.col("value")).alias("buy_value_c"),
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_event_id").alias("click_lsn"),
+        _cents(F.col("asof_value")).alias("click_value_c"),
+    ).orderBy("buy_lsn")

@@ -31,6 +31,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     right_tiebreak: str | None = None,
     prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """LEFT ASOF JOIN: newest right row with ``right_ts <= left_ts`` per key.
 
@@ -43,6 +44,12 @@ def asof_join(
     (key, ts) — the greatest wins (e.g. an LSN). Without it, equal-ts
     duplicates on the right make the match nondeterministic; pre-dedupe
     or pass a tiebreak.
+
+    tolerance_seconds: pandas ``merge_asof(tolerance=...)`` semantics — a
+    match older than this many seconds before the left row is discarded
+    (the row keeps LEFT-null attachments). A stale state event should not
+    attribute to a turn hours later. Applied as a map-side predicate on
+    the carried match, after the one window pass — no extra shuffle.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
@@ -77,6 +84,13 @@ def asof_join(
     )
     carried = F.last("_p", ignorenulls=True).over(w)
     out = u.withColumn("_m", carried).filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp(F.col("_ats")) - F.unix_timestamp(F.col("_m.ts"))
+        ) <= tolerance_seconds
+        out = out.withColumn(
+            "_m", F.when(fresh, F.col("_m"))  # stale or no match -> null
+        )
     keep = [c for c in left.columns]
     return out.select(
         *keep,

@@ -99,3 +99,25 @@ def test_asof_join_exact_boundary_and_left_only_key(spark):
     # lid 0 at :10 -> right :08 ("b"); lid 1 at :05 -> exact match :05 ("a");
     # lid 2 key 2 -> no right rows at all -> nulls
     assert list(got["asof_rv"]) == ["b", "a", None]
+
+
+def test_asof_tolerance_discards_stale_matches(spark):
+    from datetime import datetime
+
+    from ccdb_data_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", T(10), "fresh"), ("k", T(50), "stale"), ("k", T(5), "none")],
+        ["key", "ts", "tag"],
+    )
+    right = spark.createDataFrame([("k", T(8), "state")], ["key", "ts", "payload"])
+    got = {
+        r["tag"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            tolerance_seconds=10,
+        ).collect()
+    }
+    # within 10s -> attached; 42s gap -> discarded; before any state -> null
+    assert got == {"fresh": "state", "stale": None, "none": None}
