@@ -4391,3 +4391,64 @@ def asof_tolerance_attribution(spark, sf_dir):
         F.col("asof_event_id").alias("click_lsn"),
         _cents(F.col("asof_value")).alias("click_value_c"),
     ).orderBy("buy_lsn")
+
+
+@q(
+    "asof_next_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+      SELECT user_id, ts, value, event_id FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+        FROM events e WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT c.event_id AS click_lsn, c.user_id, c.ts,
+           CAST(round(c.value * 100) AS BIGINT) AS click_value_c,
+           b.ts AS buy_ts, b.event_id AS buy_lsn,
+           CAST(round(b.value * 100) AS BIGINT) AS buy_value_c
+    FROM clicks c ASOF LEFT JOIN buys b
+      ON c.user_id = b.user_id AND b.ts >= c.ts
+    ORDER BY click_lsn
+    """,
+)
+def asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join (operators/asof.py direction=\"forward\"): each
+    click joined to the user's NEXT purchase at or after it — the
+    time-to-conversion attribution, the mirror of the backward as-of. Same
+    single-shuffle union+window plan scanned newest-to-oldest. Purchases
+    are pre-deduped per (user_id, ts) by greatest LSN so equal-ts matches
+    are deterministic in both engines. Oracle: DuckDB native forward ASOF
+    (b.ts >= c.ts)."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.struct("value", "event_id"), "event_id").alias("_w"))
+        .select(
+            "user_id", "ts",
+            F.col("_w.value").alias("value"),
+            F.col("_w.event_id").alias("event_id"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, buys, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], right_tiebreak="event_id",
+        direction="forward",
+    )
+    return j.select(
+        F.col("event_id").alias("click_lsn"),
+        "user_id",
+        "ts",
+        _cents(F.col("value")).alias("click_value_c"),
+        F.col("asof_ts").alias("buy_ts"),
+        F.col("asof_event_id").alias("buy_lsn"),
+        _cents(F.col("asof_value")).alias("buy_value_c"),
+    ).orderBy("click_lsn")

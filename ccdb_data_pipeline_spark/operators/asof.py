@@ -32,8 +32,15 @@ def asof_join(
     right_tiebreak: str | None = None,
     prefix: str = "asof_",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """LEFT ASOF JOIN: newest right row with ``right_ts <= left_ts`` per key.
+    """LEFT ASOF JOIN: newest right row with ``right_ts <= left_ts`` per key
+    (``direction="backward"``, the default), or the EARLIEST right row with
+    ``right_ts >= left_ts`` (``direction="forward"`` — time-to-next-event
+    attribution: a click joined to the user's next purchase). Forward is
+    the same single-shuffle union+window plan scanned newest-to-oldest;
+    equal timestamps match in both directions (inclusive), and the
+    tiebreak rule is unchanged (greatest wins among equal-ts rights).
 
     right_cols: right payload columns to attach (default: all non-key,
     non-ts columns). Attached columns are renamed ``{prefix}{col}`` plus
@@ -76,18 +83,20 @@ def asof_join(
         F.lit(float("inf")).alias("_tie"),
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     u = l_.unionByName(r, allowMissingColumns=True)
+    ts_order = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
     w = (
         W.partitionBy(*on)
-        .orderBy("_ats", "_side", "_tie")
+        .orderBy(ts_order, "_side", "_tie")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = F.last("_p", ignorenulls=True).over(w)
     out = u.withColumn("_m", carried).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        fresh = (
-            F.unix_timestamp(F.col("_ats")) - F.unix_timestamp(F.col("_m.ts"))
-        ) <= tolerance_seconds
+        gap = F.unix_timestamp(F.col("_ats")) - F.unix_timestamp(F.col("_m.ts"))
+        fresh = (gap if direction == "backward" else -gap) <= tolerance_seconds
         out = out.withColumn(
             "_m", F.when(fresh, F.col("_m"))  # stale or no match -> null
         )

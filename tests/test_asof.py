@@ -121,3 +121,37 @@ def test_asof_tolerance_discards_stale_matches(spark):
     }
     # within 10s -> attached; 42s gap -> discarded; before any state -> null
     assert got == {"fresh": "state", "stale": None, "none": None}
+
+
+def test_asof_forward_direction(spark):
+    from datetime import datetime
+
+    from ccdb_data_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", T(10), "mid"), ("k", T(30), "late"), ("k", T(20), "exact")],
+        ["key", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [("k", T(20), "first"), ("k", T(40), "second")], ["key", "ts", "payload"]
+    )
+    got = {
+        r["tag"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            direction="forward",
+        ).collect()
+    }
+    # nearest FUTURE right; equal ts matches (inclusive); after last -> null
+    assert got == {"mid": "first", "exact": "first", "late": "second"}
+
+    # forward tolerance: a next-event further than T seconds is discarded
+    got = {
+        r["tag"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            direction="forward", tolerance_seconds=5,
+        ).collect()
+    }
+    assert got == {"mid": None, "exact": "first", "late": None}
