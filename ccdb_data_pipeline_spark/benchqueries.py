@@ -4452,3 +4452,56 @@ def asof_next_purchase(spark, sf_dir):
         F.col("asof_event_id").alias("buy_lsn"),
         _cents(F.col("asof_value")).alias("buy_value_c"),
     ).orderBy("click_lsn")
+
+
+@q(
+    "ntile_balance_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def ntile_balance_quartiles(spark, sf_dir):
+    """NTILE window (the remaining ranking-family shape): account-balance
+    quartiles within each market segment, deterministic under the
+    (c_acctbal, c_custkey) total order. One keyed window, standard SQL
+    semantics identical across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "cube_returns_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_returns_status(spark, sf_dir):
+    """CUBE grouping sets (the full lattice, completing the ROLLUP row):
+    item counts and scaled-integer quantity sums at every subtotal level —
+    (flag, status), (flag), (status), and grand total — in one pass (Spark
+    Expand + single aggregate, no self-union of aggregations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(_cents(F.col("l_quantity"))).cast("long").alias("sum_qty_c"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
