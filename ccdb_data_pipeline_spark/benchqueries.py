@@ -4505,3 +4505,49 @@ def cube_returns_status(spark, sf_dir):
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@q(
+    "turn_latency_quantiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             floor(epoch(ts)) - floor(epoch(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_s, 0.5)  AS p50_s,
+           quantile_cont(gap_s, 0.95) AS p95_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def turn_latency_quantiles(spark, sf_dir):
+    """Inter-event latency SLO report: per-conversation LAG gap (one keyed
+    window, the same shuffle any sessionization pays) -> exact interpolated
+    p50/p95/max of seconds-between-turns per event type — the
+    responsiveness metric an agent-transcript pipeline alerts on. First
+    event of each conversation has no predecessor and is excluded
+    identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.percentile(F.col("gap_s"), F.lit(0.5)).alias("p50_s"),
+            F.percentile(F.col("gap_s"), F.lit(0.95)).alias("p95_s"),
+            F.max("gap_s").cast("long").alias("max_s"),
+        )
+        .orderBy("event_type")
+    )
