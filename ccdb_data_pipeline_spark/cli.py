@@ -24,6 +24,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   add-column  --table DIR --name COL --type DDL [--default V]   explicit ADD COLUMN with initial default
   fsck    --table DIR                              metadata/disk integrity audit (exit 1 on violations)
   purge   --table DIR --where PRED [--drop-tags]   hard purge: rewrite files, expire history, GC bytes
+  export  --table DIR --out DIR [--shards N] [--salt S]   render conversations -> deterministic training shards
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
                                     "tag", "untag", "rate", "rename", "drop-column",
-                                    "add-column", "fsck", "purge"])
+                                    "add-column", "fsck", "purge", "export"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -79,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="add-column: initial default for pre-existing rows")
     ap.add_argument("--drop-tags", action="store_true",
                     help="purge: also drop tags pinning pre-purge snapshots")
+    ap.add_argument("--out", help="export: output directory for shard dirs + MANIFEST.json")
+    ap.add_argument("--shards", type=int, default=64, help="export: number of shards")
+    ap.add_argument("--salt", default="", help="export: epoch salt — changes the shuffle without touching data")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
     if a.cmd == "add-column" and not a.col_type:
@@ -162,6 +166,12 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.dml import purge_where
 
         print(json.dumps(purge_where(table, a.where, drop_tags=a.drop_tags)))
+    elif a.cmd == "export":
+        from .operators.export import export_shards
+        from .plans.ivm import render_docs
+
+        docs = render_docs(table.read())
+        print(json.dumps(export_shards(docs, a.out, "conv_id", a.shards, salt=a.salt)))
     elif a.cmd == "stats":
         print(json.dumps(table.stats()))
     elif a.cmd == "rate":

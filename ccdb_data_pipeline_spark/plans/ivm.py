@@ -368,6 +368,29 @@ class IncrementalJoinView:
         return {"fact_version": vf, "dim_version": vd, "n_changes": n_changes}
 
 
+def render_docs(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    segment_sql: str = "concat(coalesce(role, ''), ': ', coalesce(text, ''))",
+    sep: str = "\n",
+) -> DataFrame:
+    """Render one document per group from its rows in stable order:
+    groupBy -> collect_list(struct(order, segment)) -> array_sort ->
+    transform -> array_join. ONE map-side-combining agg; the per-group
+    sort happens after collection (no window, no second shuffle). Used by
+    IncrementalDocView per refresh and by the CLI export path for a
+    one-shot full render."""
+    seg = F.expr(segment_sql)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, seg.alias("_seg")))
+    )
+    return df.groupBy(group_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["_seg"]), sep).alias("doc"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+
+
 class IncrementalDocView:
     """One rendered DOCUMENT per group (a conversation's turns concatenated
     in order), maintained from the change feed by re-rendering ONLY the
@@ -467,19 +490,8 @@ class IncrementalDocView:
     # ------------------------------------------------------------- render
 
     def _render(self, df: DataFrame) -> DataFrame:
-        """groupBy → collect_list(struct(order, segment)) → array_sort →
-        transform → array_join: ONE map-side-combining agg; the per-group
-        sort happens after collection (no window, no second shuffle)."""
-        seg = F.expr(self.segment_sql)
-        ordered = F.array_sort(
-            F.collect_list(F.struct(*self.order_cols, seg.alias("_seg")))
-        )
-        return df.groupBy(self.group_col).agg(
-            F.array_join(
-                F.transform(ordered, lambda s: s["_seg"]), self.sep
-            ).alias("doc"),
-            F.count(F.lit(1)).cast("long").alias("n_turns"),
-        )
+        return render_docs(df, self.group_col, self.order_cols,
+                           self.segment_sql, self.sep)
 
     def _stamp(self, rendered: DataFrame, version: int, op: str) -> DataFrame:
         return rendered.select(

@@ -62,3 +62,49 @@ def test_export_one_sorted_file_per_shard(spark, tmp_path):
         assert poss == sorted(poss) == list(range(1, len(poss) + 1))
         seen.update(t.column("k").to_pylist())
     assert seen == set(range(400))  # exhaustive, no dup, no loss
+
+
+def test_cli_export_renders_and_shards(spark, tmp_path):
+    """CLI export (own JVM via subprocess): lake table -> rendered
+    conversation docs -> deterministic shards + manifest."""
+    import glob
+    import subprocess
+    import sys as _sys
+    from datetime import datetime
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+    from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "t"), TableSpec(num_buckets=2))
+    t.create(TRANSCRIPT_SCHEMA)
+    seed = pd.DataFrame(
+        [
+            {"conv_id": f"c{i}", "turn_idx": j, "role": "user",
+             "text": f"t{i}-{j}", "tool": None, "ts": datetime(2025, 1, 1)}
+            for i in range(6) for j in range(2)
+        ]
+    )
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+
+    out = str(tmp_path / "shards")
+    res = subprocess.run(
+        [_sys.executable, "-m", "ccdb_data_pipeline_spark.cli", "export",
+         "--table", str(tmp_path / "t"), "--out", out,
+         "--shards", "2", "--buckets", "2", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    manifest = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert manifest["n_rows"] == 6
+
+    rows = {}
+    for f in glob.glob(os.path.join(out, "shard=*", "*.parquet")):
+        tbl = pq.read_table(f)
+        rows.update(zip(tbl.column("conv_id").to_pylist(), tbl.column("doc").to_pylist()))
+    assert len(rows) == 6
+    assert rows["c0"] == "user: t0-0\nuser: t0-1"
