@@ -4551,3 +4551,143 @@ def turn_latency_quantiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "anti_join_churn",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)                        AS n_customers,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+    FROM customer c
+    WHERE c.c_acctbal > 0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def anti_join_churn(spark, sf_dir):
+    """Churn audit — the LEFT ANTI join shape (TPC-H q22 analog without
+    the phone-prefix noise): customers holding a positive balance who have
+    placed NO order since 2000, per market segment. The date filter is
+    pushed into the anti side BEFORE the join, so at scale the right
+    relation is only the recent slice of orders (and AQE converts the anti
+    join to broadcast when that slice is small). Reference analog: the
+    eligibility carve-outs routed to the archive path
+    (complaints/ccdb/index_ccdb.py eligibility filter)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("sum_bal_c"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "setops_part_seasons",
+    """
+    WITH y95 AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    ), y96 AS (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT 'only_1995' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT) AS sum_keys
+    FROM (SELECT l_partkey FROM y95 EXCEPT SELECT l_partkey FROM y96)
+    UNION ALL
+    SELECT 'only_1996', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT)
+    FROM (SELECT l_partkey FROM y96 EXCEPT SELECT l_partkey FROM y95)
+    UNION ALL
+    SELECT 'both', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(l_partkey), 0) AS BIGINT)
+    FROM (SELECT l_partkey FROM y95 INTERSECT SELECT l_partkey FROM y96)
+    ORDER BY cohort
+    """,
+)
+def setops_part_seasons(spark, sf_dir):
+    """EXCEPT / INTERSECT set operators (SURVEY 2.5 — union was covered by
+    union_evolution; this closes the set-op family): parts shipped in 1995
+    vs 1996, partitioned into only-95 / only-96 / both cohorts with a
+    checksum over the member keys so the hash verifies MEMBERSHIP, not
+    just cardinality. Spark's EXCEPT/INTERSECT DISTINCT compile to
+    left-anti / left-semi aggregates on the same shuffle key — no extra
+    exchange vs the join form."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def season(y0, y1):
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(f"{y0}-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(f"{y1}-01-01").cast("timestamp"))
+            )
+            .select("l_partkey")
+            .distinct()
+        )
+
+    y95, y96 = season(1995, 1996), season(1996, 1997)
+
+    def cohort(df, label):
+        return df.agg(
+            F.lit(label).alias("cohort"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.coalesce(F.sum("l_partkey"), F.lit(0)).cast("long").alias("sum_keys"),
+        )
+
+    out = (
+        cohort(y95.exceptAll(y96), "only_1995")
+        .unionAll(cohort(y96.exceptAll(y95), "only_1996"))
+        .unionAll(cohort(y95.intersect(y96), "both"))
+    )
+    return out.orderBy("cohort")
+
+
+@q(
+    "orders_per_customer_dist",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def orders_per_customer_dist(spark, sf_dir):
+    """Customer-order distribution — the TPC-H q13 plan shape: LEFT OUTER
+    join preserved through a two-level aggregation (per-customer count,
+    then a histogram over the counts). The outer join is what makes it a
+    distinct operator from dim_join_share: zero-order customers must
+    survive with c_count = 0, so the join cannot be rewritten to inner.
+    First agg shuffles on c_custkey (same key as the join — AQE reuses the
+    exchange); the histogram agg is over ~#distinct-counts rows, a
+    broadcast-scale frame."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
