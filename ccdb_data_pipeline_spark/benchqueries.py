@@ -4691,3 +4691,35 @@ def orders_per_customer_dist(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@q(
+    "mad_dispersion",
+    """
+    SELECT l_returnflag,
+           mad(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mad_price_c
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def mad_dispersion(spark, sf_dir):
+    """UDAF surface (SURVEY 2.8): exact median absolute deviation of the
+    line price per return flag via a grouped-aggregate pandas UDF — the
+    robust dispersion statistic Spark has no builtin for. Medians don't
+    partially aggregate, so the (pruned, single-int64) column shuffles to
+    the group reducer; that is inherent to any exact rank statistic.
+    DuckDB's mad() interpolates identically, so the hash check proves the
+    UDAF's arithmetic, not just its shape. (Spark forbids mixing a grouped
+    pandas UDF with builtin aggregates in one agg() — INVALID_PANDAS_UDF_
+    PLACEMENT — so the projection is UDAF-only; counts live in the
+    builtin-agg queries.)"""
+    from .functions.udaf import mad
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", _cents(F.col("l_extendedprice")).alias("price_c"))
+        .groupBy("l_returnflag")
+        .agg(mad(F.col("price_c")).alias("mad_price_c"))
+        .orderBy("l_returnflag")
+    )
