@@ -4723,3 +4723,89 @@ def mad_dispersion(spark, sf_dir):
         .agg(mad(F.col("price_c")).alias("mad_price_c"))
         .orderBy("l_returnflag")
     )
+
+
+@q(
+    "ann_recall_at_k",
+    """
+    WITH cent AS (SELECT vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    asg_scored AS (
+      SELECT v.vec_id, v.cv, cent._cid, {cos} AS cos_bp FROM v, cent
+    ),
+    assigned AS (
+      SELECT vec_id, cv, _cid AS centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_bp DESC, _cid) AS rn
+        FROM asg_scored
+      ) WHERE rn = 1
+    ),
+    qset AS (SELECT vec_id AS qid, cv AS qv, centroid_id
+             FROM assigned WHERE vec_id < 50),
+    approx AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cosqc} DESC, c.vec_id) AS rank
+        FROM assigned c JOIN qset q USING (centroid_id)
+        WHERE c.vec_id <> q.qid
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cosqc} DESC, c.vec_id) AS rank
+        FROM v c JOIN qset q ON c.vec_id <> q.qid
+      ) WHERE rank <= 5
+    )
+    SELECT e.qid,
+           CAST(COUNT(a.cid) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.cid) * 2000 AS BIGINT) AS recall_bp
+    FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY e.qid ORDER BY e.qid
+    """.format(
+        cos=_COS_SQL,
+        cosqc=_COS_SQL.replace("qv, cv", "q.qv, c.cv")
+        .replace("qv, qv", "q.qv, q.qv")
+        .replace("cv, cv", "c.cv, c.cv"),
+    ),
+)
+def ann_recall_at_k(spark, sf_dir):
+    """ANN quality evaluation — recall@5 of the 1-probe IVF search against
+    exact brute-force ground truth, per query. This is the measurement an
+    index owner runs before trading exactness for the cluster-pruned scan:
+    both sides are the engine's own verified plans (ivf_topk /
+    brute_force_topk), joined on (qid, neighbor) and scored as integer
+    basis points. Ground truth is 50 queries x 5 neighbors — the join is
+    broadcast-trivial at any corpus size; the expensive side (brute force)
+    is exactly the cost this report exists to justify avoiding."""
+    from .operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(e, cent, id_col="vec_id", vec_col="embedding")
+    approx = ivf_topk(
+        assigned, assigned.filter(F.col("vec_id") < 50),
+        id_col="vec_id", vec_col="embedding", k=5,
+    ).select("qid", F.col("neighbor_id").alias("cid"))
+    exact = brute_force_topk(
+        e, e.filter(F.col("vec_id") < 50), id_col="vec_id", vec_col="embedding", k=5
+    ).select("qid", F.col("neighbor_id").alias("cid"))
+    hit = F.when(approx["cid"].isNotNull(), 1).otherwise(0)
+    return (
+        exact.alias("e")
+        .join(
+            approx.alias("a"),
+            (F.col("a.qid") == F.col("e.qid")) & (F.col("a.cid") == F.col("e.cid")),
+            "left_outer",
+        )
+        .groupBy(F.col("e.qid").alias("qid"))
+        .agg(
+            F.count(F.col("a.cid")).cast("long").alias("n_hits"),
+            (F.count(F.col("a.cid")) * 2000).cast("long").alias("recall_bp"),
+        )
+        .orderBy("qid")
+    )
