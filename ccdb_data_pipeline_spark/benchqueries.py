@@ -4809,3 +4809,158 @@ def ann_recall_at_k(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+@q(
+    "sample_time_decay",
+    """
+    WITH scored AS (
+      SELECT event_id,
+             least(CAST(floor(greatest(
+                     date_diff('day', CAST(ts AS DATE), DATE '2024-01-31'), 0
+                   ) / 4.0) AS INT), 16)                          AS k,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) AS u16
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT)                    AS n_kept,
+           CAST(SUM(event_id) AS BIGINT)               AS sum_ids
+    FROM scored
+    WHERE u16 < (65536 >> k)
+    GROUP BY k ORDER BY k
+    """,
+)
+def sample_time_decay(spark, sf_dir):
+    """Recency-weighted curriculum sampling (operators/sampling.py
+    decay_sample): keep probability HALVES per 4-day half-life of age before the
+    2024-01-31 anchor — integer-exact end to end (16-bit md5 prefix vs a
+    bit-shifted threshold, no float pow whose ulp drift would flip
+    boundary rows across engines). Map-side filter like every sampler
+    here; the report groups survivors by decay bucket with an id checksum
+    so the hash verifies WHICH rows survived, not just how many."""
+    from .operators.sampling import decay_sample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    kept = decay_sample(ev, "event_id", "ts", anchor="2024-01-31", halflife_days=4)
+    age = F.greatest(
+        F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")),
+        F.lit(0),
+    )
+    k = F.least(F.floor(age / F.lit(4)), F.lit(16)).cast("int")
+    return (
+        kept.withColumn("k", k)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("k")
+    )
+
+
+@q(
+    "oov_rate",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    inst AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM inst GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 200
+      )
+    )
+    SELECT i.lang,
+           CAST(COUNT(*) AS BIGINT)                                   AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / COUNT(*)) AS BIGINT)                AS oov_bp
+    FROM inst i LEFT JOIN vocab v ON v.tok = i.tok
+    GROUP BY i.lang ORDER BY i.lang
+    """,
+)
+def oov_rate(spark, sf_dir):
+    """Tokenizer-coverage report: out-of-vocabulary rate per language
+    against the top-200 corpus vocabulary (the check run before freezing a
+    tokenizer: a lang whose OOV spikes is about to be shredded into
+    bytes). The vocab is broadcast (200 rows) so the instance side — the
+    100 TB side — never shuffles: left-broadcast-join + one groupBy on
+    lang. Tokenization identical to vocab_topk; deterministic top-k
+    tie-break on the token."""
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        inst.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(200)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    joined = inst.join(F.broadcast(vocab), "tok", "left_outer")
+    oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            F.round(oov * 10000.0 / F.count(F.lit(1))).cast("long").alias("oov_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "dedup_canonical",
+    "WITH RECURSIVE p AS (" + _MINHASH_PAIRS_BODY + """),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_cluster,
+             MAX(d.n_chars) OVER (PARTITION BY c.component) AS canon_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS canonical_doc,
+           CAST(n_cluster AS BIGINT) AS n_cluster,
+           CAST(canon_chars AS BIGINT) AS canon_chars
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """Keep-one-per-cluster POLICY on top of the near-dup clusters: each
+    connected component elects the longest member as canonical (tie-break
+    lowest doc_id) — the row the dedup stage actually ships to training
+    while the rest drop. One max_by aggregate over the cluster frame; the
+    lexicographic (n_chars, -doc_id) key makes the election deterministic,
+    and DuckDB's arg_max over the same composite key must agree."""
+    from .operators.components import connected_components
+    from .operators.dedup_text import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=8, band_size=2, threshold_bp=2000, hash_mode="md5"
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    members = comp.select(F.col("node").alias("doc_id"), "component").join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    return (
+        members.groupBy("component")
+        .agg(
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("canonical_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_cluster"),
+            F.max("n_chars").cast("long").alias("canon_chars"),
+        )
+        .orderBy("component")
+    )

@@ -70,3 +70,43 @@ def dataset_mix(
         expr = F.when(F.col(source_col) == s, F.lit(hash_threshold(r))).otherwise(expr)
     digest = F.md5(F.col(key_col).cast("string"))
     return df.filter(digest.substr(1, _WIDTH) <= expr)
+
+
+def decay_sample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    anchor: str,
+    halflife_days: int,
+) -> DataFrame:
+    """Deterministic recency-weighted sampling: the keep probability HALVES
+    every ``halflife_days`` before ``anchor`` (step decay — the curriculum
+    knob that biases a training mix toward fresh data without discarding
+    history outright).
+
+    Exact integer arithmetic end to end, so the same keys survive on every
+    engine and partitioning: the row's 16-bit md5 prefix is compared to
+    ``65536 >> k`` where ``k = floor(age_days / halflife)`` (capped at 16 —
+    beyond ~16 half-lives nothing survives 16-bit granularity anyway).
+    No float pow(), whose last-ulp differences across engines would flip
+    boundary rows. Rows with ts after the anchor decay as age 0 (rate 1);
+    null ts drops (age unknowable -> not sampleable reproducibly).
+    Map-side only, like every sampler in this module.
+    """
+    if halflife_days <= 0:
+        raise ValueError(f"halflife_days must be positive, got {halflife_days}")
+    # explicit: Spark's greatest() SKIPS nulls, so without this guard a
+    # null ts would silently decay as age 0 and always survive
+    df = df.filter(F.col(ts_col).isNotNull())
+    age = F.greatest(
+        F.datediff(F.lit(anchor).cast("date"), F.col(ts_col).cast("date")), F.lit(0)
+    )
+    k = F.least(F.floor(age / F.lit(halflife_days)), F.lit(16)).cast("int")
+    u16 = F.conv(F.md5(F.col(key_col).cast("string")).substr(1, 4), 16, 10).cast("long")
+    # threshold = 65536 >> k, integer-exact (shiftright takes only a
+    # literal shift in the python DSL, so the column form goes via expr)
+    return (
+        df.withColumn("_decay_k", k)
+        .filter(u16 < F.expr("shiftright(65536L, _decay_k)"))
+        .drop("_decay_k")
+    )

@@ -77,3 +77,53 @@ def test_dataset_mix_nests_within_source(spark):
     lo = {r["k"] for r in dataset_mix(df, "src", "k", {"a": 0.2}).collect()}
     hi = {r["k"] for r in dataset_mix(df, "src", "k", {"a": 0.6}).collect()}
     assert lo <= hi  # raising a source's weight only ADDS rows
+
+
+def test_decay_sample_rate_halves_per_bucket(spark):
+    import datetime as dt
+
+    from ccdb_data_pipeline_spark.operators.sampling import decay_sample
+
+    rows = [
+        (i, dt.datetime(2024, 1, 31) - dt.timedelta(days=4 * (i % 5)))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    kept = decay_sample(df, "k", "ts", anchor="2024-01-31", halflife_days=4)
+    by_bucket = {
+        r["b"]: r["n"]
+        for r in kept.groupBy(((31 - F.dayofmonth("ts")) / 4).cast("int").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 1000 candidates per bucket; expected keeps 1000, 500, 250, 125, 62.5
+    for b, expect in enumerate([1000, 500, 250, 125, 63]):
+        assert abs(by_bucket.get(b, 0) - expect) < 0.25 * expect + 10, (b, by_bucket)
+    # deterministic under re-partitioning
+    again = {r["k"] for r in decay_sample(
+        df.repartition(17, "k"), "k", "ts", anchor="2024-01-31", halflife_days=4
+    ).collect()}
+    assert again == {r["k"] for r in kept.collect()}
+
+
+def test_decay_sample_null_ts_drops_and_future_keeps(spark):
+    import datetime as dt
+
+    from ccdb_data_pipeline_spark.operators.sampling import decay_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, dt.datetime(2024, 2, 15))], ["k", "ts"]
+    )
+    got = {r["k"] for r in decay_sample(df, "k", "ts", "2024-01-31", 4).collect()}
+    assert 1 not in got          # null ts is not reproducibly sampleable
+    assert 2 in got              # post-anchor decays as age 0 (rate 1.0)
+
+
+def test_decay_sample_validates_halflife(spark):
+    import pytest as _pytest
+
+    from ccdb_data_pipeline_spark.operators.sampling import decay_sample
+
+    df = spark.range(1).select(F.col("id").alias("k"), F.current_timestamp().alias("ts"))
+    with _pytest.raises(ValueError):
+        decay_sample(df, "k", "ts", "2024-01-31", 0)
