@@ -25,6 +25,8 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   fsck    --table DIR                              metadata/disk integrity audit (exit 1 on violations)
   purge   --table DIR --where PRED [--drop-tags]   hard purge: rewrite files, expire history, GC bytes
   export  --table DIR --out DIR [--shards N] [--salt S]   render conversations -> deterministic training shards
+  maintain --table DIR [--retain-last N] [--max-depth D] [--budget B] [--dry-run]
+                                                   condition-driven table services (compact/expire/GC)
 """
 
 from __future__ import annotations
@@ -47,7 +49,8 @@ def main(argv: list[str] | None = None) -> int:
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
                                     "tag", "untag", "rate", "rename", "drop-column",
-                                    "add-column", "fsck", "purge", "export"])
+                                    "add-column", "fsck", "purge", "export",
+                                    "maintain"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -83,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", help="export: output directory for shard dirs + MANIFEST.json")
     ap.add_argument("--shards", type=int, default=64, help="export: number of shards")
     ap.add_argument("--salt", default="", help="export: epoch salt — changes the shuffle without touching data")
+    ap.add_argument("--max-depth", type=int, default=8,
+                    help="maintain: compact when any bucket's delta depth reaches this")
+    ap.add_argument("--budget", type=int, default=64,
+                    help="maintain: max buckets rewritten per compaction sweep")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="maintain: print the plan without executing")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
     if a.cmd == "add-column" and not a.col_type:
@@ -172,6 +181,15 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = render_docs(table.read())
         print(json.dumps(export_shards(docs, a.out, "conv_id", a.shards, salt=a.salt)))
+    elif a.cmd == "maintain":
+        from .plans.maintenance import MaintenancePolicy, auto_maintain
+
+        pol = MaintenancePolicy(
+            max_delta_depth=a.max_depth,
+            compact_budget_buckets=a.budget,
+            retain_snapshots=a.retain_last,
+        )
+        print(json.dumps(auto_maintain(table, pol, dry_run=a.dry_run)))
     elif a.cmd == "stats":
         print(json.dumps(table.stats()))
     elif a.cmd == "rate":

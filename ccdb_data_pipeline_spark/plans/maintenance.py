@@ -1,0 +1,140 @@
+"""Autonomous table services: the policy loop that keeps a lake table
+healthy without an operator watching it (the Delta/Databricks
+"predictive optimization" / Iceberg table-maintenance-service analog).
+
+The primitives all exist on the table — IO-budgeted incremental
+``compact``, reference-counted ``expire_snapshots``, ``remove_orphans``,
+and a manifest-only ``stats`` report that already carries the compaction
+recommendation. What a 10^10-row deployment additionally needs is the
+DECISION layer: something cheap enough to run after every few commits
+that reads O(buckets) metadata, decides which services are due, executes
+them under the policy's IO budget, and reports every action WITH its
+reason (and every skip with its reason) so the maintenance history is
+auditable.
+
+Decisions come exclusively from the manifest (`stats()` — no Spark job,
+no data IO): a no-op `auto_maintain` costs one JSON read plus one
+readdir, so calling it unconditionally from an ingest loop is safe. This
+is also why it composes with `run_ingest(compact_every=K)` — that hook is
+a fixed cadence; this one is condition-driven.
+
+Reference analog: the reference runs maintenance by hand (the operator
+re-runs the indexing job and prunes old indices via aliases,
+`complaints/ccdb/index_ccdb.py` alias swap); here the same hygiene is a
+policy object.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from .lake import SnapshotParquetTable
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """When each table service is due, and how much IO it may spend.
+
+    - ``max_delta_depth``: compact when any bucket's MoR delta depth
+      reaches this (read amplification bound — every read of that bucket
+      resolves this many layers).
+    - ``max_dirty_buckets``: compact when this many buckets are dirty even
+      if no single bucket is deep (many shallow buckets = many small
+      files = degraded scan).
+    - ``compact_budget_buckets``: IO budget per sweep, passed through to
+      ``compact(max_buckets=)`` — None = unbudgeted full sweep.
+    - ``retain_snapshots``: keep this many newest snapshots per live ref;
+      expiry runs only when more than ``retain_snapshots + expire_slack``
+      manifests exist (slack keeps the common path metadata-only).
+    - ``orphan_gc``: scan for unreferenced data files after an expiry ran
+      (orphans appear from crashed writes; tying GC to expiry keeps the
+      no-op path free of a storage walk).
+    - ``zorder_by``: clustering columns forwarded to compaction.
+    """
+
+    max_delta_depth: int = 8
+    max_dirty_buckets: int = 64
+    compact_budget_buckets: int | None = 64
+    retain_snapshots: int = 5
+    expire_slack: int = 2
+    orphan_gc: bool = True
+    zorder_by: tuple[str, ...] = field(default_factory=tuple)
+
+
+def _n_manifests(table: SnapshotParquetTable) -> int:
+    mdir = os.path.join(table.root, "manifests")
+    if not os.path.isdir(mdir):
+        return 0
+    return sum(
+        1 for fn in os.listdir(mdir) if fn.startswith("m-") and fn.endswith(".json")
+    )
+
+
+def auto_maintain(
+    table: SnapshotParquetTable,
+    policy: MaintenancePolicy = MaintenancePolicy(),
+    dry_run: bool = False,
+) -> dict:
+    """Run every table service the policy says is due; return the decision
+    record. Idempotent: a second call immediately after a full run is a
+    metadata-only no-op (every action reports ``skipped`` with a reason).
+
+    With ``dry_run=True`` nothing executes — the returned plan shows what
+    WOULD run, for operators staging a maintenance window.
+    """
+    s = table.stats()
+    report: dict = {"version_before": s["version"], "dry_run": dry_run, "actions": {}}
+
+    # ---- compaction --------------------------------------------------
+    due = []
+    if s["delta_depth_max"] >= policy.max_delta_depth:
+        due.append(
+            f"delta_depth_max {s['delta_depth_max']} >= {policy.max_delta_depth}"
+        )
+    if s["dirty_buckets"] >= policy.max_dirty_buckets:
+        due.append(f"dirty_buckets {s['dirty_buckets']} >= {policy.max_dirty_buckets}")
+    if due:
+        act = {"run": True, "reason": "; ".join(due),
+               "budget_buckets": policy.compact_budget_buckets}
+        if not dry_run:
+            table.compact(
+                max_buckets=policy.compact_budget_buckets,
+                zorder_by=policy.zorder_by,
+            )
+            after = table.stats()
+            act["delta_depth_max_after"] = after["delta_depth_max"]
+            act["dirty_buckets_after"] = after["dirty_buckets"]
+    else:
+        act = {"run": False,
+               "reason": f"depth {s['delta_depth_max']} and dirty "
+                         f"{s['dirty_buckets']} under policy thresholds"}
+    report["actions"]["compact"] = act
+
+    # ---- snapshot expiry ---------------------------------------------
+    n_manifests = _n_manifests(table)
+    limit = policy.retain_snapshots + policy.expire_slack
+    if n_manifests > limit:
+        act = {"run": True,
+               "reason": f"{n_manifests} manifests > retain {policy.retain_snapshots} "
+                         f"+ slack {policy.expire_slack}"}
+        if not dry_run:
+            act["result"] = table.expire_snapshots(retain_last=policy.retain_snapshots)
+    else:
+        act = {"run": False, "reason": f"{n_manifests} manifests <= {limit}"}
+    report["actions"]["expire_snapshots"] = act
+
+    # ---- orphan GC (only worth a storage walk after an expiry) --------
+    expired = report["actions"]["expire_snapshots"]["run"]
+    if policy.orphan_gc and expired:
+        act = {"run": True, "reason": "expiry ran; sweeping unreferenced files"}
+        if not dry_run:
+            act["result"] = table.remove_orphans()
+    else:
+        act = {"run": False,
+               "reason": "orphan_gc disabled" if not policy.orphan_gc
+               else "no expiry this round"}
+    report["actions"]["remove_orphans"] = act
+
+    report["version_after"] = table.stats()["version"] if not dry_run else s["version"]
+    return report
