@@ -4964,3 +4964,64 @@ def dedup_canonical(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+@q(
+    "dedup_span_scrub",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(coalesce(text, ''),
+                                                          '\s+', ' ', 'g')), ' '),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, pos, ws[pos + 1] AS tok
+      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS pos
+            FROM base)
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', ws[pos+1], ws[pos+2], ws[pos+3], ws[pos+4], ws[pos+5]) AS g
+      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 5)) AS pos
+            FROM base WHERE len(ws) >= 5)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT gr.doc_id, unnest(generate_series(gr.pos, gr.pos + 4)) AS pos
+        FROM grams gr JOIN dup USING (g))
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    ),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ws) AS BIGINT)                          AS n_words,
+           CAST(len(b.ws) - COALESCE(r.n_kept, 0) AS BIGINT)  AS n_removed,
+           COALESCE(r.cleaned, '')                            AS cleaned_text
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_span_scrub(spark, sf_dir):
+    """Exact substring-dedup REMOVAL (operators/dedup_text.py
+    scrub_duplicate_spans): words covered by a cross-document duplicated
+    5-gram are cut and the survivors re-joined — the Lee et al. 2022
+    cleaning transform that duplicate_span_stats only reports on. Keyed on
+    raw gram strings (a hash collision would delete innocent text); every
+    doc appears in the output, fully-scrubbed ones with cleaned_text = ''.
+    The hash check covers the rebuilt strings themselves, so both engines
+    must agree on every removed span boundary."""
+    from .operators.dedup_text import scrub_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_duplicate_spans(d, "doc_id", "text", n=5, min_docs=2).orderBy(
+        "doc_id"
+    )

@@ -302,3 +302,88 @@ def duplicate_span_stats(
             F.round(10000.0 * F.col("n_shared") / F.col("n_spans")).cast("long"),
         )
     )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Exact substring-dedup TRANSFORM (the removal step behind
+    ``duplicate_span_stats``'s report — Lee et al. 2022's cleaning pass,
+    word-n-gram form): every word covered by an n-gram that occurs in
+    >= ``min_docs`` distinct documents is cut, and the survivors are
+    re-joined into cleaned text. Output per input doc (every doc, even
+    fully-scrubbed ones): ``(id, n_words, n_removed, cleaned_text)``.
+
+    Unlike the stats op, the grouping key here is the RAW n-gram string,
+    not its xxhash64: this operator deletes training text, and a hash
+    collision would silently delete innocent spans. The strings are short
+    (n words) and the count aggregate partial-aggregates map-side, so the
+    exchange carries one (gram, count) pair per distinct gram — at
+    10^10 spans still far cheaper than the explode that produced them.
+
+    Plan: array-side tokenize once; positional grams explode (n-4 rows per
+    doc, no distinct — positions matter); groupBy(gram) HAVING >= min_docs;
+    semi-join marks duplicated gram STARTS; each start fans out to its n
+    covered positions (array-side sequence, then distinct); left-anti join
+    drops covered tokens; one final groupBy(doc) re-assembles survivors in
+    position order. Three shuffles total (gram count, covered distinct,
+    final groupBy) — each keyed and combinable.
+    """
+    from ..functions.normalize import normalize_ws_sql
+
+    words = F.filter(
+        F.split(normalize_ws_sql(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_ws"))
+
+    gram_structs = F.when(
+        F.size("_ws") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - n),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice("_ws", i + 1, n)).alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    grams = base.select("_id", F.explode(gram_structs).alias("s")).select(
+        "_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g")
+        .select("_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+
+    toks = base.select("_id", F.posexplode("_ws").alias("pos", "tok"))
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+
+    return (
+        base.select("_id", F.size("_ws").cast("long").alias("n_words"))
+        .join(rebuilt, "_id", "left_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

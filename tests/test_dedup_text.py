@@ -118,3 +118,47 @@ def test_duplicate_span_stats(spark):
         3: (1, 0, 0),
         5: (1, 0, 0),
     }
+
+
+def test_scrub_duplicate_spans_removes_shared_spans_only(spark):
+    from ccdb_data_pipeline_spark.operators.dedup_text import scrub_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"  # one exact 5-gram, in 2 docs
+    docs = [
+        (1, f"unique one two {shared} tail words here"),
+        (2, f"{shared} other distinct continuation"),
+        (3, "completely unrelated content of this doc"),
+        (4, shared),          # fully covered -> scrubbed to ''
+        (5, "tiny doc"),      # < 5 words -> no grams, untouched
+        (6, None),            # null text -> 0 words, cleaned ''
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_spans(
+            spark.createDataFrame(docs, "doc_id int, text string"), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == "unique one two tail words here"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["cleaned_text"] == "other distinct continuation"
+    assert out[3]["n_removed"] == 0 and out[3]["cleaned_text"].startswith("completely")
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 5
+    assert out[5] and out[5]["cleaned_text"] == "tiny doc"
+    assert out[6]["n_words"] == 0 and out[6]["cleaned_text"] == ""
+
+
+def test_scrub_overlapping_duplicated_grams_union_coverage(spark):
+    from ccdb_data_pipeline_spark.operators.dedup_text import scrub_duplicate_spans
+
+    # six shared words -> two overlapping duplicated 5-grams; coverage is
+    # their union (all six words), not double-removed
+    six = "a b c d e f"
+    docs = [(1, f"x {six} y"), (2, f"p {six} q")]
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_spans(
+            spark.createDataFrame(docs, "doc_id int, text string"), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["cleaned_text"] == "x y" and out[1]["n_removed"] == 6
+    assert out[2]["cleaned_text"] == "p q" and out[2]["n_removed"] == 6
