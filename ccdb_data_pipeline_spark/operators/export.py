@@ -95,3 +95,92 @@ def export_shards(
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def dirty_shards(
+    changed_keys: DataFrame, key_col: str, n_shards: int, salt: str = ""
+) -> list[int]:
+    """Shard ids whose membership a set of changed keys touches — a pure
+    map-side projection of the same md5 layout function (deletes count:
+    the shard must be rewritten WITHOUT the key)."""
+    digest = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(digest, 1, 4), 16, 10).cast("long") % n_shards).cast("int")
+    return sorted(
+        r["shard"] for r in changed_keys.select(shard.alias("shard")).distinct().collect()
+    )
+
+
+def export_shards_incremental(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    changed_keys: DataFrame,
+    columns: list[str] | None = None,
+) -> dict:
+    """Refresh an existing deterministic export in O(changed shards):
+    because shard assignment AND in-shard order are pure functions of the
+    key, a conversation's edit can only affect the one shard its key hashes
+    to — so only shards containing a changed key are re-rendered and
+    re-sorted; every clean shard's file is left byte-untouched on disk
+    (checked by filename in the tests, enforced by dynamic partition
+    overwrite). The result is IDENTICAL to a full re-export — the
+    incremental path is an IO optimization, not an approximation.
+
+    ``df`` must be the FULL current corpus (a dirty shard's in-shard ranks
+    depend on all of its surviving rows); ``changed_keys`` must carry every
+    inserted, updated, AND deleted key since the last export — exactly what
+    the lake table's change feed (``table_changes``) emits. Layout
+    parameters come from the existing MANIFEST.json so an incremental
+    refresh can never silently diverge from the base export's epoch.
+    """
+    mpath = os.path.join(out_dir, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no MANIFEST.json under {out_dir}: incremental export needs a "
+            "base export (run export_shards first)"
+        )
+    with open(mpath) as f:
+        manifest = json.load(f)
+    n_shards, salt = manifest["n_shards"], manifest["salt"]
+    if manifest["key_col"] != key_col:
+        raise ValueError(
+            f"manifest key_col {manifest['key_col']!r} != requested {key_col!r}"
+        )
+
+    dirty = dirty_shards(changed_keys, key_col, n_shards, salt=salt)
+    if not dirty:
+        return {**manifest, "shards_rewritten": []}
+
+    laid = shard_layout(df, key_col, n_shards, salt=salt).filter(
+        F.col("shard").isin(dirty)
+    )
+    if columns is not None:
+        laid = laid.select(*columns, "shard", "pos")
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in laid.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    (
+        laid.repartition(max(len(dirty), 1), "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    # dynamic overwrite never writes an empty partition: a shard whose last
+    # key was deleted must have its stale directory removed by hand
+    import shutil
+
+    for s in dirty:
+        if counts.get(s, 0) == 0:
+            d = os.path.join(out_dir, f"shard={s}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+    for s in dirty:
+        manifest["rows_per_shard"][str(s)] = counts.get(s, 0)
+    manifest["n_rows"] = sum(manifest["rows_per_shard"].values())
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return {**manifest, "shards_rewritten": dirty}
