@@ -67,6 +67,7 @@ HEADLINE = [
     "tfidf_top_term",
     "pagerank_3iter",
     "cdc_time_slice",
+    "dedup_span_scrub",
 ]
 
 
