@@ -5025,3 +5025,130 @@ def dedup_span_scrub(spark, sf_dir):
     return scrub_duplicate_spans(d, "doc_id", "text", n=5, min_docs=2).orderBy(
         "doc_id"
     )
+
+
+@q(
+    "triangle_count",
+    """
+    WITH e0 AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM events a JOIN events b ON b.event_id = a.event_id + 1
+      WHERE a.user_id <> b.user_id
+    ),
+    edges AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM e0),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tri GROUP BY a ORDER BY node
+    """,
+)
+def triangle_count(spark, sf_dir):
+    """Triangle counting over the event-handoff graph (the second graph
+    primitive after pagerank_3iter; triangles are the community-density
+    signal). Canonicalized u<v<w enumeration: each triangle is produced
+    exactly once by two equi-joins on the ordered edge set — the standard
+    distributed formulation whose cost is sum of per-node deg² (mitigated
+    by the ordering: high-degree nodes only expand toward higher ids).
+    No cross join anywhere; both joins are hash joins on edge endpoints."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = ev.select(
+        (F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("user_b")
+    )
+    e0 = ev.join(nxt, "event_id").filter(F.col("user_id") != F.col("user_b"))
+    edges = e0.select(
+        F.least("user_id", "user_b").alias("u"), F.greatest("user_id", "user_b").alias("v")
+    ).distinct()
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .filter(F.col("c") > F.col("b"))
+        .join(e3, ["a", "c"])
+    )
+    return (
+        tri.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+@q(
+    "resample_forward_fill",
+    """
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, g.day
+      FROM users u, (SELECT unnest(generate_series((SELECT d0 FROM span),
+                                                   (SELECT d1 FROM span),
+                                                   INTERVAL 1 DAY))::DATE AS day) g
+    ),
+    daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ORDER BY g.user_id, g.day
+    """,
+)
+def resample_forward_fill(spark, sf_dir):
+    """Time-series resample to a daily grid with forward fill (pandas
+    ``resample('D').last().ffill()`` distributed): each user's value series
+    re-expressed on the global day grid, gaps carrying the last observation
+    forward (null before the first one). The grid is users × days —
+    generated array-side and exploded, never a cross join of two frames —
+    and the fill is one keyed window (`last ignorenulls`), the same
+    single-shuffle shape as the engine's as-of join. Day's closing value is
+    deterministic: latest (ts, event_id) within the day."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    daily_w = W.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    fill_w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left_outer")
+        .select(
+            "user_id",
+            "day",
+            F.last("value", ignorenulls=True).over(fill_w).alias("value_ff"),
+        )
+        .orderBy("user_id", "day")
+    )
