@@ -5152,3 +5152,94 @@ def resample_forward_fill(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+@q(
+    "moving_average_range",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, day,
+           CAST(SUM(v_c) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing7_c,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_days_present
+    FROM daily ORDER BY user_id, day
+    """,
+)
+def moving_average_range(spark, sf_dir):
+    """RANGE-frame window (the frame family sessionize/ntile don't cover):
+    7-day trailing sum + presence count per user over DAILY aggregates —
+    the frame is bounded by VALUE distance (6 days), not row count, so
+    gaps in the series shrink the window instead of reaching further back.
+    Spark has no interval range frame; the equivalent is a numeric range
+    frame over days-since-epoch — same semantics, verified against
+    DuckDB's native INTERVAL frame. Scaled-integer sums keep the hash
+    comparison exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(_cents(F.col("value"))).alias("v_c"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("v_c").over(w).cast("long").alias("trailing7_c"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_present"),
+    ).orderBy("user_id", "day")
+
+
+@q(
+    "multi_supplier_orders",
+    """
+    SELECT l.l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem x
+      WHERE x.l_orderkey = l.l_orderkey AND x.l_suppkey <> l.l_suppkey
+    )
+    GROUP BY l.l_orderkey
+    HAVING COUNT(DISTINCT l.l_suppkey) >= 4
+    ORDER BY l.l_orderkey
+    """,
+)
+def multi_supplier_orders(spark, sf_dir):
+    """Correlated EXISTS with an INEQUALITY predicate (the TPC-H q21
+    shape): lineitems for which ANOTHER lineitem of the same order used a
+    different supplier — decorrelated to a left-semi join on the order key
+    with the inequality as the join residual — then an order-level rollup
+    kept at >= 4 distinct suppliers. Spark plans the semi join hash-based
+    on l_orderkey (the equality column); the inequality never becomes a
+    nested loop."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li.createOrReplaceTempView("_msl")
+    return (
+        spark.sql(
+            """
+            SELECT l.l_orderkey,
+                   CAST(COUNT(*) AS LONG) AS n_items,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS LONG) AS n_suppliers
+            FROM _msl l
+            WHERE EXISTS (
+              SELECT 1 FROM _msl x
+              WHERE x.l_orderkey = l.l_orderkey AND x.l_suppkey <> l.l_suppkey
+            )
+            GROUP BY l.l_orderkey
+            HAVING COUNT(DISTINCT l.l_suppkey) >= 4
+            """
+        )
+        .orderBy("l_orderkey")
+    )
