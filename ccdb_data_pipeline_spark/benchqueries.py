@@ -5243,3 +5243,87 @@ def multi_supplier_orders(spark, sf_dir):
         )
         .orderBy("l_orderkey")
     )
+
+
+@q(
+    "rank_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS prank_bp,
+           CAST(round(cume_dist()    OVER w * 10000) AS BIGINT) AS cume_bp
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def rank_distribution(spark, sf_dir):
+    """percent_rank + cume_dist (completing the ranking-window family with
+    row_number / rank-per-group / NTILE): each customer's balance
+    percentile position within its market segment, deterministic under the
+    (c_acctbal, c_custkey) total order, emitted as integer basis points so
+    the cross-engine hash is exact. One keyed window — both functions share
+    the same sort."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w) * 10000).cast("long").alias("prank_bp"),
+        F.round(F.cume_dist().over(w) * 10000).cast("long").alias("cume_bp"),
+    ).orderBy("c_custkey")
+
+
+@q(
+    "langid_confusion",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))      AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|und|die|nicht|ist)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|et|la|les|est)\b'))      AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|y|los|las|es)\b'))       AS s_es,
+             len(regexp_extract_all(text, '[一-鿿]')) * 5                          AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                  WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                  WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh'
+                  ELSE 'und' END AS pred_lang
+      FROM s
+    )
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(round(COUNT(*) * 10000.0 / SUM(COUNT(*)) OVER (PARTITION BY lang))
+                AS BIGINT) AS row_share_bp
+    FROM pred
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+)
+def langid_confusion(spark, sf_dir):
+    """Classifier-quality evaluation of the heuristic language detector:
+    the labeled-vs-predicted confusion matrix with per-true-label row
+    shares — the report that decides whether the cheap n-gram detector is
+    good enough to gate a training mix, per language. Reuses the engine's
+    lang_id (functions/text_analysis.py) verbatim; one groupBy over its
+    map-side scores plus an O(#langs²) window for the row shares."""
+    from .functions.text_analysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    pred = lang_id(d, text_col="text", out_col="pred_lang").select("lang", "pred_lang")
+    counts = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = W.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 10000.0 / F.sum("n_docs").over(w))
+        .cast("long")
+        .alias("row_share_bp"),
+    ).orderBy("lang", "pred_lang")
