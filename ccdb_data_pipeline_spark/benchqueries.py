@@ -5327,3 +5327,172 @@ def langid_confusion(spark, sf_dir):
         .cast("long")
         .alias("row_share_bp"),
     ).orderBy("lang", "pred_lang")
+
+
+# =====================================================================
+# TPC-H family completion — the remaining canonical plan shapes, adapted
+# to the driver tables (no partsupp; columns per TESTDATA.md). What is
+# preserved is each query's PLAN FAMILY — the optimizer problem it poses
+# — not its literal text. Reference analog: the ES query templates in
+# /root/reference/complaint_search is the reference's only query surface;
+# these complete the relational surface a lakehouse replacement needs.
+# =====================================================================
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cbp,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND round(l_discount * 100) BETWEEN 2 AND 6
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H q6: the pure scan-aggregate — every predicate is a parquet
+    pushdown candidate (ts range, discount band, quantity cap) and the
+    plan must be scan -> filter -> partial agg -> single-row final agg
+    with NO shuffle beyond the 1-row exchange. The discount band compares
+    scaled integers, never float equality. At 100 TB this query is a
+    pure test of filter pushdown + min/max row-group skipping: with
+    ts-sorted files (compact(zorder_by=...)/time_range) it reads a
+    fraction of the year's row groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).between(2, 6)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))).alias("revenue_cbp"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@q(
+    "q19_disjunctive_join",
+    """
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cbp,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark, sf_dir):
+    """TPC-H q19: disjunctive (OR-of-ANDs) predicates spanning BOTH join
+    sides. The optimizer problem: the OR cannot be pushed whole into
+    either scan, but its single-side FACTORS can — part rows must match
+    one of three (brand, size) clauses, lineitems one of three quantity
+    bands — so both scans are pre-filtered with the OR's projections and
+    the residual OR evaluates inside the (broadcast) hash join. Spark
+    derives those factor filters via constraint propagation; we also
+    state them explicitly so the parquet scans prune regardless of
+    optimizer version. part is dimension-sized -> broadcast: zero
+    shuffle at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    # single-side factors, pushed to the scans
+    p = p.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15))
+    )
+    li = li.filter(F.col("l_quantity").between(1, 30))
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(clause)
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("revenue_cbp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q14_promo_share",
+    """
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS rev_cbp
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cbp ELSE 0 END) AS BIGINT) AS promo_cbp,
+           CAST(SUM(rev_cbp) AS BIGINT) AS total_cbp,
+           CAST(round(10000.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_cbp ELSE 0 END)
+                      / SUM(rev_cbp)) AS BIGINT) AS promo_share_bp
+    FROM j
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H q14: conditional-sum ratio (promo revenue share of a
+    month). Plan family: selective fact filter -> broadcast dim join ->
+    ONE aggregate computing both the conditional and unconditional sum —
+    never two scans reconciled by a join. The share is emitted in
+    integer basis points off exact integer sums, so the single float op
+    is one terminal division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)).alias("promo"),
+        rev.alias("rev_cbp"),
+    )
+    return j.agg(
+        F.sum("promo").alias("promo_cbp"),
+        F.sum("rev_cbp").alias("total_cbp"),
+        F.round(10000.0 * F.sum("promo") / F.sum("rev_cbp")).cast("long").alias("promo_share_bp"),
+    )
+
+
+@q(
+    "q12_priority_by_status",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_priority_by_status(spark, sf_dir):
+    """TPC-H q12 shape: fact-fact equi-join with a cross-table residual
+    (shipped strictly after ordering) plus two-way conditional counts per
+    group. The residual inequality stays in the hash-join condition (not
+    a post-filter on a wider intermediate); both conditional counts come
+    from one map-side-combinable aggregate. At scale this is the
+    shuffle-join family: both sides hash-partition on orderkey, and AQE
+    handles any hot order."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (li["l_orderkey"] == o["o_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
