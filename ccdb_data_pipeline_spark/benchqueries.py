@@ -5496,3 +5496,232 @@ def q12_priority_by_status(spark, sf_dir):
         )
         .orderBy("l_linestatus")
     )
+
+
+@q(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cbp
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cbp DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H q10: returned-item revenue per customer, top 20. Plan
+    family: one fact-fact shuffle join (lineitem x orders, both
+    pre-filtered) then two BROADCAST dim hops (customer, nation) and a
+    grouped sum with a global top-k. The orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, never a full sort.
+    Deterministic tie-break on c_custkey keeps the LIMIT stable
+    cross-engine."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("revenue_cbp"))
+        .orderBy(F.desc("revenue_cbp"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 21000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, orderdate, totalprice_c
+    ORDER BY totalprice_c DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H q18: IN-subquery whose inner is a grouped HAVING — the
+    "large volume orders" shape. Decorrelation: the HAVING aggregate is
+    computed once (groupBy orderkey, map-side combinable), reduced to a
+    KEY SET, and applied as a left-semi join on the same key the outer
+    aggregation groups by — so the semi filter, the lineitem re-join and
+    the final groupBy all share one hash-partitioning of orderkey and
+    AQE reuses the exchange. No EXISTS per-row probing anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sq"))
+        .filter(F.col("sq") > 21000)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_c"),
+        )
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"))
+        .orderBy(F.desc("totalprice_c"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cbp
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H q7: bidirectional nation-pair trade volume by ship year.
+    Plan family: a 6-table join where the symmetric pair predicate
+    ((A,B) or (B,A)) spans two different dim hops. All four dims
+    (supplier, customer, nation x2) broadcast; the only shuffle is
+    lineitem x orders. The nation filter is pushed into EACH broadcast
+    nation scan as the single-side factor {A,B} before the residual pair
+    test — so the big side is filtered by two semi-join-like broadcast
+    hashes, not carried to a post-join filter."""
+    pairs = {"NATION_3", "NATION_7"}
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pairs))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("volume_cbp"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@q(
+    "q8_market_share",
+    """
+    WITH sales AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_cbp,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol_cbp ELSE 0 END) AS BIGINT) AS nation_cbp,
+           CAST(SUM(vol_cbp) AS BIGINT) AS total_cbp,
+           CAST(round(10000.0 * SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol_cbp ELSE 0 END)
+                      / SUM(vol_cbp)) AS BIGINT) AS share_bp
+    FROM sales GROUP BY order_year ORDER BY order_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8: one nation's share of a region's revenue per year.
+    Plan family: deep star join (7 tables) where the MEASURE carries a
+    discriminator column (supplier nation) and the share is a
+    conditional/total sum ratio per group — one aggregate, not two
+    joined subqueries. Customer-side nation+region collapse into one
+    broadcast semi filter (region pins the market); the supplier-side
+    nation survives as a value column. Share in integer bp."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    nat = F.when(F.col("supp_nation") == "NATION_5", F.col("vol_cbp")).otherwise(F.lit(0))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            (_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("vol_cbp"),
+            "supp_nation",
+        )
+        .groupBy("order_year")
+        .agg(
+            F.sum(nat).alias("nation_cbp"),
+            F.sum("vol_cbp").alias("total_cbp"),
+            F.round(10000.0 * F.sum(nat) / F.sum("vol_cbp")).cast("long").alias("share_bp"),
+        )
+        .orderBy("order_year")
+    )
