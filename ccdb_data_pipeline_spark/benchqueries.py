@@ -5725,3 +5725,184 @@ def q8_market_share(spark, sf_dir):
         )
         .orderBy("order_year")
     )
+
+
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(cost_c) AS min_cost_c FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, c.cost_c AS min_cost_c
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.cost_c = b.min_cost_c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 25 AND p.p_type = 'SMALL'
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape: correlated MIN subquery — for each qualifying
+    part, the supplier(s) achieving its minimum observed cost.
+    Decorrelated the standard way: one grouped MIN per (part, supplier),
+    a second per-part MIN, and an equality join-back (keeping ties, as
+    q2 does). Both aggs and the join-back share the part-key
+    partitioning, so the whole correlation resolves in ONE exchange; the
+    part filter is applied pre-join via broadcast semi so the cost table
+    is pruned before the join-back at scale. Costs are integer cents —
+    min-equality join never compares floats."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_cents(F.col("l_extendedprice"))).alias("cost_c"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(F.min("cost_c").alias("min_cost_c"))
+    return (
+        cost.join(best, (cost["l_partkey"] == best["b_partkey"]) & (cost["cost_c"] == best["min_cost_c"]))
+        .join(F.broadcast(p), cost["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), cost["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", F.col("cost_c").alias("min_cost_c"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_cbp
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H q9 shape: product-line profit per supplier nation per year
+    (supplycost omitted — no partsupp table; the plan family is what is
+    kept). The part name LIKE filter reduces to a broadcast LEFT SEMI on
+    partkey — the fact table never carries part columns it doesn't
+    output. Supplier and nation broadcast; year extraction is a map-side
+    projection feeding a combinable grouped sum. Zero fact-side
+    shuffles before the final (25 nations x years) aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("profit_cbp"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l.l_partkey, CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_11'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_c
+    FROM v
+    WHERE 1000 * value_c > (SELECT CAST(SUM(value_c) AS BIGINT) FROM v)
+    ORDER BY value_c DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H q11 shape: groups whose share of a GLOBAL total exceeds a
+    fraction — the group-sum vs scalar-subquery-threshold family. The
+    grouped sum is computed once; the global total is a second
+    aggregation OF THE GROUPED RESULT (tiny — one row per part), joined
+    back as a broadcast scalar, so the fact table is scanned exactly
+    once. The threshold compare is integer (1000*value > total): no
+    float fraction, engine-exact boundary. The nation filter collapses
+    supplier+nation into one broadcast semi on suppkey."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_11")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_c"))
+    )
+    total = v.agg(F.sum("value_c").alias("total_c"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(1000 * F.col("value_c") > F.col("total_c"))
+        .select("l_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "l_partkey")
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cbp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_cbp
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_cbp = (SELECT MAX(total_rev_cbp) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15: the revenue-view argmax — supplier(s) whose quarterly
+    revenue equals the maximum (ties kept, per spec). The view is one
+    grouped sum; the scalar max aggregates THAT view (100 rows, not the
+    fact table) and joins back as a broadcast scalar equality. Exact
+    integer revenue makes the max-equality tie semantics deterministic
+    cross-engine — the reason q15's WHERE = (SELECT MAX...) is safe here
+    and flaky on floats."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice")) * _cents(1 - F.col("l_discount"))).alias("total_rev_cbp")
+    )
+    mx = rev.agg(F.max("total_rev_cbp").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev_cbp") == F.col("mx"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_cbp")
+        .orderBy("s_suppkey")
+    )
