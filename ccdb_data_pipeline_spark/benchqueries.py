@@ -5906,3 +5906,166 @@ def q15_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", "total_rev_cbp")
         .orderBy("s_suppkey")
     )
+
+
+@q(
+    "q16_supplier_part_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H q16 plan family: NOT IN (uncorrelated subquery) + grouped
+    COUNT(DISTINCT). lineitem stands in for partsupp (the driver schema
+    has none) as the part<->supplier bridge. The two optimizer problems:
+    (1) NOT IN over a non-null key column is exactly a LEFT ANTI join —
+    we write it as one against the (tiny, broadcast) blacklist rather
+    than a nullable-aware NAAJ; (2) COUNT(DISTINCT supp) per (brand,
+    type, size) expands to a two-phase agg (partial distinct on
+    group+supp, then count) — Spark plans exactly that, and because the
+    part attributes ride a broadcast join, the only shuffle is the
+    distinct-agg exchange on the group keys. part's IN/size/type/brand
+    predicates all push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_excess_share_suppliers",
+    """
+    WITH red97 AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(round(l.l_quantity) AS BIGINT)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM red97 GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT r.l_suppkey FROM red97 r JOIN tot t ON r.l_partkey = t.l_partkey
+        WHERE 2 * r.qty > t.total_qty)
+      AND s.s_nationkey IN (3, 7)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_share_suppliers(spark, sf_dir):
+    """TPC-H q20 plan family: nested IN chains whose inner predicate is a
+    correlated half-sum threshold (spec: ps_availqty > 0.5 * sum(qty);
+    here, without partsupp: a supplier ships more than half a part's
+    1997 'red' volume). The correlated scalar over the same relation is
+    planned as aggregate-then-join-back: one grouped sum per (part,
+    supp), a second per part over THAT (already-reduced) frame, a
+    broadcast join-back, and the threshold as 2*qty > total in exact
+    integers (no 0.5* float boundary). The winner set is tiny ->
+    broadcast LEFT SEMI into supplier; the nation filter pushes into the
+    supplier scan. Net: one shuffle on the fact table, everything after
+    is dimension-sized."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    red97 = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    )
+    tot = red97.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty")).withColumnRenamed(
+        "l_partkey", "t_partkey"
+    )
+    winners = (
+        red97.join(F.broadcast(tot), red97["l_partkey"] == tot["t_partkey"])
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(3, 7))
+    return (
+        s.join(F.broadcast(winners), s["s_suppkey"] == winners["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q22_dormant_balance",
+    """
+    WITH elig AS (
+      SELECT right(c_name, 2) AS cntrycode, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ), thr AS (
+      SELECT AVG(bal_c) AS avg_c FROM elig WHERE bal_c > 0
+    )
+    SELECT e.cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(e.bal_c) AS BIGINT) AS totacctbal_c
+    FROM elig e, thr
+    WHERE e.bal_c > thr.avg_c
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY e.cntrycode
+    """,
+)
+def q22_dormant_balance(spark, sf_dir):
+    """TPC-H q22 plan family: substring-derived grouping key + scalar AVG
+    subquery threshold + NOT EXISTS anti-join with a correlated-side
+    predicate. Adapted: cntrycode = last 2 chars of c_name (the schema
+    has no phone), and 'no orders' becomes 'no orders since 1999-01-01'
+    (the generator gives every customer at least one order, so the
+    literal q22 anti-join is empty — the date predicate restores a
+    non-trivial dormant set while keeping the anti-join + pushed-filter
+    shape). The threshold AVG is computed over exact integer cents, so
+    the sum/count division is the same IEEE double in Spark and DuckDB —
+    no float-boundary flakiness on the > compare. Plan: scalar agg ->
+    broadcast cross join (1 row), anti join on custkey against the
+    date-filtered orders scan (filter pushed to parquet; AQE can elect
+    broadcast for the anti side), then one grouped agg on cntrycode."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.substring(F.col("c_name"), -2, 2).alias("cntrycode"),
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("bal_c"),
+    )
+    thr = c.filter(F.col("bal_c") > 0).agg(F.avg("bal_c").alias("avg_c"))
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("bal_c") > F.col("avg_c"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+    )
