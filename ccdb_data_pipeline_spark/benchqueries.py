@@ -5980,13 +5980,15 @@ def q20_excess_share_suppliers(spark, sf_dir):
     correlated half-sum threshold (spec: ps_availqty > 0.5 * sum(qty);
     here, without partsupp: a supplier ships more than half a part's
     1997 'red' volume). The correlated scalar over the same relation is
-    planned as aggregate-then-join-back: one grouped sum per (part,
-    supp), a second per part over THAT (already-reduced) frame, a
-    broadcast join-back, and the threshold as 2*qty > total in exact
-    integers (no 0.5* float boundary). The winner set is tiny ->
-    broadcast LEFT SEMI into supplier; the nation filter pushes into the
-    supplier scan. Net: one shuffle on the fact table, everything after
-    is dimension-sized."""
+    planned as aggregate-then-window: one grouped sum per (part, supp),
+    then the per-part total as a window SUM over THAT already-reduced
+    frame — NOT a second aggregate built from the base relation, which
+    Spark would plan as a duplicated subtree scanning the fact table
+    twice (DataFrame CTEs are not auto-reused). The threshold is
+    2*qty > total in exact integers (no 0.5* float boundary). The winner
+    set is tiny -> broadcast LEFT SEMI into supplier; the nation filter
+    pushes into the supplier scan. Net: ONE fact-table scan and one fact
+    shuffle; the window exchange moves only the grouped frame."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -5997,11 +5999,8 @@ def q20_excess_share_suppliers(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
     )
-    tot = red97.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty")).withColumnRenamed(
-        "l_partkey", "t_partkey"
-    )
     winners = (
-        red97.join(F.broadcast(tot), red97["l_partkey"] == tot["t_partkey"])
+        red97.withColumn("total_qty", F.sum("qty").over(W.partitionBy("l_partkey")))
         .filter(2 * F.col("qty") > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
