@@ -6068,3 +6068,207 @@ def q22_dormant_balance(spark, sf_dir):
             F.sum("bal_c").alias("totacctbal_c"),
         )
     )
+
+
+# =====================================================================
+# Plan-family completions: LATERAL, UNPIVOT, GROUPING SETS, histogram,
+# null-safe join (round 2, session continuation)
+# =====================================================================
+
+
+@q(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey, r.o_orderkey, r.o_totalprice_c
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_c
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC
+      LIMIT 2
+    ) r
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def lateral_topk_orders(spark, sf_dir):
+    """LATERAL correlated subquery with per-row ORDER BY + LIMIT (the
+    top-k-per-outer-row shape SQL users reach for before they learn
+    window functions): each high-balance customer's 2 priciest orders.
+    Catalyst decorrelates the lateral into a join + per-key ranking —
+    no nested-loop re-execution per outer row — so the plan is the same
+    shuffle-once ranking as an explicit row_number() rewrite, but the
+    QUERY surface is the LATERAL the user wrote. Deterministic
+    tie-break (o_totalprice, o_orderkey) keeps the LIMIT stable
+    cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_lat_c")
+    o.createOrReplaceTempView("_lat_o")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, r.o_orderkey, r.o_totalprice_c
+        FROM _lat_c c,
+        LATERAL (
+          SELECT o_orderkey, CAST(round(o_totalprice*100) AS LONG) AS o_totalprice_c
+          FROM _lat_o
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey DESC
+          LIMIT 2
+        ) r
+        WHERE c.c_acctbal > 9000
+        """
+    ).orderBy("c_custkey", "o_orderkey")
+
+
+_UNPIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@q(
+    "unpivot_priority_spend",
+    """
+    WITH w AS (
+      SELECT o_custkey,
+        {cols}
+      FROM orders GROUP BY o_custkey)
+    {arms}
+    """.format(
+        cols=", ".join(
+            "CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN "
+            "CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS \"{p}\"".format(p=p)
+            for p in _UNPIVOT_PRIOS
+        ),
+        arms="\nUNION ALL\n".join(
+            "SELECT o_custkey, '{p}' AS priority, \"{p}\" AS spend_c FROM w "
+            "WHERE \"{p}\" IS NOT NULL".format(p=p)
+            for p in _UNPIVOT_PRIOS
+        ),
+    ),
+)
+def unpivot_priority_spend(spark, sf_dir):
+    """UNPIVOT / melt — the inverse of the pivot family (events_pivot):
+    a wide per-customer spend-by-priority frame turned back into long
+    (customer, priority, spend) rows via DataFrame.unpivot, dropping the
+    NULL cells the pivot manufactured. Spark plans unpivot as a single
+    Expand node — one pass, no join, no shuffle beyond the feeding
+    aggregate — exactly what a hand-written UNION ALL of N projections
+    would cost, but scanning the input once instead of N times. The
+    oracle spells that UNION ALL explicitly (DuckDB's UNPIVOT is
+    non-ANSI syntax), pinning the same semantics."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_custkey").pivot("o_orderpriority", _UNPIVOT_PRIOS).agg(
+        F.sum(_cents(F.col("o_totalprice")))
+    )
+    return (
+        wide.unpivot("o_custkey", _UNPIVOT_PRIOS, "priority", "spend_c")
+        .filter(F.col("spend_c").isNotNull())
+        .orderBy("o_custkey", "priority")
+    )
+
+
+@q(
+    "grouping_sets_geo",
+    """
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS BIGINT) AS g_region,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def grouping_sets_geo(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() markers — the general form
+    of the lattice family (rollup_order_revenue / cube_returns_status
+    cover the two fixed shapes): nation-level, region-subtotal, and
+    grand-total aggregates in ONE Expand+aggregate pass over the joined
+    input, with grouping() disambiguating a real NULL group key from a
+    subtotal row (the reason the marker columns exist). The dimension
+    joins are broadcast (nation/region are tiny); the Expand triples the
+    row flow into a single shuffle keyed on the padded grouping key."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c.createOrReplaceTempView("_gs_c")
+    n.createOrReplaceTempView("_gs_n")
+    r.createOrReplaceTempView("_gs_r")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(grouping(r_name) AS LONG) AS g_region,
+               CAST(grouping(n_name) AS LONG) AS g_nation,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(round(c_acctbal*100) AS LONG)) AS LONG) AS bal_c
+        FROM _gs_c c JOIN _gs_n n ON c.c_nationkey = n.n_nationkey
+                     JOIN _gs_r r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    ).orderBy("g_region", "g_nation", "r_name", "n_name")
+
+
+@q(
+    "histogram_order_value",
+    """
+    SELECT CAST(CASE WHEN o_totalprice >= 600000 THEN 13
+                WHEN o_totalprice < 0 THEN 0
+                ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_value(spark, sf_dir):
+    """Equi-width histogram via the SQL-standard width_bucket — the
+    one-pass distribution profile every data-quality report starts
+    with. width_bucket is a map-side scalar (no sort, no window): the
+    whole query is one partial-agg shuffle on at most n_buckets+2 keys,
+    so it costs the same at 100 TB as a COUNT(*). The oracle spells the
+    identical floor arithmetic (DuckDB lacks width_bucket), including
+    the standard's out-of-range buckets 0 and n+1."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)")
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "null_safe_join_counts",
+    """
+    WITH l AS (SELECT event_id, nullif(event_type, 'view') AS et FROM events),
+         a AS (SELECT et, COUNT(*) AS n_et FROM l GROUP BY et)
+    SELECT l.event_id, l.et, a.n_et
+    FROM l JOIN a ON l.et IS NOT DISTINCT FROM a.et
+    """,
+)
+def null_safe_join_counts(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): join keys where
+    NULL must match NULL — the shape CDC payloads hit constantly (a
+    nullable dimension key would silently drop every NULL row under a
+    plain equi-join). Spark's EqualNullSafe is a first-class hash-join
+    key (NOT a degenerate cross join + filter): the plan is the same
+    single hash join as `=`, with NULL hashing to its own bucket. Here
+    the 'view' event type is mapped to NULL via nullif, then each event
+    joins back its type's frequency — NULL rows included, which `=`
+    would lose."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", F.expr("nullif(event_type, 'view')").alias("et")
+    )
+    agg = (
+        left.groupBy("et")
+        .agg(F.count(F.lit(1)).alias("n_et"))
+        .select(F.col("et").alias("a_et"), "n_et")
+    )
+    return (
+        left.join(agg, F.col("et").eqNullSafe(F.col("a_et")))
+        .select("event_id", "et", "n_et")
+        .orderBy("event_id")
+    )
