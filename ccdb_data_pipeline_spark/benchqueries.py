@@ -6272,3 +6272,73 @@ def null_safe_join_counts(spark, sf_dir):
         .select("event_id", "et", "n_et")
         .orderBy("event_id")
     )
+
+
+@q(
+    "cdc_seqgroup_apply",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_type, event_id AS lsn,
+        CASE WHEN event_id % 11 = 0 THEN 'D' WHEN event_id % 3 = 0 THEN 'P' ELSE 'U' END AS op,
+        CASE WHEN event_id % 11 <> 0 AND (event_id % 3 <> 0 OR event_id % 2 = 0) THEN CAST(event_id % 97 AS BIGINT) END AS seq,
+        CASE WHEN event_id % 11 <> 0 AND (event_id % 3 <> 0 OR event_id % 2 = 0) THEN value END AS value,
+        CASE WHEN event_id % 11 <> 0 AND (event_id % 3 <> 0 OR event_id % 2 = 1) THEN props END AS props
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, event_type,
+        arg_max(op, lsn) FILTER (WHERE op <> 'P') AS last_full_op,
+        max(lsn) AS last_lsn,
+        arg_max(props, lsn) FILTER (WHERE op <> 'P' OR props IS NOT NULL) AS props,
+        arg_max(seq,   coalesce(seq,-1)*10000000000 + lsn) FILTER (WHERE op <> 'P' OR seq IS NOT NULL) AS seq,
+        arg_max(value, coalesce(seq,-1)*10000000000 + lsn) FILTER (WHERE op <> 'P' OR seq IS NOT NULL) AS value
+      FROM tagged GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_c, props,
+           CAST(seq AS BIGINT) AS seq, CAST(last_lsn AS BIGINT) AS last_lsn
+    FROM agg WHERE last_full_op IS NOT NULL AND last_full_op <> 'D'
+    """,
+)
+def cdc_seqgroup_apply(spark, sf_dir):
+    """Sequence-group partial-update resolve (Paimon fields.<seq>.
+    sequence-group analog): `value` is versioned by its own `seq` column —
+    upstream A patches (seq, value) together, upstream B patches `props`
+    with no seq — so A's lsn-late replay carrying a stale seq cannot
+    clobber a newer value, while B's props keep plain arrival-order
+    overlay. Still ONE map-side-combining aggregate (per-group argmax by
+    (coalesce(seq, MIN), lsn) rides the same groupBy as the per-column
+    patch resolve — no window, no extra shuffle). The oracle encodes the
+    identical ordering as a scalar (seq*1e10 + lsn; exact for these
+    domains) because DuckDB's arg_max takes one ordering expression."""
+    from .operators.patch import resolve_with_patches
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_del = eid % 11 == 0
+    is_patch = (~is_del) & (eid % 3 == 0)
+    is_full = (~is_del) & (eid % 3 != 0)
+    carries_group = is_full | (is_patch & (eid % 2 == 0))
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        eid.alias("lsn"),
+        F.when(is_del, "D").when(is_patch, "P").otherwise("U").alias("op"),
+        F.when(carries_group, eid % 97).cast("long").alias("seq"),
+        F.when(carries_group, F.col("value")).alias("value"),
+        F.when(is_full | (is_patch & (eid % 2 == 1)), F.col("props")).alias("props"),
+    )
+    out = resolve_with_patches(
+        tagged,
+        ["user_id", "event_type"],
+        "lsn",
+        ["value", "props", "seq"],
+        sequence_groups={"seq": ("value",)},
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_c"),
+        "props",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("last_lsn").cast("long").alias("last_lsn"),
+    ).orderBy("user_id", "event_type")

@@ -70,13 +70,19 @@ class MergeStats:
 
 
 def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
-                         sort_cols: list[str]):
+                         sort_cols: list[str], seq_groups: dict | None = None):
     """Within-batch collapse for a partial-update table (one Arrow batch =
     one bucket partition): per key, the latest full image overlaid with every
     later patch column — ONE output row per key, a full image whenever the
     batch contains one (its version is the key's max event version, so it
     dominates all earlier delta rows for every column), else a folded patch
     row (per-column latest non-NULL) that overlays at read time.
+
+    Sequence-group columns (operators/patch.py seq_group_aggs semantics)
+    fold by their OWN (seq, lsn) order instead, atomically per group: the
+    in-batch group winner's seq + member values are carried together, so the
+    folded row composes exactly like the raw events under the read-side
+    argmax (batch-boundary invariance, pytest-pinned).
 
     Vectorized per column: a boolean writer mask + drop_duplicates(last) —
     no per-row python."""
@@ -87,10 +93,27 @@ def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
     deleted = base[DELETED].reindex(out.index)
     out[PATCH] = deleted.isna().to_numpy()  # no full image in batch -> patch row
     out[DELETED] = deleted.fillna(False).astype(bool).to_numpy()
+    grouped: set[str] = set()
+    if seq_groups:
+        for s, members in seq_groups.items():
+            grouped.update((s, *members))
     for c in payload_cols:
+        if c in grouped:
+            continue
         writers = (~pdf[PATCH]) | pdf[c].notna()
         lw = pdf.loc[writers].drop_duplicates(keys, keep="last").set_index(keys)[c]
         out[c] = lw.reindex(out.index)
+    if seq_groups:
+        for s, members in seq_groups.items():
+            writers = (~pdf[PATCH]) | pdf[s].notna()
+            gw = pdf.loc[writers].copy()
+            # null seq ranks below every real seq (same coalesce the
+            # read-side resolve applies); ties fall back to arrival order
+            gw["_sfill"] = gw[s].astype("Int64").fillna(-(2**63))
+            gw = gw.sort_values(["_sfill", LSN_APPLIED], kind="stable")
+            lw = gw.drop_duplicates(keys, keep="last").set_index(keys)
+            for c in (s, *members):
+                out[c] = lw[c].reindex(out.index)
     if out[DELETED].any():
         out.loc[out[DELETED], payload_cols] = None
     return out.reset_index()
@@ -622,6 +645,25 @@ class SnapshotParquetTable:
                 raise ValueError("first_row requires merge_mode='mor'")
             if self.spec.partial_updates:
                 raise ValueError("first_row and partial_updates are mutually exclusive")
+        if self.spec.sequence_groups:
+            if not self.spec.partial_updates:
+                raise ValueError("sequence_groups requires partial_updates=True")
+            payload = {f.name for f in schema.fields if f.name not in self.spec.key_cols}
+            seen: set[str] = set()
+            for s, members in self.spec.sequence_groups.items():
+                cols = (s, *members)
+                bad = sorted(c for c in cols if c not in payload)
+                if bad:
+                    raise ValueError(f"sequence group columns not in payload: {bad}")
+                dup = seen.intersection(cols)
+                if dup:
+                    raise ValueError(f"sequence groups overlap on: {sorted(dup)}")
+                seen.update(cols)
+                st = schema[s].dataType.simpleString()
+                if st not in ("tinyint", "smallint", "int", "bigint"):
+                    raise ValueError(
+                        f"sequence column {s!r} must be an integer type, got {st}"
+                    )
         os.makedirs(self.root, exist_ok=True)
         m = {
             "version": 0,
@@ -911,6 +953,8 @@ class SnapshotParquetTable:
         if PATCH in df.columns:
             ord_sql = f"struct({TS_APPLIED}, {LSN_APPLIED})"
             payload = [c for c in others if c not in (TS_APPLIED, LSN_APPLIED, DELETED, PATCH)]
+            seqg = self.spec.sequence_groups or {}
+            grouped = {c for s, ms in seqg.items() for c in (s, *ms)}
             aggs = [
                 F.expr(f"max_by({TS_APPLIED}, {ord_sql})").alias(TS_APPLIED),
                 F.expr(f"max_by({LSN_APPLIED}, {ord_sql})").alias(LSN_APPLIED),
@@ -922,11 +966,21 @@ class SnapshotParquetTable:
                 ).alias(DELETED),
             ]
             for c in payload:
+                if c in grouped:
+                    continue
                 aggs.append(
                     F.expr(
                         f"max_by(`{c}`, {ord_sql}) "
                         f"FILTER (WHERE NOT {PATCH} OR `{c}` IS NOT NULL)"
                     ).alias(c)
+                )
+            if seqg:
+                # sequence-group columns order by their OWN (seq, lsn) —
+                # atomically per group (operators/patch.py seq_group_aggs)
+                from ..operators.patch import seq_group_aggs
+
+                aggs.extend(
+                    seq_group_aggs(seqg, LSN_APPLIED, patch_pred=f"`{PATCH}`")
                 )
             out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
             sel = list(keys)
@@ -1440,7 +1494,9 @@ class SnapshotParquetTable:
             elif spec.first_row:
                 pdf = _fold_first_pandas(pdf, keys, sort_cols)
             elif spec.partial_updates:
-                pdf = _fold_patches_pandas(pdf, keys, payload_cols, sort_cols)
+                pdf = _fold_patches_pandas(
+                    pdf, keys, payload_cols, sort_cols, spec.sequence_groups
+                )
             else:
                 pdf = pdf.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep="last")
             if normalize:

@@ -152,6 +152,17 @@ class TableSpec:
     # image. A patch never creates, deletes, or resurrects a row. See
     # operators/patch.py for the standalone resolve and its NULL caveat.
     partial_updates: bool = False
+    # sequence groups (Paimon "fields.<seq>.sequence-group" analog; requires
+    # partial_updates): {seq_col: (member_col, ...)} — the listed payload
+    # columns are versioned by their OWN integer sequence column instead of
+    # the row's (ts, lsn) order, so N upstreams each owning a column subset
+    # can patch the same row without arrival order (LSN) letting a late
+    # replay clobber newer values. The group updates ATOMICALLY from the
+    # group-writer with the greatest (seq, lsn) — argmax semantics, so the
+    # result is a pure function of the event set (batch-boundary invariant,
+    # unlike Paimon's stored-seq gate). A patch with a NULL seq never
+    # touches its group. See operators/patch.py seq_group_aggs.
+    sequence_groups: dict | None = None
     # aggregation merge engine (Paimon "aggregation" analog, MoR only,
     # mutually exclusive with partial_updates): map of payload column ->
     # aggregate function ("sum" | "min" | "max" | "last"); unlisted payload
