@@ -132,3 +132,53 @@ def check_size_sentinel(table: SnapshotParquetTable, version: int | None = None)
             f"{n_delete} deletes — output shrank unexplained"
         )
     return out
+
+
+def ingest_lag_report(spark: SparkSession, binlog_dir: str,
+                      table: SnapshotParquetTable) -> dict:
+    """Consumer-lag / freshness probe (the Kafka ``consumer group lag``
+    analog for the file-tailed binlog): how far the table's applied
+    watermark trails the source log, measured EXACTLY.
+
+    Because the log's LSN is globally monotone and the ledger's
+    ``last_lsn`` is the exactly-once cutoff (every event at or below it is
+    committed, none above it is), pending work is precisely the source rows
+    with ``lsn > last_lsn`` — no heuristics, no per-key bookkeeping.
+
+    Scale path: the ``lsn > cutoff`` predicate pushes to the parquet scan,
+    so fully-applied segments are skipped from their row-group stats alone
+    (footer reads only) — probing a 10^10-event log history costs IO
+    proportional to the UNREAD tail, not the log. One job, one row back.
+
+    Returns: applied_lsn, source_lsn_max, pending_events,
+    oldest_pending_ts / newest_pending_ts (event-time staleness bounds of
+    the unapplied tail), seconds_since_last_commit (wall-clock commit
+    recency from the manifest; None before the first merge commit).
+    """
+    from pyspark.sql import functions as F
+
+    cutoff = int(table.last_lsn)
+    spec = table.spec
+    row = (
+        spark.read.parquet(binlog_dir)
+        .filter(F.col(spec.lsn_col) > cutoff)
+        .agg(
+            F.count("*").alias("pending"),
+            F.max(spec.lsn_col).alias("src_max"),
+            F.min(spec.ts_col).alias("oldest_ts"),
+            F.max(spec.ts_col).alias("newest_ts"),
+        )
+        .collect()[0]
+    )
+    committed_at = table.manifest().get("committed_at")
+    now = _dt.datetime.now(tz=_dt.timezone.utc)
+    return {
+        "applied_lsn": cutoff,
+        "source_lsn_max": int(row["src_max"]) if row["src_max"] is not None else cutoff,
+        "pending_events": int(row["pending"]),
+        "oldest_pending_ts": row["oldest_ts"],
+        "newest_pending_ts": row["newest_ts"],
+        "seconds_since_last_commit": (
+            round(now.timestamp() - committed_at, 3) if committed_at else None
+        ),
+    }

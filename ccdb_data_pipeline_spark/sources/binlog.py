@@ -250,6 +250,7 @@ def write_segments(
     replay_segment: int | None = 2,
     late_lsns: tuple[int, ...] = (),
     v2: bool = False,
+    start_segment: int = 0,
 ) -> list[str]:
     """Write the change stream as ordered parquet segment files.
 
@@ -258,6 +259,8 @@ def write_segments(
     moved from their natural segment into the LAST segment (out-of-lsn-order
     arrival across batches). File mtimes are set strictly increasing so the
     Spark streaming file source processes segments in order.
+    ``start_segment`` offsets the segment numbering (and mtimes), so a later
+    arrival can be appended to a directory already holding segments.
     """
     os.makedirs(out_dir, exist_ok=True)
     pdf = pdf.sort_values("lsn").reset_index(drop=True)
@@ -268,7 +271,7 @@ def write_segments(
         parts[-1] = pd.concat([parts[-1], late]).sort_values("lsn")
     schema = CHANGE_SCHEMA_V2 if v2 else CHANGE_SCHEMA
     paths, t0 = [], 1_700_000_000
-    seq = 0
+    seq = start_segment
     for i, part in enumerate(parts):
         p = os.path.join(out_dir, f"segment-{seq:05d}.parquet")
         _to_parquet(part, p, schema)
