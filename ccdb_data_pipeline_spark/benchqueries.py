@@ -6342,3 +6342,40 @@ def cdc_seqgroup_apply(spark, sf_dir):
         F.col("seq").cast("long").alias("seq"),
         F.col("last_lsn").cast("long").alias("last_lsn"),
     ).orderBy("user_id", "event_type")
+
+
+@q(
+    "regression_value_by_hour",
+    """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(round(regr_slope(value, extract(hour FROM ts)::DOUBLE)*1e6) AS BIGINT) AS slope_ppm,
+      CAST(round(regr_intercept(value, extract(hour FROM ts)::DOUBLE)*1e4) AS BIGINT) AS icept_bp,
+      CAST(round(regr_r2(value, extract(hour FROM ts)::DOUBLE)*1e6) AS BIGINT) AS r2_ppm,
+      CAST(round(corr(value, extract(hour FROM ts)::DOUBLE)*1e6) AS BIGINT) AS corr_ppm,
+      CAST(round(covar_samp(value, extract(hour FROM ts)::DOUBLE)*1e4) AS BIGINT) AS covar_bp,
+      CAST(round(stddev_samp(value)*1e4) AS BIGINT) AS sd_bp
+    FROM events GROUP BY event_type
+    """,
+)
+def regression_value_by_hour(spark, sf_dir):
+    """Statistical-aggregate family (regr_slope / regr_intercept / regr_r2
+    / corr / covar_samp / stddev_samp): per event type, the least-squares
+    fit of event value against hour-of-day — the drift/seasonality probe
+    an ops dashboard runs over the change stream. All six are single-pass
+    mergeable moment sketches (sum, sum², sum xy) — ONE partial-agg
+    shuffle on 5 group keys, no window, no second scan; at 100 TB the cost
+    is the scan itself. Emitted as integerized ppm/bp so the
+    cross-engine hash compares exact integers, not IEEE tails."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type", F.hour("ts").cast("double").alias("h"), F.col("value")
+    ).groupBy("event_type")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("regr_slope(value, h)") * 1e6).cast("long").alias("slope_ppm"),
+        F.round(F.expr("regr_intercept(value, h)") * 1e4).cast("long").alias("icept_bp"),
+        F.round(F.expr("regr_r2(value, h)") * 1e6).cast("long").alias("r2_ppm"),
+        F.round(F.expr("corr(value, h)") * 1e6).cast("long").alias("corr_ppm"),
+        F.round(F.expr("covar_samp(value, h)") * 1e4).cast("long").alias("covar_bp"),
+        F.round(F.expr("stddev_samp(value)") * 1e4).cast("long").alias("sd_bp"),
+    ).orderBy("event_type")

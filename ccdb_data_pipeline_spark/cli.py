@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
                                     "txn-recover", "vacuum", "history", "stats",
-                                    "tag", "untag", "rate", "rename", "drop-column",
+                                    "tag", "untag", "rate", "lag", "rename", "drop-column",
                                     "add-column", "fsck", "purge", "export",
                                     "maintain"])
     ap.add_argument("--table", required=True)
@@ -197,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
 
         for r in ingest_rate_report(table):
             print(json.dumps(r))
+    elif a.cmd == "lag":
+        from .plans.lineage import ingest_lag_report
+
+        if not a.binlog:
+            ap.error("lag requires --binlog (the source log directory)")
+        rep = ingest_lag_report(spark, a.binlog, table)
+        for k in ("oldest_pending_ts", "newest_pending_ts"):
+            if rep[k] is not None:
+                rep[k] = rep[k].isoformat()
+        print(json.dumps(rep))
     elif a.cmd == "tag":
         v = table.create_tag(a.name, version=a.version)
         print(json.dumps({"tag": a.name, "version": v}))
