@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="update: COL=SQL-EXPR assignment (repeatable)")
     ap.add_argument("--max-age-days", type=float,
                     help="retention: tombstone rows older than this many days")
+    ap.add_argument("--fast", action="store_true",
+                    help="retention: metadata fast path — drop wholly-expired "
+                         "files from the manifest before tombstoning stragglers")
     ap.add_argument("--txn-log",
                     help="txn-recover: transaction log directory to roll forward")
     ap.add_argument("--retain-last", type=int, default=2,
@@ -152,10 +155,19 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "retention":
         import datetime as dt
 
-        from .plans.dml import apply_retention
+        from .plans.dml import apply_retention, apply_retention_fast
 
-        stats = apply_retention(table, dt.timedelta(days=a.max_age_days))
-        print(json.dumps({"expired": stats.n_delete, "batch": stats.batch_id}))
+        if a.fast:
+            rep = apply_retention_fast(table, dt.timedelta(days=a.max_age_days))
+            print(json.dumps({
+                "files_dropped": rep["metadata"]["files_dropped"],
+                "rows_dropped": rep["metadata"]["rows_dropped"],
+                "expired": rep["tombstoned"].n_delete,
+                "batch": rep["tombstoned"].batch_id,
+            }))
+        else:
+            stats = apply_retention(table, dt.timedelta(days=a.max_age_days))
+            print(json.dumps({"expired": stats.n_delete, "batch": stats.batch_id}))
     elif a.cmd == "txn-recover":
         from .plans.txn import TransactionLog
 

@@ -199,6 +199,29 @@ def apply_retention(
     )
 
 
+def apply_retention_fast(
+    table: SnapshotParquetTable,
+    max_age: dt.timedelta,
+    now: dt.datetime | None = None,
+) -> dict:
+    """Retention sweep with the metadata fast path: first drop whole data
+    files every one of whose rows provably expired (manifest edit, no data
+    IO — ``SnapshotParquetTable.drop_expired_files``; on a ts-clustered
+    table this covers the bulk), then tombstone the straggler rows in
+    partially-covered / delta-dirty / stat-less files through the normal
+    exactly-once change-batch path. Same final state as
+    :func:`apply_retention` — proven in test_metadata_delete.py — at a
+    fraction of the write amplification: the slow path rewrites ALL
+    expired rows as tombstones; this rewrites only the stragglers.
+
+    Returns ``{"metadata": drop-report, "tombstoned": MergeStats}``."""
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    cutoff = now - max_age
+    dropped = table.drop_expired_files(cutoff)
+    stats = apply_retention(table, max_age, now=now)
+    return {"metadata": dropped, "tombstoned": stats}
+
+
 class PurgeVerificationError(RuntimeError):
     """Raised when a hard purge's post-scan still finds payload bytes for a
     purged key in any retained data file."""

@@ -231,6 +231,33 @@ def _range_bound_us(v) -> int:
     return int(v)
 
 
+def _ts_nullfree(pairs, ts_col: str):
+    """(tag, path) -> (tag, ok): ok iff every row group records parquet
+    statistics for ``ts_col`` with null_count == 0. The whole-file-drop
+    safety probe (see drop_expired_files): min/max stats ignore nulls, so a
+    NULL-ts row — exempt from retention — could hide inside a file whose
+    stats say "all old". Footer-only IO; module-level so Spark can ship it
+    to executors without capturing the table object."""
+    import pyarrow.parquet as _pq
+
+    out = []
+    for tag, path in pairs:
+        md = _pq.read_metadata(path)
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if ts_col not in cols:
+            out.append((tag, False))
+            continue
+        ci = cols[ts_col]
+        ok = md.num_row_groups > 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or st.null_count is None or st.null_count > 0:
+                ok = False
+                break
+        out.append((tag, ok))
+    return out
+
+
 def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
     """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max[, bucket])
     from parquet footers only (no data pages). Module-level so Spark can ship
@@ -2765,6 +2792,104 @@ class SnapshotParquetTable:
             F.lit(from_version).cast("long").alias("_from_version"),
             F.lit(m2v).cast("long").alias("_to_version"),
         ).select(*[f.name for f in out_schema.fields])
+
+    def drop_expired_files(self, cutoff, _retries: int = 3) -> dict:
+        """Metadata-only retention (Iceberg metadata-delete analog): remove
+        whole data files whose EVERY row provably satisfies
+        ``ts_col < cutoff`` — a manifest edit, zero data pages read or
+        written. On a 10^10-row table with ts-clustered files (compaction
+        with ``zorder_by=(ts,)`` + ``max_file_rows``) the bulk of a
+        retention sweep becomes O(manifest) instead of a table-scale
+        tombstone merge; ``plans/dml.py apply_retention_fast`` runs this
+        first and tombstones only the straggler rows in partially-covered
+        files.
+
+        Eligibility per file (every check is conservative — fail = leave
+        the file for the tombstone path):
+
+        - its bucket holds NO delta layers (a base row under a delta could
+          be the dominance floor a late event must beat; removing it
+          silently would change resolve outcomes);
+        - the entry is base, ``all_live`` (tombstone-free by footer stats),
+          with recorded ``n_rows`` and ts stats, and ``ts_max < cutoff``;
+        - a footer probe proves the ts column has ZERO nulls in every row
+          group: parquet min/max ignore nulls, and a NULL-ts row is exempt
+          from retention (apply_retention contract) so it must never ride
+          a whole-file drop.
+
+        Old manifests keep referencing dropped files, so time travel is
+        intact and the bytes are reclaimed later by ``expire_snapshots`` +
+        ``remove_orphans`` (same lifecycle as compaction's rewritten
+        inputs). The change feed reports the drop as deletes for free:
+        ``table_changes`` diffs buckets whose file lists differ across the
+        boundary. Commit is the standard CAS; on conflict the (cheap)
+        candidate scan simply reruns against the fresh manifest."""
+        cutoff_us = _range_bound_us(cutoff)
+        m0 = self.manifest()
+        cand: list[tuple[str, dict]] = []
+        for b, files in m0["buckets"].items():
+            if any(e.get("delta") for e in files):
+                continue
+            for e in files:
+                if (
+                    e.get("all_live")
+                    and e.get("n_rows") is not None
+                    and e.get("ts_min") is not None
+                    and e.get("ts_max") is not None
+                    and e["ts_max"] < cutoff_us
+                ):
+                    cand.append((b, e))
+        none = {"files_dropped": 0, "rows_dropped": 0, "version": m0["version"]}
+        if not cand:
+            return none
+        pairs = [
+            (i, os.path.join(self.root, e["path"])) for i, (_b, e) in enumerate(cand)
+        ]
+        ts_col = self.spec.ts_col
+        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+            checks = _ts_nullfree(pairs, ts_col)
+        else:
+            sc = self.spark.sparkContext
+            checks = (
+                sc.parallelize(pairs, min(len(pairs), sc.defaultParallelism))
+                .mapPartitions(lambda it: _ts_nullfree(it, ts_col))
+                .collect()
+            )
+        okset = {tag for tag, ok in checks if ok}
+        drop = [cand[i] for i in okset]
+        if not drop:
+            return none
+        rows = sum(e["n_rows"] for _b, e in drop)
+        dropped_paths = {e["path"] for _b, e in drop}
+        buckets = {}
+        for b, files in m0["buckets"].items():
+            kept = [e for e in files if e["path"] not in dropped_paths]
+            if kept:
+                buckets[b] = kept
+        m = dict(m0)
+        m["version"] = self._alloc_version()
+        m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["snapshot_id"] = uuid.uuid4().hex
+        m["buckets"] = buckets
+        m["summary"] = {
+            "op": "metadata_delete",
+            "n_delete": rows,
+            "files_dropped": len(drop),
+            "cutoff_us": cutoff_us,
+        }
+        m["committed_at"] = time.time()
+        try:
+            self._commit(m, expected_ref=m0["version"])
+        except CommitConflictError:
+            if _retries <= 0:
+                raise
+            self._manifest = None
+            return self.drop_expired_files(cutoff, _retries=_retries - 1)
+        return {
+            "files_dropped": len(drop),
+            "rows_dropped": rows,
+            "version": m["version"],
+        }
 
     def expire_snapshots(self, retain_last: int = 2) -> dict:
         """Retention maintenance (Iceberg ``expire_snapshots`` analog):
