@@ -68,6 +68,7 @@ HEADLINE = [
     "pagerank_3iter",
     "cdc_time_slice",
     "dedup_span_scrub",
+    "cdc_seqgroup_apply",
 ]
 
 

@@ -207,6 +207,100 @@ def _fold_lww_arrow(tbl, keys: list[str], sort_cols: list[str]):
     return tbl.take(pa.array(np.sort(winners)))
 
 
+def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
+                        sort_cols: list[str], seq_groups: dict | None = None):
+    """Zero-pandas within-batch collapse for a partial-update table — the
+    Arrow twin of ``_fold_patches_pandas`` (byte-parity pytest-pinned in
+    test_arrow_fold.py). Per key, one output row: existence/tombstone from
+    the last full image, each payload column from its last writer (full
+    images write every column, patches their non-NULL columns), sequence
+    groups atomically from their own (seq, lsn) argmax.
+
+    All selection runs on int64 rank arrays (numpy); each payload column's
+    (large) values are gathered ONCE, for winner rows only — the same
+    no-strings-through-the-sort property that made the plain-LWW Arrow fold
+    +10% over pandas."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    order = pc.sort_indices(
+        tbl.select(sort_cols), sort_keys=[(c, "ascending") for c in sort_cols]
+    ).to_numpy(zero_copy_only=False)
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[order] = np.arange(n, dtype=np.int64)
+
+    # dense per-row key ids via dictionary encoding of the composite key
+    # (key columns are non-null: malformed rows were filtered upstream)
+    parts = [pc.cast(tbl.column(k), pa.string()).combine_chunks() for k in keys]
+    comb = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    kid = pc.dictionary_encode(comb).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_keys = int(kid.max()) + 1 if n else 0
+
+    def last_rows(mask: np.ndarray, rk: np.ndarray) -> np.ndarray:
+        """Per key: the row index maximizing rank ``rk`` among ``mask`` rows
+        (-1 = no such row). Plain fancy assignment after an ascending rank
+        sort — numpy stores the LAST value for a repeated index."""
+        w = np.full(n_keys, -1, dtype=np.int64)
+        rows = np.flatnonzero(mask)
+        if rows.size:
+            rows = rows[np.argsort(rk[rows], kind="stable")]
+            w[kid[rows]] = rows
+        return w
+
+    def np_bool(name: str) -> np.ndarray:
+        return tbl.column(name).combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+
+    patch = np_bool(PATCH)
+    deleted = np_bool(DELETED)
+    w_all = last_rows(np.ones(n, dtype=bool), ranks)
+    w_base = last_rows(~patch, ranks)
+    has_base = w_base >= 0
+    out_deleted = np.where(has_base, deleted[np.maximum(w_base, 0)], False)
+    out_patch = ~has_base  # no full image in batch -> patch row
+
+    def gather(name: str, w: np.ndarray, null_on_delete: bool = False):
+        wm = np.where(out_deleted, -1, w) if null_on_delete else w
+        idx = pa.array(wm, type=pa.int64(), mask=(wm < 0))
+        return pc.take(tbl.column(name).combine_chunks(), idx)
+
+    grouped: dict[str, np.ndarray] = {}  # payload col -> its winner rows
+    if seq_groups:
+        lsn = tbl.column(LSN_APPLIED).combine_chunks().to_numpy(zero_copy_only=False)
+        for s, members in seq_groups.items():
+            s_col = tbl.column(s).combine_chunks()
+            s_valid = pc.is_valid(s_col).to_numpy(zero_copy_only=False)
+            s_fill = pc.fill_null(pc.cast(s_col, pa.int64()), -(2 ** 63)).to_numpy(
+                zero_copy_only=False
+            )
+            order_g = np.lexsort((lsn, s_fill))  # primary s, tie-break lsn
+            ranks_g = np.empty(n, dtype=np.int64)
+            ranks_g[order_g] = np.arange(n, dtype=np.int64)
+            w_g = last_rows((~patch) | s_valid, ranks_g)
+            for c in (s, *members):
+                grouped[c] = w_g
+
+    arrays, names = [], tbl.column_names
+    for c in names:
+        if c == PATCH:
+            arrays.append(pa.array(out_patch))
+        elif c == DELETED:
+            arrays.append(pa.array(out_deleted))
+        elif c in grouped:
+            arrays.append(gather(c, grouped[c], null_on_delete=True))
+        elif c in payload_cols:
+            valid = pc.is_valid(tbl.column(c).combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            arrays.append(gather(c, last_rows((~patch) | valid, ranks),
+                                 null_on_delete=True))
+        else:
+            # keys, dominance pair, bucket, op rider: from the last event
+            arrays.append(gather(c, w_all))
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 def _ts_micros(v):
     """Parquet timestamp statistic -> int epoch micros (naive = UTC)."""
     import datetime as _dt
@@ -1540,7 +1634,12 @@ class SnapshotParquetTable:
                 return
             tbl = _pa.Table.from_batches(batches)
             if tbl.num_rows:
-                tbl = _fold_lww_arrow(tbl, keys, sort_cols)
+                if spec.partial_updates:
+                    tbl = _fold_patches_arrow(
+                        tbl, keys, payload_cols, sort_cols, spec.sequence_groups
+                    )
+                else:
+                    tbl = _fold_lww_arrow(tbl, keys, sort_cols)
                 if normalize:
                     tbl = normalize_arrow_table(tbl, spec, payload_str_cols)
             yield from tbl.select(out_cols).to_batches()
@@ -1665,7 +1764,7 @@ class SnapshotParquetTable:
             if normalize:
                 folded = normalize_payload_jvm(folded, spec, payload_str_cols)
             folded = folded.select(*out_cols)
-        elif spec.fold_engine == "arrow" and plain_lww:
+        elif spec.fold_engine == "arrow" and (plain_lww or spec.partial_updates):
             folded = with_op.drop(*part_cols).mapInArrow(_fold_arrow, schema=out_schema)
         else:
             folded = with_op.drop(*part_cols).mapInPandas(_fold, schema=out_schema)
