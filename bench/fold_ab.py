@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=4000)
     ap.add_argument("--engines", default="arrow,pandas",
                     help="comma-separated fold_engine pair to interleave (e.g. jvm,arrow)")
+    ap.add_argument("--patches", action="store_true",
+                    help="partial-update table: a third of U ops become column "
+                         "patches (op=P, one payload column nulled) — A/Bs "
+                         "_fold_patches_arrow vs _fold_patches_pandas")
     args = ap.parse_args()
     eng_a, eng_b = args.engines.split(",")
 
@@ -57,13 +61,26 @@ def main() -> None:
     changes = gen_changes_spark(
         spark, args.events, args.convs, text_words=100
     ).repartitionByRange(args.cpus * 4, "lsn")
+    if args.patches:
+        # deterministic patch rewrite, all JVM-side: every 3rd U becomes a
+        # column patch — alternating text-only / tool-only payloads
+        from pyspark.sql import functions as F
+
+        is_p = (F.col("op") == "U") & (F.col("lsn") % 3 == 0)
+        tool_only = F.col("lsn") % 2 == 0
+        changes = changes.withColumns({
+            "op": F.when(is_p, F.lit("P")).otherwise(F.col("op")),
+            "text": F.when(is_p & tool_only, F.lit(None)).otherwise(F.col("text")),
+            "tool": F.when(is_p & ~tool_only, F.lit(None)).otherwise(F.col("tool")),
+        })
     changes.persist().count()
     seed = gen_seed_pandas(n_convs=min(args.convs, 20000))
 
     results: dict[str, list] = {eng_a: [], eng_b: []}
     for rep in range(args.reps):
         for engine in (eng_a, eng_b) if rep % 2 == 0 else (eng_b, eng_a):
-            spec = TableSpec(num_buckets=64, merge_mode="mor", fold_engine=engine)
+            spec = TableSpec(num_buckets=64, merge_mode="mor", fold_engine=engine,
+                             partial_updates=args.patches)
             t = SnapshotParquetTable(
                 spark, f"{work}/t-{engine}-{rep}", spec
             )
