@@ -35,10 +35,16 @@ def main() -> None:
     ap.add_argument("--engines", default="arrow,pandas",
                     help="comma-separated fold_engine pair to interleave (e.g. jvm,arrow)")
     ap.add_argument("--patches", action="store_true",
-                    help="partial-update table: a third of U ops become column "
-                         "patches (op=P, one payload column nulled) — A/Bs "
-                         "_fold_patches_arrow vs _fold_patches_pandas")
+                    help="alias for --mode patches")
+    ap.add_argument("--mode", default="lww",
+                    choices=["lww", "patches", "agg", "first"],
+                    help="merge engine whose fold pair to A/B: plain LWW, "
+                         "partial-update (a third of U ops become column "
+                         "patches), aggregation (last-per-column agg_spec "
+                         "over the transcript payload), or first-row")
     args = ap.parse_args()
+    if args.patches:
+        args.mode = "patches"
     eng_a, eng_b = args.engines.split(",")
 
     from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
@@ -61,7 +67,7 @@ def main() -> None:
     changes = gen_changes_spark(
         spark, args.events, args.convs, text_words=100
     ).repartitionByRange(args.cpus * 4, "lsn")
-    if args.patches:
+    if args.mode == "patches":
         # deterministic patch rewrite, all JVM-side: every 3rd U becomes a
         # column patch — alternating text-only / tool-only payloads
         from pyspark.sql import functions as F
@@ -74,13 +80,22 @@ def main() -> None:
             "tool": F.when(is_p & ~tool_only, F.lit(None)).otherwise(F.col("tool")),
         })
     changes.persist().count()
+    spec_extra = {
+        "lww": {},
+        "patches": {"partial_updates": True},
+        # 'last' per payload column: LWW-equivalent semantics through the
+        # aggregation fold machinery — isolates the fold engines' cost
+        "agg": {"agg_spec": {"role": "last", "text": "last", "tool": "last",
+                             "ts": "last"}},
+        "first": {"first_row": True},
+    }[args.mode]
     seed = gen_seed_pandas(n_convs=min(args.convs, 20000))
 
     results: dict[str, list] = {eng_a: [], eng_b: []}
     for rep in range(args.reps):
         for engine in (eng_a, eng_b) if rep % 2 == 0 else (eng_b, eng_a):
             spec = TableSpec(num_buckets=64, merge_mode="mor", fold_engine=engine,
-                             partial_updates=args.patches)
+                             **spec_extra)
             t = SnapshotParquetTable(
                 spark, f"{work}/t-{engine}-{rep}", spec
             )

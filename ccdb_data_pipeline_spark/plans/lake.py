@@ -301,6 +301,112 @@ def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _fold_first_arrow(tbl, keys: list[str], sort_cols: list[str]):
+    """Zero-pandas within-batch collapse for a first-row table — the Arrow
+    twin of ``_fold_first_pandas`` (byte-parity pytest-pinned). Per key:
+    the batch's LAST delete row if any (the tombstone is permanent and
+    dominates), else the FIRST non-delete writer in (ts, lsn) order.
+    Rank arithmetic only; winner rows are taken once, in file order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    order = pc.sort_indices(
+        tbl.select(sort_cols), sort_keys=[(c, "ascending") for c in sort_cols]
+    ).to_numpy(zero_copy_only=False)
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[order] = np.arange(n, dtype=np.int64)
+    parts = [pc.cast(tbl.column(k), pa.string()).combine_chunks() for k in keys]
+    comb = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    kid = pc.dictionary_encode(comb).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_keys = int(kid.max()) + 1 if n else 0
+    deleted = tbl.column(DELETED).combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+
+    w_del = np.full(n_keys, -1, dtype=np.int64)  # max rank among deletes
+    rows = np.flatnonzero(deleted)
+    np.maximum.at(w_del, kid[rows], ranks[rows])
+    w_first = np.full(n_keys, n, dtype=np.int64)  # min rank among live rows
+    rows = np.flatnonzero(~deleted)
+    np.minimum.at(w_first, kid[rows], ranks[rows])
+    winner_rank = np.where(w_del >= 0, w_del, w_first)
+    winners = order[winner_rank]
+    return tbl.take(pa.array(np.sort(winners)))
+
+
+def _fold_agg_arrow(tbl, keys: list[str], payload_cols: list[str], agg_spec: dict):
+    """Zero-pandas within-batch fold for an aggregation-engine table — the
+    Arrow twin of ``_fold_agg_pandas`` (byte-parity pytest-pinned): one
+    PARTIAL row per key, accumulators over the key's events AFTER its last
+    in-batch delete in log (LSN) order, ``_agg_reset`` when the batch
+    deletes the key. Accumulation runs in pyarrow's hash aggregation
+    (sum/min/max/last all null-skipping with min_count=1, matching the
+    pandas nullable-dtype semantics); the delete-cut mask is numpy
+    positional arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    lsn = tbl.column(LSN_APPLIED).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(lsn, kind="stable")
+    tbl = tbl.take(pa.array(order))
+
+    parts = [pc.cast(tbl.column(k), pa.string()).combine_chunks() for k in keys]
+    comb = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    kid = pc.dictionary_encode(comb).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_keys = int(kid.max()) + 1 if n else 0
+    pos = np.arange(n, dtype=np.int64)
+    deleted = tbl.column(DELETED).combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+    last_del = np.full(n_keys, -1, dtype=np.int64)
+    rows = np.flatnonzero(deleted)
+    np.maximum.at(last_del, kid[rows], pos[rows])
+    contrib = (~deleted) & (pos > last_del[kid])
+
+    t2 = tbl.append_column("_kid", pa.array(kid))
+    base = t2.group_by("_kid", use_threads=False).aggregate(
+        [(TS_APPLIED, "max"), (LSN_APPLIED, "max"), (DELETED, "any"), (BUCKET, "max")]
+    )
+    gkid = base.column("_kid").to_numpy(zero_copy_only=False).astype(np.int64)
+    # representative row per kid (keys are constant within a kid)
+    rep = np.full(n_keys, n, dtype=np.int64)
+    np.minimum.at(rep, kid, pos)
+    rep_take = pa.array(rep[gkid], type=pa.int64())
+
+    fns = {c: agg_spec.get(c, "last") for c in payload_cols}
+    ct = t2.filter(pa.array(contrib))  # LSN order preserved -> 'last' is log order
+    cagg = ct.group_by("_kid", use_threads=False).aggregate(
+        [("_kid", "count")] + [(c, fns[c]) for c in payload_cols]
+    )
+    ckid = cagg.column("_kid").to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.full(n_keys, -1, dtype=np.int64)
+    if ckid.size:
+        idx[ckid] = np.arange(ckid.size, dtype=np.int64)
+    take_c = idx[gkid]
+    c_take = pa.array(take_c, type=pa.int64(), mask=(take_c < 0))
+
+    agg_n = pc.fill_null(
+        pc.cast(pc.take(cagg.column("_kid_count").combine_chunks(), c_take), pa.int64()), 0
+    )
+    arrays = [pc.take(tbl.column(k).combine_chunks(), rep_take) for k in keys]
+    names = list(keys)
+    for c in payload_cols:
+        col = pc.take(cagg.column(f"{c}_{fns[c]}").combine_chunks(), c_take)
+        arrays.append(pc.cast(col, tbl.schema.field(c).type))
+        names.append(c)
+    arrays += [
+        base.column(f"{TS_APPLIED}_max").combine_chunks(),
+        base.column(f"{LSN_APPLIED}_max").combine_chunks(),
+        pc.equal(agg_n, 0),
+        base.column(f"{DELETED}_any").combine_chunks(),
+        agg_n,
+        base.column(f"{BUCKET}_max").combine_chunks(),
+        pa.nulls(len(gkid), type=tbl.schema.field("_op").type),
+    ]
+    names += [TS_APPLIED, LSN_APPLIED, DELETED, AGG_RESET, AGG_N, BUCKET, "_op"]
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 def _ts_micros(v):
     """Parquet timestamp statistic -> int epoch micros (naive = UTC)."""
     import datetime as _dt
@@ -1634,7 +1740,11 @@ class SnapshotParquetTable:
                 return
             tbl = _pa.Table.from_batches(batches)
             if tbl.num_rows:
-                if spec.partial_updates:
+                if spec.agg_spec:
+                    tbl = _fold_agg_arrow(tbl, keys, payload_cols, spec.agg_spec)
+                elif spec.first_row:
+                    tbl = _fold_first_arrow(tbl, keys, sort_cols)
+                elif spec.partial_updates:
                     tbl = _fold_patches_arrow(
                         tbl, keys, payload_cols, sort_cols, spec.sequence_groups
                     )
@@ -1764,7 +1874,7 @@ class SnapshotParquetTable:
             if normalize:
                 folded = normalize_payload_jvm(folded, spec, payload_str_cols)
             folded = folded.select(*out_cols)
-        elif spec.fold_engine == "arrow" and (plain_lww or spec.partial_updates):
+        elif spec.fold_engine == "arrow":  # every merge engine has an Arrow fold
             folded = with_op.drop(*part_cols).mapInArrow(_fold_arrow, schema=out_schema)
         else:
             folded = with_op.drop(*part_cols).mapInPandas(_fold, schema=out_schema)
