@@ -1,0 +1,587 @@
+"""Spark 4 Python DataSource facade over the snapshot-parquet lake.
+
+Gives plain-`spark.read` users first-class access to the engine's tables
+without importing the engine — the PySpark-native analog of handing an
+Iceberg catalog name to a SQL user (the reference's published ES alias is
+its version of this surface, index_ccdb.py:45-71):
+
+    from ccdb_data_pipeline_spark.plans.datasource import register
+    register(spark)
+    df = spark.read.format("transcript_lake").load("/path/to/table")
+    feed = (spark.readStream.format("transcript_changes")
+                 .option("startingVersion", 0).load("/path/to/table"))
+
+Scale design, in DataSourceV2 terms:
+
+* ``partitions()`` emits one ``InputPartition`` per storage bucket, so a
+  1000-executor cluster reads 4096 buckets with full parallelism and
+  per-bucket MoR resolution runs where the data is — never on the driver.
+* ``pushFilters`` prunes BEFORE the scan: an equality/IN filter on the
+  bucket column keeps only the matching buckets (the same
+  ``pmod(xxhash64(key), n)`` routing the write path uses, recomputed here
+  in pure Python and pinned equal to the JVM in tests), and event-time
+  range filters drop files via the manifest's per-file ts min/max footer
+  stats. Every filter is *also* returned as unhandled so Spark re-applies
+  it post-scan — pruning is a performance contract, correctness stays
+  with Catalyst.
+* ``read(partition)`` resolves the bucket's base + delta layers to LWW
+  winners with the same zero-pandas Arrow kernel the write path uses
+  (``plans.lake._fold_lww_arrow``), then drops tombstones and internal
+  columns. Buckets with no delta layers stream file batches straight
+  through (no fold, bounded memory).
+* The streaming source tails the manifest chain: offsets are committed
+  table versions, each micro-batch reads only the data files ADDED by
+  merge commits in ``(start, end]`` — O(new data) per trigger, and the
+  version offset checkpoint makes restarts exactly-once downstream.
+
+Only plain last-writer-wins tables are served (the partial-update /
+aggregation / first-row merge engines need their own resolve kernels;
+``SnapshotParquetTable.read`` remains their surface). The streaming
+source additionally requires merge-on-read mode: CoW merge commits
+rewrite whole buckets, so "files added this commit" is not a change set
+there.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from ..schemas import BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED
+
+_MASK = (1 << 64) - 1
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _MASK
+    return (_rotl(acc, 31) * _P1) & _MASK
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 producing the SIGNED value of Spark's
+    ``F.xxhash64`` on the same bytes (Spark seeds with 42). Used only at
+    plan time to map a pushed key-equality filter to its storage bucket —
+    a handful of hashes per query, never per row. Pinned equal to the JVM
+    implementation in tests/test_datasource.py."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed
+        v4 = (seed - _P1) & _MASK
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        acc = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        for v in (v1, v2, v3, v4):
+            acc = ((acc ^ _xxh_round(0, v)) * _P1 + _P4) & _MASK
+    else:
+        acc = (seed + _P5) & _MASK
+    acc = (acc + n) & _MASK
+    while i + 8 <= n:
+        acc = ((_rotl(acc ^ _xxh_round(0, int.from_bytes(data[i : i + 8], "little")), 27)) * _P1 + _P4) & _MASK
+        i += 8
+    if i + 4 <= n:
+        acc = ((_rotl(acc ^ (int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK, 23)) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        acc = (_rotl(acc ^ (data[i] * _P5) & _MASK, 11) * _P1) & _MASK
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _MASK
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _MASK
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def _key_bucket(value: str, num_buckets: int) -> int:
+    """``pmod(xxhash64(key), n)`` — the write path's routing, in Python."""
+    return xxhash64(str(value).encode("utf-8")) % num_buckets
+
+
+# --------------------------------------------------------------- manifest IO
+
+
+def _head_version(root: str) -> int:
+    with open(os.path.join(root, "HEAD")) as f:
+        return int(f.read().strip())
+
+
+def _manifest(root: str, version: int) -> dict:
+    with open(os.path.join(root, "manifests", f"m-{version:010d}.json")) as f:
+        return json.load(f)
+
+
+def _ts_bounds_us(filters: list) -> tuple[int | None, int | None]:
+    """Fold pushed ts-range filters into (lo, hi) epoch-micros bounds."""
+    lo = hi = None
+
+    def _us(v) -> int | None:
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        return None
+
+    for f in filters:
+        v = _us(getattr(f, "value", None))
+        if v is None:
+            continue
+        if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            lo = v if lo is None else max(lo, v)
+        elif isinstance(f, (LessThan, LessThanOrEqual)):
+            hi = v if hi is None else min(hi, v)
+    return lo, hi
+
+
+# ------------------------------------------------------------- batch reader
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, bucket: int, entries: list[dict], has_delta: bool):
+        self.bucket = bucket
+        self.entries = entries
+        self.has_delta = has_delta
+
+
+@dataclass
+class _TableMeta:
+    root: str
+    version: int
+    key_cols: list[str]
+    bucket_col: str
+    num_buckets: int
+    schema_json: dict
+    schemas: dict
+    renames: list
+    drops: list
+    adds: list
+    buckets: dict
+    mode: str
+
+    @classmethod
+    def load(cls, root: str, version: int | None = None) -> "_TableMeta":
+        v = _head_version(root) if version is None else version
+        m = _manifest(root, v)
+        return cls(
+            root=root,
+            version=v,
+            key_cols=list(m.get("key_cols", ["conv_id", "turn_idx"])),
+            bucket_col=m.get("bucket_col", "conv_id"),
+            num_buckets=int(m.get("num_buckets", 64)),
+            schema_json=m["schema"],
+            schemas=m.get("schemas", {"0": m["schema"]}),
+            renames=m.get("renames", []),
+            drops=m.get("drops", []),
+            adds=m.get("adds", []),
+            buckets=m["buckets"],
+            mode=m.get("mode", "cow"),
+        )
+
+    def user_schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+
+def _apply_schema_events_arrow(tbl, meta: _TableMeta, after_sid: int):
+    """Arrow twin of plans.lake._apply_schema_events: replay rename/drop
+    events NEWER than the file's schema era onto a pyarrow table so
+    field-id semantics hold (a dropped-then-re-added name is a different
+    field and must read null from pre-drop files). Add-with-default is
+    handled by _align_arrow (the default constant is stamped there)."""
+    import pyarrow as pa
+
+    events = sorted(
+        [("rename", r) for r in meta.renames] + [("drop", d) for d in meta.drops],
+        key=lambda e: int(e[1]["sid"]),
+    )
+    for kind, r in events:
+        if int(r["sid"]) <= after_sid:
+            continue
+        names = tbl.column_names
+        if kind == "rename" and r["from"] in names:
+            tbl = tbl.rename_columns(
+                [r["to"] if c == r["from"] else c for c in names]
+            )
+        elif kind == "drop" and r["name"] in names:
+            tbl = tbl.drop_columns([r["name"]])
+    return tbl
+
+
+def _add_defaults(meta: _TableMeta, after_sid: int) -> dict:
+    """Column -> initial default for add-column events newer than the era."""
+    return {
+        a["name"]: a["default"]
+        for a in meta.adds
+        if int(a["sid"]) > after_sid and a.get("default") is not None
+    }
+
+
+def _align_arrow(tbl, target, defaults: dict):
+    """Project/cast a pyarrow table onto the target arrow schema: present
+    columns cast (widen), absent columns fill with the declared initial
+    default (add-column events) or null — the Arrow twin of
+    operators.evolve.align_to_schema for the read path."""
+    import pyarrow as pa
+
+    cols = []
+    names = set(tbl.column_names)
+    for field in target:
+        if field.name in names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        elif field.name in defaults:
+            cols.append(pa.array([defaults[field.name]] * len(tbl)).cast(field.type))
+        else:
+            cols.append(pa.nulls(len(tbl), field.type))
+    return pa.table(dict(zip([f.name for f in target], cols)))
+
+
+def _target_arrow_schema(meta: _TableMeta):
+    """Current user schema + LWW marker columns, as arrow types."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    fields = [
+        pa.field(f.name, to_arrow_type(f.dataType)) for f in meta.user_schema().fields
+    ]
+    fields += [
+        pa.field(TS_APPLIED, pa.timestamp("us", tz="UTC")),
+        pa.field(LSN_APPLIED, pa.int64()),
+        pa.field(DELETED, pa.bool_()),
+    ]
+    return pa.schema(fields)
+
+
+def _read_bucket(meta: _TableMeta, part: _BucketPartition):
+    """Read one bucket's layers, align each file to the current schema,
+    LWW-resolve if delta layers exist, drop tombstones + internal cols."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .lake import _fold_lww_arrow
+
+    target = _target_arrow_schema(meta)
+    user_cols = [f.name for f in meta.user_schema().fields]
+    pieces = []
+    for e in part.entries:
+        tbl = pq.read_table(os.path.join(meta.root, e["path"]))
+        if PATCH in tbl.column_names or "_agg_reset" in tbl.column_names:
+            raise ValueError(
+                "transcript_lake DataSource serves plain LWW tables only; "
+                "partial-update/aggregation/first-row tables read via "
+                "SnapshotParquetTable.read()"
+            )
+        if BUCKET in tbl.column_names:
+            tbl = tbl.drop_columns([BUCKET])
+        sid = int(e.get("schema_id", 0))
+        tbl = _apply_schema_events_arrow(tbl, meta, after_sid=sid)
+        tbl = _align_arrow(tbl, target, _add_defaults(meta, sid))
+        pieces.append(tbl)
+    if not pieces:
+        return
+    out = pa.concat_tables(pieces)
+    if part.has_delta and len(out):
+        out = _fold_lww_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
+    if len(out):
+        import pyarrow.compute as pc
+
+        live = pc.fill_null(pc.invert(out.column(DELETED)), True)
+        out = out.filter(live)
+    out = out.select(user_cols)
+    for batch in out.to_batches(max_chunksize=65536):
+        yield batch
+
+
+class LakeReader(DataSourceReader):
+    """Batch reader: bucket-parallel, filter-pruned, MoR-resolving."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("transcript_lake requires .load(<table root>)")
+        version = options.get("version")
+        self.meta = _TableMeta.load(path, int(version) if version is not None else None)
+        self.read_optimized = str(options.get("readoptimized", "false")).lower() == "true"
+        self._key_buckets: set[int] | None = None
+        self._ts_lo = None
+        self._ts_hi = None
+
+    def pushFilters(self, filters):
+        bcol = self.meta.bucket_col
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if isinstance(f, EqualTo) and col == bcol:
+                self._key_buckets = {_key_bucket(f.value, self.meta.num_buckets)}
+            elif isinstance(f, In) and col == bcol:
+                self._key_buckets = {
+                    _key_bucket(v, self.meta.num_buckets) for v in f.value
+                }
+            elif col == "ts" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                lo, hi = _ts_bounds_us([f])
+                if lo is not None:
+                    self._ts_lo = lo if self._ts_lo is None else max(self._ts_lo, lo)
+                if hi is not None:
+                    self._ts_hi = hi if self._ts_hi is None else min(self._ts_hi, hi)
+            remaining.append(f)  # Spark re-applies everything: pruning only
+        return remaining
+
+    def _overlaps(self, e: dict) -> bool:
+        if self._ts_lo is None and self._ts_hi is None:
+            return True
+        tl, th = e.get("ts_min"), e.get("ts_max")
+        if tl is None or th is None:
+            return True  # no stats: read conservatively
+        if self._ts_lo is not None and th < self._ts_lo:
+            return False
+        if self._ts_hi is not None and tl > self._ts_hi:
+            return False
+        return True
+
+    def partitions(self):
+        parts = []
+        for b, files in self.meta.buckets.items():
+            bi = int(b)
+            if self._key_buckets is not None and bi not in self._key_buckets:
+                continue
+            has_delta = any(e.get("delta") for e in files)
+            if self.read_optimized:
+                keep = [e for e in files if not e.get("delta") and self._overlaps(e)]
+                has_delta = False
+            elif has_delta:
+                # all-or-nothing: the LWW resolve needs every layer
+                keep = files if any(self._overlaps(e) for e in files) else []
+            else:
+                keep = [e for e in files if self._overlaps(e)]
+            if keep:
+                parts.append(_BucketPartition(bi, keep, has_delta))
+        return parts or [_BucketPartition(-1, [], False)]
+
+    def read(self, partition: _BucketPartition):
+        if not partition.entries:
+            return iter(())
+        return _read_bucket(self.meta, partition)
+
+
+class TranscriptLakeDataSource(DataSource):
+    """``spark.read.format("transcript_lake").load(root)``.
+
+    Options: ``version`` (time travel), ``readOptimized`` (base files
+    only — the Hudi RO-view analog)."""
+
+    @classmethod
+    def name(cls):
+        return "transcript_lake"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("transcript_lake requires .load(<table root>)")
+        version = self.options.get("version")
+        meta = _TableMeta.load(path, int(version) if version is not None else None)
+        return meta.user_schema()
+
+    def reader(self, schema):
+        return LakeReader(self.options)
+
+
+# ---------------------------------------------------------- streaming source
+
+
+class _ChangeFilePartition(InputPartition):
+    def __init__(self, version: int, path: str):
+        self.version = version
+        self.path = path
+
+
+def _main_chain(root: str, lo: int, hi: int) -> list[int]:
+    """Versions on the current ref's ancestry within (lo, hi], oldest
+    first — branch commits allocate global slots too, so walking
+    ``parent_snapshot_id`` links is the only correct lineage."""
+    if hi <= lo:
+        return []
+    by_sid = {}
+    want = list(range(lo, hi + 1))
+    for v in want:
+        p = os.path.join(root, "manifests", f"m-{v:010d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                m = json.load(f)
+            by_sid[m["snapshot_id"]] = m
+    chain = []
+    cur = _manifest(root, hi)
+    while cur and cur["version"] > lo:
+        chain.append(cur["version"])
+        cur = by_sid.get(cur.get("parent_snapshot_id"))
+    return sorted(chain)
+
+
+class ChangesStreamReader(DataSourceStreamReader):
+    """Version-offset change tail: each micro-batch serves the data files
+    ADDED by merge/bootstrap commits since the last offset. MoR only —
+    a merge-on-read commit's new files hold exactly the applied rows."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("transcript_changes requires .load(<table root>)")
+        self.root = path
+        meta = _TableMeta.load(path)
+        if meta.mode != "mor":
+            raise ValueError(
+                "transcript_changes streams merge-on-read tables only: a CoW "
+                "commit rewrites whole buckets, so its new files are not a "
+                "change set; use table.table_changes(a, b) for batch diffs"
+            )
+        self.meta = meta
+        sv = options.get("startingversion")
+        self._start = int(sv) if sv is not None else _head_version(path)
+
+    def initialOffset(self):
+        return {"version": self._start}
+
+    def latestOffset(self):
+        return {"version": _head_version(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_ChangeFilePartition] = []
+        for v in _main_chain(self.root, lo, hi):
+            m = _manifest(self.root, v)
+            op = m.get("summary", {}).get("op")
+            if op not in ("merge", "bootstrap"):
+                continue  # compaction/DDL/retention: no logical change
+            parent_paths = set()
+            pv = None
+            # the parent is wherever parent_snapshot_id points; fall back to
+            # v-1 for the bootstrap-on-create case
+            for cand in range(v - 1, -1, -1):
+                p = os.path.join(self.root, "manifests", f"m-{cand:010d}.json")
+                if os.path.exists(p):
+                    with open(p) as f:
+                        pm = json.load(f)
+                    if pm["snapshot_id"] == m.get("parent_snapshot_id"):
+                        pv = cand
+                        parent_paths = {
+                            e["path"] for fs in pm["buckets"].values() for e in fs
+                        }
+                        break
+            if pv is None:
+                parent_paths = set()
+            for files in m["buckets"].values():
+                for e in files:
+                    if e["path"] not in parent_paths:
+                        parts.append(_ChangeFilePartition(v, e["path"]))
+        return parts or [_ChangeFilePartition(-1, "")]
+
+    def read(self, partition: _ChangeFilePartition):
+        if not partition.path:
+            return iter(())
+        return self._read_file(partition)
+
+    def _read_file(self, partition: _ChangeFilePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        meta = self.meta
+        tbl = pq.read_table(os.path.join(meta.root, partition.path))
+        if BUCKET in tbl.column_names:
+            tbl = tbl.drop_columns([BUCKET])
+        target = _target_arrow_schema(meta)
+        tbl = _apply_schema_events_arrow(tbl, meta, after_sid=0)
+        tbl = _align_arrow(tbl, target, {})
+        deleted = pc.fill_null(tbl.column(DELETED), False)
+        ct = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
+        user_cols = [f.name for f in meta.user_schema().fields]
+        out = tbl.select(user_cols + [TS_APPLIED, LSN_APPLIED])
+        out = out.append_column("_change_type", ct)
+        out = out.append_column(
+            "_commit_version", pa.array([partition.version] * len(tbl), pa.int64())
+        )
+        for batch in out.to_batches(max_chunksize=65536):
+            yield batch
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
+
+
+class TranscriptChangesDataSource(DataSource):
+    """``spark.readStream.format("transcript_changes").load(root)``.
+
+    Options: ``startingVersion`` (replay from an old snapshot; default =
+    tail from the current version). Output = user columns + the applied
+    LWW dominance pair (``_ts_applied``, ``_lsn_applied`` — fold the feed
+    on it to rebuild state), ``_change_type`` (upsert|delete),
+    ``_commit_version``."""
+
+    @classmethod
+    def name(cls):
+        return "transcript_changes"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("transcript_changes requires .load(<table root>)")
+        meta = _TableMeta.load(path)
+        if meta.mode != "mor":
+            raise ValueError(
+                "transcript_changes streams merge-on-read tables only: a CoW "
+                "commit rewrites whole buckets, so its new files are not a "
+                "change set; use table.table_changes(a, b) for batch diffs"
+            )
+        return T.StructType(
+            meta.user_schema().fields
+            + [
+                T.StructField(TS_APPLIED, T.TimestampType()),
+                T.StructField(LSN_APPLIED, T.LongType()),
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema):
+        return ChangesStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register both formats and enable Python-source filter pushdown."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TranscriptLakeDataSource)
+    spark.dataSource.register(TranscriptChangesDataSource)

@@ -1,0 +1,200 @@
+"""Spark 4 Python DataSource facade (plans/datasource.py).
+
+The batch format must read byte-identically to SnapshotParquetTable.read()
+— across MoR delta layers, schema evolution (rename + add-with-default),
+tombstones, and time travel — with bucket pruning driven by pushed key
+filters (pure-Python xxhash64 pinned equal to the JVM's). The streaming
+format must tail committed versions such that folding the change feed
+reproduces the table's final state exactly-once.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In
+
+from ccdb_data_pipeline_spark.plans.apply import apply_changes, bootstrap_seed
+from ccdb_data_pipeline_spark.plans.datasource import (
+    LakeReader,
+    register,
+    xxhash64,
+)
+from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA, TableSpec
+from ccdb_data_pipeline_spark.sources.binlog import gen_changes_pandas, gen_seed_pandas
+
+N_CONVS = 40
+N_EVENTS = 1500
+
+
+@pytest.fixture(scope="module")
+def seed_pdf():
+    return gen_seed_pandas(n_convs=N_CONVS, seed=11)
+
+
+@pytest.fixture(scope="module")
+def changes_pdf():
+    return gen_changes_pandas(N_EVENTS, n_convs=N_CONVS, seed=11)
+
+
+def _mk(spark, tmp_path, seed_pdf, changes_pdf, n_batches=2, **spec_kw):
+    spec = TableSpec(num_buckets=8, merge_mode="mor", **spec_kw)
+    t = SnapshotParquetTable(spark, str(tmp_path / "table"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    for i, p in enumerate(np.array_split(changes_pdf, n_batches)):
+        apply_changes(t, spark.createDataFrame(p, CHANGE_SCHEMA), batch_id=i)
+    return t
+
+
+def _pdf(df) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (
+        df.select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def test_python_xxhash_matches_jvm(spark):
+    """The planner-side bucket routing must equal F.xxhash64 exactly —
+    short strings, >32-byte strings (the 4-lane path), and unicode."""
+    vals = (
+        [f"conv-{i:04d}" for i in range(20)]
+        + ["", "a", "ab", "abc", "abcd" * 3, "x" * 31, "y" * 32, "z" * 100]
+        + ["naïve-ütf8-ключ", "日本語のテキスト行"]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    jvm = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert xxhash64(v.encode("utf-8")) == jvm[v], v
+
+
+def test_batch_read_matches_table_read(spark, tmp_path, seed_pdf, changes_pdf):
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
+    # leave delta layers in place (no compact) so the reader's fold runs
+    assert any(e.get("delta") for fs in t.manifest()["buckets"].values() for e in fs)
+    register(spark)
+    got = spark.read.format("transcript_lake").load(t.root)
+    assert got.schema == t.read().schema
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(t.read()))
+
+
+def test_batch_read_after_schema_evolution(spark, tmp_path, seed_pdf, changes_pdf):
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
+    t.rename_column("tool", "tool_name")
+    t.add_column("priority", "int", default=7)
+    register(spark)
+    got = spark.read.format("transcript_lake").load(t.root)
+    exp = t.read()
+    assert got.schema == exp.schema
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(exp))
+    assert _pdf(got)["priority"].eq(7).all()  # initial default visible
+
+
+def test_time_travel_version_option(spark, tmp_path, seed_pdf, changes_pdf):
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
+    v_mid = t.current_version() - 1
+    register(spark)
+    got = (
+        spark.read.format("transcript_lake")
+        .option("version", v_mid)
+        .load(t.root)
+    )
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(t.read(version=v_mid)))
+
+
+def test_filter_pushdown_prunes_buckets(spark, tmp_path, seed_pdf, changes_pdf):
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
+    register(spark)
+    key = seed_pdf["conv_id"].iloc[0]
+    key2 = seed_pdf["conv_id"].iloc[1]
+
+    # planner-level: pushed equality keeps only the key's bucket
+    r = LakeReader({"path": t.root})
+    n_all = len(r.partitions())
+    r2 = LakeReader({"path": t.root})
+    r2.pushFilters([EqualTo(("conv_id",), key)])
+    assert len(r2.partitions()) == 1
+    r3 = LakeReader({"path": t.root})
+    r3.pushFilters([In(("conv_id",), (key, key2))])
+    assert 1 <= len(r3.partitions()) <= 2 < n_all
+
+    # end-to-end: the pruned read returns exactly the filtered table
+    got = (
+        spark.read.format("transcript_lake")
+        .load(t.root)
+        .filter(F.col("conv_id") == key)
+    )
+    exp = t.read().filter(F.col("conv_id") == key)
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(exp))
+
+
+def test_patch_table_refused(spark, tmp_path, seed_pdf):
+    spec = TableSpec(num_buckets=4, merge_mode="mor", partial_updates=True)
+    t = SnapshotParquetTable(spark, str(tmp_path / "ptable"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, seed_pdf.pipe(lambda p: t.spark.createDataFrame(p, TRANSCRIPT_SCHEMA)))
+    register(spark)
+    with pytest.raises(Exception, match="plain LWW tables only"):
+        spark.read.format("transcript_lake").load(t.root).collect()
+
+
+def test_streaming_changes_rebuild_state(spark, tmp_path, seed_pdf, changes_pdf):
+    """Fold the streamed change feed (latest _lsn_applied per key; drop
+    deletes) — must reproduce the table's final state exactly."""
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf, n_batches=3)
+    register(spark)
+    feed = (
+        spark.readStream.format("transcript_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
+    )
+    qname = "ds_changes_feed"
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(qname)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(qname)
+    assert rows.count() > 0
+    assert set(r["_change_type"] for r in rows.select("_change_type").distinct().collect()) <= {
+        "upsert",
+        "delete",
+    }
+    # versions on the feed are committed merge/bootstrap versions only
+    user_cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    dom = F.struct(
+        F.coalesce(F.col("_ts_applied"), F.to_timestamp(F.lit("1970-01-01"))),
+        F.coalesce(F.col("_lsn_applied"), F.lit(-1)),
+    )
+    latest = (
+        rows.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max_by(
+                F.struct("_change_type", *[c for c in user_cols if c not in ("conv_id", "turn_idx")]),
+                dom,
+            ).alias("w")
+        )
+        .select("conv_id", "turn_idx", "w.*")
+        .filter(F.col("_change_type") == "upsert")
+        .drop("_change_type")
+    )
+    pd.testing.assert_frame_equal(_pdf(latest), _pdf(t.read()))
+
+
+def test_streaming_requires_mor(spark, tmp_path, seed_pdf):
+    spec = TableSpec(num_buckets=4, merge_mode="cow")
+    t = SnapshotParquetTable(spark, str(tmp_path / "cowt"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    register(spark)
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.readStream.format("transcript_changes").load(t.root).schema
