@@ -677,6 +677,75 @@ def point_lookup(spark, sf_dir):
 
 
 @q(
+    "lake_sql_read",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners
+    WHERE rn = 1 AND event_type <> 'error' AND user_id IN (1, 7, 42)
+    ORDER BY user_id, event_type
+    """,
+)
+def lake_sql_read(spark, sf_dir):
+    """The Spark 4 Python DataSource facade end-to-end: ingest the event
+    stream into a merge-on-read SnapshotParquetTable ('error' events route
+    to DELETE), leave the delta layers UNcompacted, then read it back as a
+    plain ``spark.read.format("transcript_lake")`` scan with a pushed
+    ``user_id IN (...)`` filter — the facade prunes to the keys' buckets
+    via pure-Python xxhash64 routing, LWW-resolves base+delta per bucket
+    with the engine's Arrow fold, drops tombstones, and Spark re-applies
+    the filter post-scan (plans/datasource.py). Equality with the replay
+    oracle proves an engine-less SQL user sees exactly the merged state."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.datasource import register
+    from .plans.lake import SnapshotParquetTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    deduped = lww_latest(tagged, spec)
+    root = os.path.join(tempfile.gettempdir(), f"cdc-dsrd-{uuid.uuid4().hex}")
+    t = SnapshotParquetTable(spark, root, spec)
+    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
+    t.merge(deduped, batch_id=0)
+    register(spark)
+    return (
+        spark.read.format("transcript_lake")
+        .load(root)
+        .filter(F.col("user_id").isin(1, 7, 42))
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
     "distinct_quantiles",
     """
     SELECT event_type,

@@ -123,9 +123,21 @@ def xxhash64(data: bytes, seed: int = 42) -> int:
     return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
-def _key_bucket(value: str, num_buckets: int) -> int:
-    """``pmod(xxhash64(key), n)`` — the write path's routing, in Python."""
-    return xxhash64(str(value).encode("utf-8")) % num_buckets
+def _key_bucket(value, num_buckets: int, spark_type: str = "string") -> int | None:
+    """``pmod(xxhash64(key), n)`` — the write path's routing, in Python.
+
+    Spark's xxhash64 hashes a string's UTF-8 bytes, an int32's 4
+    little-endian bytes, an int64's 8 (pinned equal to the JVM in
+    tests/test_datasource.py). Unknown types return None = don't prune."""
+    if spark_type == "string":
+        data = str(value).encode("utf-8")
+    elif spark_type in ("long", "bigint"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif spark_type in ("integer", "int"):
+        data = int(value).to_bytes(4, "little", signed=True)
+    else:
+        return None
+    return xxhash64(data) % num_buckets
 
 
 # --------------------------------------------------------------- manifest IO
@@ -338,16 +350,26 @@ class LakeReader(DataSourceReader):
 
     def pushFilters(self, filters):
         bcol = self.meta.bucket_col
+        btype = next(
+            (
+                f["type"]
+                for f in self.meta.schema_json.get("fields", [])
+                if f["name"] == bcol and isinstance(f["type"], str)
+            ),
+            None,
+        )
         remaining = []
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
-            if isinstance(f, EqualTo) and col == bcol:
-                self._key_buckets = {_key_bucket(f.value, self.meta.num_buckets)}
-            elif isinstance(f, In) and col == bcol:
-                self._key_buckets = {
-                    _key_bucket(v, self.meta.num_buckets) for v in f.value
-                }
+            if isinstance(f, EqualTo) and col == bcol and btype:
+                b = _key_bucket(f.value, self.meta.num_buckets, btype)
+                if b is not None:
+                    self._key_buckets = {b}
+            elif isinstance(f, In) and col == bcol and btype:
+                bs = {_key_bucket(v, self.meta.num_buckets, btype) for v in f.value}
+                if None not in bs:
+                    self._key_buckets = bs
             elif col == "ts" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
             ):

@@ -70,6 +70,16 @@ def test_python_xxhash_matches_jvm(spark):
     jvm = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
     for v in vals:
         assert xxhash64(v.encode("utf-8")) == jvm[v], v
+    # integer bucket columns: int64 hashes its 8 LE bytes, int32 its 4
+    longs = [0, 1, 7, 42, -5, 2**40 + 3, -(2**62)]
+    dfl = spark.createDataFrame([(v,) for v in longs], "v long")
+    jl = {r["v"]: r["h"] for r in dfl.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in longs:
+        assert xxhash64(int(v).to_bytes(8, "little", signed=True)) == jl[v], v
+    dfi = spark.createDataFrame([(v,) for v in [0, 7, -3, 2**30]], "v int")
+    ji = {r["v"]: r["h"] for r in dfi.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in ji:
+        assert xxhash64(int(v).to_bytes(4, "little", signed=True)) == ji[v], v
 
 
 def test_batch_read_matches_table_read(spark, tmp_path, seed_pdf, changes_pdf):
