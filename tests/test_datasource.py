@@ -200,6 +200,73 @@ def test_streaming_changes_rebuild_state(spark, tmp_path, seed_pdf, changes_pdf)
     pd.testing.assert_frame_equal(_pdf(latest), _pdf(t.read()))
 
 
+def test_streaming_resume_no_duplicates(spark, tmp_path, seed_pdf, changes_pdf):
+    """Version offsets checkpoint across restarts: a second availableNow run
+    from the same checkpoint must emit ONLY commits made after the first."""
+    spec = TableSpec(num_buckets=8, merge_mode="mor")
+    t = SnapshotParquetTable(spark, str(tmp_path / "table"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    halves = np.array_split(changes_pdf, 2)
+    apply_changes(t, spark.createDataFrame(halves[0], CHANGE_SCHEMA), batch_id=0)
+    register(spark)
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "feed_out")
+
+    def run():
+        feed = (
+            spark.readStream.format("transcript_changes")
+            .option("startingVersion", 0)
+            .load(t.root)
+        )
+        q = (
+            feed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = run()
+    versions_a = {r["_commit_version"] for r in first.select("_commit_version").distinct().collect()}
+    assert versions_a
+    apply_changes(t, spark.createDataFrame(halves[1], CHANGE_SCHEMA), batch_id=1)
+    all_rows = run()
+    versions_b = {
+        r["_commit_version"]
+        for r in all_rows.select("_commit_version").distinct().collect()
+    } - versions_a
+    assert versions_b, "second run saw the new commit"
+    # exactly-once across the restart: no (key, lsn, version) row duplicated
+    dups = (
+        all_rows.groupBy("conv_id", "turn_idx", "_lsn_applied", "_commit_version")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0, "restart replayed already-committed versions"
+    user_cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    dom = F.struct(
+        F.coalesce(F.col("_ts_applied"), F.to_timestamp(F.lit("1970-01-01"))),
+        F.coalesce(F.col("_lsn_applied"), F.lit(-1)),
+    )
+    latest = (
+        all_rows.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max_by(
+                F.struct("_change_type", *[c for c in user_cols if c not in ("conv_id", "turn_idx")]),
+                dom,
+            ).alias("w")
+        )
+        .select("conv_id", "turn_idx", "w.*")
+        .filter(F.col("_change_type") == "upsert")
+        .drop("_change_type")
+    )
+    pd.testing.assert_frame_equal(_pdf(latest), _pdf(t.read()))
+
+
 def test_streaming_requires_mor(spark, tmp_path, seed_pdf):
     spec = TableSpec(num_buckets=4, merge_mode="cow")
     t = SnapshotParquetTable(spark, str(tmp_path / "cowt"), spec)
