@@ -46,11 +46,14 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -60,6 +63,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..schemas import BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED
@@ -438,6 +442,237 @@ class TranscriptLakeDataSource(DataSource):
 
     def reader(self, schema):
         return LakeReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return LakeWriter(self.options, overwrite)
+
+
+# --------------------------------------------------------------- batch writer
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    entries: list  # [(bucket:int, manifest entry dict), ...]
+    n_rows: int
+    n_deletes: int
+    n_malformed: int
+    lsn_min: int | None
+    lsn_max: int | None
+
+
+class LakeWriter(DataSourceArrowWriter):
+    """Exactly-once MERGE append through plain ``df.write``: each task
+    routes its rows to storage buckets with the vectorized numpy xxhash64
+    (functions/xxh.py — bit-equal to the JVM write path, zero per-row
+    Python), projects change events into the engine's internal delta
+    layout (payload nulled on delete, ``(_ts_applied, _lsn_applied)``
+    dominance pair, tombstone flag), and writes ONE single-bucket parquet
+    file per bucket it holds — the same flat MoR delta shape the engine's
+    own apply emits, with per-file footer metrics computed in-task from
+    the arrays (no second read). The driver-side ``commit`` appends the
+    entries to the manifest under the engine's CAS protocol with the
+    ledger's batch-id gate, so a Spark task retry never double-writes and
+    a replayed batchId is a no-op — the same exactly-once contract as
+    ``apply_changes`` (plans/apply.py)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "transcript_lake write supports mode('append') only — rows are "
+                "CDC change events applied through the MERGE path, not file dumps"
+            )
+        path = options.get("path")
+        if not path:
+            raise ValueError("transcript_lake requires .save(<table root>)")
+        if options.get("batchid") is None:
+            raise ValueError(
+                "transcript_lake write requires .option('batchId', <monotone int>) "
+                "— the exactly-once replay gate"
+            )
+        self.batch_id = int(options.get("batchid"))
+        self.meta = _TableMeta.load(path)
+        m = _manifest(path, self.meta.version)
+        eng = m.get("engine", {})
+        if any(eng.values()):
+            raise ValueError(
+                "transcript_lake write serves plain LWW tables only; "
+                "partial-update/aggregation/first-row tables write via "
+                "SnapshotParquetTable.merge()"
+            )
+        if self.meta.mode != "mor":
+            raise ValueError(
+                "transcript_lake write appends merge-on-read delta layers; "
+                "CoW tables apply batches via SnapshotParquetTable.merge()"
+            )
+        self.ts_col = options.get("tscolumn", "ts")
+        self.lsn_col = options.get("lsncolumn", "lsn")
+        self.op_col = options.get("opcolumn", "op")
+        self.sid = int(m.get("current_schema_id", 0))
+        norm = m.get("normalize", {})
+        self.norm_ws = tuple(norm.get("ws_cols", ("text",)))
+        self.norm_exempt = tuple(norm.get("empty_to_null_exempt", ("text",)))
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..functions.xxh import bucket_of
+
+        meta = self.meta
+        tbl = pa.Table.from_batches(list(iterator))
+        user_fields = meta.user_schema().fields
+        user_cols = [f.name for f in user_fields]
+        need = set(user_cols) | {self.lsn_col}
+        have = set(tbl.column_names)
+        missing = sorted(need - have)
+        if missing:
+            raise ValueError(f"transcript_lake write: missing columns {missing}")
+        op = (
+            tbl.column(self.op_col)
+            if self.op_col in have
+            else pa.chunked_array([pa.array(["U"] * len(tbl))])
+        )
+        # malformed = null key or null LSN: dropped and counted, the apply
+        # path's drop_malformed contract
+        ok = pc.is_valid(tbl.column(self.lsn_col))
+        for k in meta.key_cols:
+            ok = pc.and_(ok, pc.is_valid(tbl.column(k)))
+        n_malformed = len(tbl) - pc.sum(pc.cast(ok, pa.int64())).as_py()
+        if n_malformed:
+            keep = ok.combine_chunks() if isinstance(ok, pa.ChunkedArray) else ok
+            op = op.filter(keep)
+            tbl = tbl.filter(keep)
+        if len(tbl) == 0:
+            return _WriteMessage([], 0, 0, n_malformed, None, None)
+        # the table's recorded normalization policy — the SAME arrow kernel
+        # the engine's fused apply runs (functions/normalize.py)
+        from ..functions.normalize import normalize_arrow_table
+        from ..schemas import TableSpec
+
+        str_payload = [
+            f.name
+            for f in meta.user_schema().fields
+            if f.name not in meta.key_cols and f.dataType.simpleString() == "string"
+        ]
+        tbl = normalize_arrow_table(
+            tbl.combine_chunks(),
+            TableSpec(
+                normalize_ws_cols=self.norm_ws,
+                empty_to_null_exempt=self.norm_exempt,
+            ),
+            str_payload,
+        )
+        is_del = pc.equal(op, pa.scalar("D"))
+        target = _target_arrow_schema(meta)
+        epoch = pa.scalar(0, pa.timestamp("us", tz="UTC"))
+        null_of = {f.name: pa.scalar(None, f.type) for f in target}
+        cols = {}
+        for f in user_fields:
+            c = tbl.column(f.name).cast(dict(zip(target.names, target.types))[f.name])
+            if f.name not in meta.key_cols:
+                # tombstones carry no payload — only the dominance pair
+                c = pc.if_else(is_del, null_of[f.name], c)
+            cols[f.name] = c
+        ts_src = tbl.column(self.ts_col).cast(pa.timestamp("us", tz="UTC"))
+        cols[TS_APPLIED] = pc.fill_null(ts_src, epoch)
+        cols[LSN_APPLIED] = tbl.column(self.lsn_col).cast(pa.int64())
+        cols[DELETED] = pc.fill_null(is_del, False)
+        out = pa.table(cols)
+        bvals = tbl.column(meta.bucket_col).combine_chunks()
+        btype = next(
+            f["type"] for f in meta.schema_json["fields"] if f["name"] == meta.bucket_col
+        )
+        buckets = bucket_of(bvals, meta.num_buckets, btype)
+        out = out.append_column(BUCKET, pa.array(buckets, pa.int32()))
+        rel_dir = os.path.join("data", f"wds-{uuid.uuid4().hex[:12]}")
+        os.makedirs(os.path.join(meta.root, rel_dir), exist_ok=True)
+        entries = []
+        import numpy as np
+
+        for b in np.unique(buckets):
+            part = out.filter(pa.array(buckets == b))
+            fn = f"b{int(b):05d}-{uuid.uuid4().hex[:8]}.parquet"
+            rel = os.path.join(rel_dir, fn)
+            pq.write_table(
+                part, os.path.join(meta.root, rel), compression="zstd"
+            )
+            # per-file metrics straight from the arrays (Iceberg per-file
+            # stats analog; no footer re-read)
+            lsn = part.column(LSN_APPLIED)
+            ts_user = part.column(self.ts_col) if self.ts_col in part.column_names else None
+            e = {
+                "path": rel,
+                "schema_id": self.sid,
+                "delta": True,
+                "n_rows": len(part),
+                "lsn_min": pc.min(lsn).as_py(),
+                "lsn_max": pc.max(lsn).as_py(),
+                "all_live": not pc.any(part.column(DELETED)).as_py(),
+            }
+            if ts_user is not None and pc.count(ts_user).as_py():
+                e["ts_min"] = pc.min(ts_user).cast(pa.int64()).as_py()
+                e["ts_max"] = pc.max(ts_user).cast(pa.int64()).as_py()
+            entries.append((int(b), e))
+        lsn_all = out.column(LSN_APPLIED)
+        return _WriteMessage(
+            entries=entries,
+            n_rows=len(out),
+            n_deletes=pc.sum(pc.cast(out.column(DELETED), pa.int64())).as_py(),
+            n_malformed=n_malformed,
+            lsn_min=pc.min(lsn_all).as_py(),
+            lsn_max=pc.max(lsn_all).as_py(),
+        )
+
+    def commit(self, messages):
+        from .lake import CommitConflictError, SnapshotParquetTable
+
+        msgs = [m for m in messages if m is not None and m.entries]
+        t = SnapshotParquetTable(None, self.meta.root)
+        for _attempt in range(5):
+            t._manifest = None
+            m0 = t.manifest()
+            if self.batch_id <= m0.get("last_batch_id", -1):
+                return  # replay of a committed batch: exactly-once no-op
+            m = dict(m0)
+            buckets = dict(m0["buckets"])
+            for msg in msgs:
+                for b, e in msg.entries:
+                    buckets[str(b)] = list(buckets.get(str(b), [])) + [e]
+            lsn_max = max((msg.lsn_max for msg in msgs), default=None)
+            m["version"] = t._alloc_version()
+            m["parent_snapshot_id"] = m0["snapshot_id"]
+            m["snapshot_id"] = uuid.uuid4().hex
+            m["buckets"] = buckets
+            m["last_batch_id"] = self.batch_id
+            m["last_lsn"] = max(m0["last_lsn"], lsn_max if lsn_max is not None else -1)
+            m["summary"] = {
+                "op": "merge",
+                "batch_id": self.batch_id,
+                "writer": "datasource",
+                "n_source": sum(msg.n_rows for msg in msgs),
+                "n_delete": sum(msg.n_deletes for msg in msgs),
+                "n_malformed": sum(msg.n_malformed for msg in msgs),
+                "lsn_min": min((msg.lsn_min for msg in msgs), default=None),
+                "lsn_max": lsn_max,
+            }
+            m["committed_at"] = time.time()
+            try:
+                t._commit(m, expected_ref=m0["version"])
+                return
+            except CommitConflictError:
+                continue  # MoR appends are rebase-safe: re-read, re-append
+        raise RuntimeError("transcript_lake write: commit lost the CAS 5 times")
+
+    def abort(self, messages):
+        for msg in messages:
+            if msg is None:
+                continue
+            for _b, e in msg.entries:
+                try:
+                    os.remove(os.path.join(self.meta.root, e["path"]))
+                except OSError:
+                    pass
 
 
 # ---------------------------------------------------------- streaming source

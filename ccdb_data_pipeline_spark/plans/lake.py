@@ -747,6 +747,15 @@ class SnapshotParquetTable:
         with open(self._head_path) as f:
             return int(f.read().strip())
 
+    def refresh(self) -> "SnapshotParquetTable":
+        """Drop the cached manifest so the next read sees commits made by
+        OTHER writers (the DataSource facade, a concurrent maintenance
+        job, another process). The handle caches the manifest for plan
+        stability within one batch; external commits need this poke —
+        the Iceberg table.refresh() analog."""
+        self._manifest = None
+        return self
+
     def manifest(self, version: int | None = None) -> dict:
         if version is None:
             if self._manifest is not None:
@@ -905,6 +914,20 @@ class SnapshotParquetTable:
             "key_cols": list(self.spec.key_cols),
             "bucket_col": self.spec.bucket_col,
             "buckets": {},  # bucket -> [{path, schema_id}]
+            # merge-engine flags for engine-less readers/writers (the
+            # Python DataSource facade refuses non-LWW tables by these)
+            "engine": {
+                "partial_updates": bool(self.spec.partial_updates),
+                "agg_spec": bool(self.spec.agg_spec),
+                "first_row": bool(self.spec.first_row),
+            },
+            # normalization policy is TABLE semantics (the ""->null carve-out
+            # and ws-collapse set) — recorded so external writers (the
+            # DataSource facade) apply the identical kernel
+            "normalize": {
+                "ws_cols": list(self.spec.normalize_ws_cols),
+                "empty_to_null_exempt": list(self.spec.empty_to_null_exempt),
+            },
             "last_batch_id": -1,
             "last_lsn": -1,
             "summary": {"op": "create"},

