@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -446,6 +447,9 @@ class TranscriptLakeDataSource(DataSource):
     def writer(self, schema, overwrite):
         return LakeWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite):
+        return LakeStreamWriter(self.options, overwrite)
+
 
 # --------------------------------------------------------------- batch writer
 
@@ -475,7 +479,7 @@ class LakeWriter(DataSourceArrowWriter):
     a replayed batchId is a no-op — the same exactly-once contract as
     ``apply_changes`` (plans/apply.py)."""
 
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, overwrite: bool, streaming: bool = False):
         if overwrite:
             raise ValueError(
                 "transcript_lake write supports mode('append') only — rows are "
@@ -484,12 +488,14 @@ class LakeWriter(DataSourceArrowWriter):
         path = options.get("path")
         if not path:
             raise ValueError("transcript_lake requires .save(<table root>)")
-        if options.get("batchid") is None:
+        if options.get("batchid") is None and not streaming:
             raise ValueError(
                 "transcript_lake write requires .option('batchId', <monotone int>) "
                 "— the exactly-once replay gate"
             )
-        self.batch_id = int(options.get("batchid"))
+        self.batch_id = (
+            int(options["batchid"]) if options.get("batchid") is not None else None
+        )
         self.meta = _TableMeta.load(path)
         m = _manifest(path, self.meta.version)
         eng = m.get("engine", {})
@@ -673,6 +679,26 @@ class LakeWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.meta.root, e["path"]))
                 except OSError:
                     pass
+
+
+class LakeStreamWriter(LakeWriter, DataSourceStreamArrowWriter):
+    """Streaming sink form of the facade writer: the micro-batch epoch id
+    IS the ledger batch id, so the checkpointed stream gets the engine's
+    exactly-once replay gate with no user-managed option — the same
+    contract as the engine's own foreachBatch apply (plans/apply.py).
+    Enables e.g. lake→lake replication entirely through plain
+    ``spark.readStream.format("transcript_changes")`` →
+    ``writeStream.format("transcript_lake")``."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        super().__init__(options, overwrite, streaming=True)
+
+    def commit(self, messages, batchId: int):  # noqa: N803 (Spark API name)
+        self.batch_id = int(batchId)
+        super().commit(messages)
+
+    def abort(self, messages, batchId: int):  # noqa: N803
+        super().abort(messages)
 
 
 # ---------------------------------------------------------- streaming source

@@ -364,6 +364,46 @@ def test_writer_requires_batch_id_and_refuses_overwrite(spark, tmp_path, seed_pd
         )
 
 
+def test_lake_to_lake_replication_via_facade(spark, tmp_path, seed_pdf, changes_pdf):
+    """A full replication pipeline with ZERO engine imports on the wire:
+    table A's change feed (readStream transcript_changes) streamed into
+    table B (writeStream transcript_lake) must make B == A. Deletes ride
+    the feed's _ts_applied so tombstone dominance replicates exactly."""
+    register(spark)
+    spec = TableSpec(num_buckets=8, merge_mode="mor")
+    a = SnapshotParquetTable(spark, str(tmp_path / "a"), spec)
+    a.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(a, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    for i, h in enumerate(np.array_split(changes_pdf, 3)):
+        apply_changes(a, spark.createDataFrame(h, CHANGE_SCHEMA), batch_id=i)
+
+    b = SnapshotParquetTable(spark, str(tmp_path / "b"), spec)
+    b.create(TRANSCRIPT_SCHEMA)
+
+    feed = (
+        spark.readStream.format("transcript_changes")
+        .option("startingVersion", 0)
+        .load(a.root)
+    )
+    user_cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    wire = feed.select(
+        *user_cols,
+        F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+        F.col("_lsn_applied").alias("lsn"),
+        F.col("_ts_applied"),
+    )
+    q = (
+        wire.writeStream.format("transcript_lake")
+        .option("path", b.root)
+        .option("tsColumn", "_ts_applied")
+        .option("checkpointLocation", str(tmp_path / "repl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pd.testing.assert_frame_equal(_pdf(b.refresh().read()), _pdf(a.read()))
+
+
 def test_streaming_requires_mor(spark, tmp_path, seed_pdf):
     spec = TableSpec(num_buckets=4, merge_mode="cow")
     t = SnapshotParquetTable(spark, str(tmp_path / "cowt"), spec)
