@@ -732,6 +732,88 @@ def _main_chain(root: str, lo: int, hi: int) -> list[int]:
     return sorted(chain)
 
 
+def _change_file_partitions(root: str, lo: int, hi: int):
+    """One partition per data file ADDED by a merge/bootstrap commit in
+    (lo, hi] on the current ref's ancestry — shared by the streaming
+    offsets walk and the batch from/to-version read."""
+    parts: list[_ChangeFilePartition] = []
+    for v in _main_chain(root, lo, hi):
+        m = _manifest(root, v)
+        op = m.get("summary", {}).get("op")
+        if op not in ("merge", "bootstrap"):
+            continue  # compaction/DDL/retention: no logical change
+        parent_paths = set()
+        pv = None
+        # the parent is wherever parent_snapshot_id points; fall back to
+        # nothing for the bootstrap-on-create case
+        for cand in range(v - 1, -1, -1):
+            p = os.path.join(root, "manifests", f"m-{cand:010d}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    pm = json.load(f)
+                if pm["snapshot_id"] == m.get("parent_snapshot_id"):
+                    pv = cand
+                    parent_paths = {
+                        e["path"] for fs in pm["buckets"].values() for e in fs
+                    }
+                    break
+        if pv is None:
+            parent_paths = set()
+        for files in m["buckets"].values():
+            for e in files:
+                if e["path"] not in parent_paths:
+                    parts.append(_ChangeFilePartition(v, e["path"]))
+    return parts
+
+
+def _read_change_file(meta: _TableMeta, partition: _ChangeFilePartition):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(meta.root, partition.path))
+    if BUCKET in tbl.column_names:
+        tbl = tbl.drop_columns([BUCKET])
+    target = _target_arrow_schema(meta)
+    tbl = _apply_schema_events_arrow(tbl, meta, after_sid=0)
+    tbl = _align_arrow(tbl, target, {})
+    deleted = pc.fill_null(tbl.column(DELETED), False)
+    ct = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
+    user_cols = [f.name for f in meta.user_schema().fields]
+    out = tbl.select(user_cols + [TS_APPLIED, LSN_APPLIED])
+    out = out.append_column("_change_type", ct)
+    out = out.append_column(
+        "_commit_version", pa.array([partition.version] * len(tbl), pa.int64())
+    )
+    for batch in out.to_batches(max_chunksize=65536):
+        yield batch
+
+
+class ChangesBatchReader(DataSourceReader):
+    """Batch CDF read (Delta `table_changes` analog through plain
+    ``spark.read``): every change committed in
+    (startingVersion, endingVersion]."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        self.meta = _TableMeta.load(path)
+        if self.meta.mode != "mor":
+            raise ValueError("transcript_changes serves merge-on-read tables only")
+        self.lo = int(options.get("startingversion", 0))
+        hi = options.get("endingversion")
+        self.hi = int(hi) if hi is not None else _head_version(path)
+
+    def partitions(self):
+        return _change_file_partitions(self.meta.root, self.lo, self.hi) or [
+            _ChangeFilePartition(-1, "")
+        ]
+
+    def read(self, partition: _ChangeFilePartition):
+        if not partition.path:
+            return iter(())
+        return _read_change_file(self.meta, partition)
+
+
 class ChangesStreamReader(DataSourceStreamReader):
     """Version-offset change tail: each micro-batch serves the data files
     ADDED by merge/bootstrap commits since the last offset. MoR only —
@@ -761,62 +843,14 @@ class ChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
-        parts: list[_ChangeFilePartition] = []
-        for v in _main_chain(self.root, lo, hi):
-            m = _manifest(self.root, v)
-            op = m.get("summary", {}).get("op")
-            if op not in ("merge", "bootstrap"):
-                continue  # compaction/DDL/retention: no logical change
-            parent_paths = set()
-            pv = None
-            # the parent is wherever parent_snapshot_id points; fall back to
-            # v-1 for the bootstrap-on-create case
-            for cand in range(v - 1, -1, -1):
-                p = os.path.join(self.root, "manifests", f"m-{cand:010d}.json")
-                if os.path.exists(p):
-                    with open(p) as f:
-                        pm = json.load(f)
-                    if pm["snapshot_id"] == m.get("parent_snapshot_id"):
-                        pv = cand
-                        parent_paths = {
-                            e["path"] for fs in pm["buckets"].values() for e in fs
-                        }
-                        break
-            if pv is None:
-                parent_paths = set()
-            for files in m["buckets"].values():
-                for e in files:
-                    if e["path"] not in parent_paths:
-                        parts.append(_ChangeFilePartition(v, e["path"]))
-        return parts or [_ChangeFilePartition(-1, "")]
+        return _change_file_partitions(self.root, lo, hi) or [
+            _ChangeFilePartition(-1, "")
+        ]
 
     def read(self, partition: _ChangeFilePartition):
         if not partition.path:
             return iter(())
-        return self._read_file(partition)
-
-    def _read_file(self, partition: _ChangeFilePartition):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        meta = self.meta
-        tbl = pq.read_table(os.path.join(meta.root, partition.path))
-        if BUCKET in tbl.column_names:
-            tbl = tbl.drop_columns([BUCKET])
-        target = _target_arrow_schema(meta)
-        tbl = _apply_schema_events_arrow(tbl, meta, after_sid=0)
-        tbl = _align_arrow(tbl, target, {})
-        deleted = pc.fill_null(tbl.column(DELETED), False)
-        ct = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
-        user_cols = [f.name for f in meta.user_schema().fields]
-        out = tbl.select(user_cols + [TS_APPLIED, LSN_APPLIED])
-        out = out.append_column("_change_type", ct)
-        out = out.append_column(
-            "_commit_version", pa.array([partition.version] * len(tbl), pa.int64())
-        )
-        for batch in out.to_batches(max_chunksize=65536):
-            yield batch
+        return _read_change_file(self.meta, partition)
 
     def commit(self, end):
         pass
@@ -828,11 +862,16 @@ class ChangesStreamReader(DataSourceStreamReader):
 class TranscriptChangesDataSource(DataSource):
     """``spark.readStream.format("transcript_changes").load(root)``.
 
-    Options: ``startingVersion`` (replay from an old snapshot; default =
-    tail from the current version). Output = user columns + the applied
-    LWW dominance pair (``_ts_applied``, ``_lsn_applied`` — fold the feed
-    on it to rebuild state), ``_change_type`` (upsert|delete),
-    ``_commit_version``."""
+    Also batch-readable (`spark.read.format("transcript_changes")` with
+    ``startingVersion``/``endingVersion`` — the Delta `table_changes`
+    batch-CDF analog).
+
+    Options: ``startingVersion`` (streaming: replay from an old snapshot;
+    default = tail from the current version. batch: default 0),
+    ``endingVersion`` (batch only; default = current). Output = user
+    columns + the applied LWW dominance pair (``_ts_applied``,
+    ``_lsn_applied`` — fold the feed on it to rebuild state),
+    ``_change_type`` (upsert|delete), ``_commit_version``."""
 
     @classmethod
     def name(cls):
@@ -858,6 +897,9 @@ class TranscriptChangesDataSource(DataSource):
                 T.StructField("_commit_version", T.LongType()),
             ]
         )
+
+    def reader(self, schema):
+        return ChangesBatchReader(self.options)
 
     def streamReader(self, schema):
         return ChangesStreamReader(self.options)

@@ -364,6 +364,52 @@ def test_writer_requires_batch_id_and_refuses_overwrite(spark, tmp_path, seed_pd
         )
 
 
+def test_batch_cdf_read(spark, tmp_path, seed_pdf, changes_pdf):
+    """spark.read.format('transcript_changes') with version bounds: the
+    full-range batch read folds to the final state; a bounded read stops
+    at endingVersion (== the table state AS OF that version)."""
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf, n_batches=3)
+    register(spark)
+    full = (
+        spark.read.format("transcript_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
+    )
+    user_cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    dom = F.struct(
+        F.coalesce(F.col("_ts_applied"), F.to_timestamp(F.lit("1970-01-01"))),
+        F.coalesce(F.col("_lsn_applied"), F.lit(-1)),
+    )
+
+    def fold(rows):
+        return (
+            rows.groupBy("conv_id", "turn_idx")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "_change_type",
+                        *[c for c in user_cols if c not in ("conv_id", "turn_idx")],
+                    ),
+                    dom,
+                ).alias("w")
+            )
+            .select("conv_id", "turn_idx", "w.*")
+            .filter(F.col("_change_type") == "upsert")
+            .drop("_change_type")
+        )
+
+    pd.testing.assert_frame_equal(_pdf(fold(full)), _pdf(t.read()))
+    v_mid = t.current_version() - 1
+    bounded = (
+        spark.read.format("transcript_changes")
+        .option("startingVersion", 0)
+        .option("endingVersion", v_mid)
+        .load(t.root)
+    )
+    assert bounded.agg(F.max("_commit_version")).collect()[0][0] <= v_mid
+    pd.testing.assert_frame_equal(_pdf(fold(bounded)), _pdf(t.read(version=v_mid)))
+
+
 def test_lake_to_lake_replication_via_facade(spark, tmp_path, seed_pdf, changes_pdf):
     """A full replication pipeline with ZERO engine imports on the wire:
     table A's change feed (readStream transcript_changes) streamed into
