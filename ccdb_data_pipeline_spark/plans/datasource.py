@@ -526,7 +526,10 @@ class LakeWriter(DataSourceArrowWriter):
         from ..functions.xxh import bucket_of
 
         meta = self.meta
-        tbl = pa.Table.from_batches(list(iterator))
+        batches = list(iterator)
+        if not batches:  # empty shuffle partition (pre-bucketed input)
+            return _WriteMessage([], 0, 0, 0, None, None)
+        tbl = pa.Table.from_batches(batches)
         user_fields = meta.user_schema().fields
         user_cols = [f.name for f in user_fields]
         need = set(user_cols) | {self.lsn_col}
@@ -903,6 +906,22 @@ class TranscriptChangesDataSource(DataSource):
 
     def streamReader(self, schema):
         return ChangesStreamReader(self.options)
+
+
+def bucket_partitioned(df, root: str):
+    """Pre-shuffle a change frame onto the table's bucket grid before a
+    facade write: ``repartition(n, pmod(xxhash64(bucket_col), n))`` —
+    the JVM's xxhash64 IS the table's routing function, so every bucket
+    lands wholly in one task and the write emits at most ``num_buckets``
+    files instead of tasks × buckets. Optional but essential at scale:
+    an unshuffled 1000-task write against a 4096-bucket table would emit
+    millions of delta files per batch; this one shuffle caps it at 4096
+    (the same discipline as the engine's exact-placement apply stage)."""
+    from pyspark.sql import functions as F
+
+    meta = _TableMeta.load(root)
+    b = F.pmod(F.xxhash64(F.col(meta.bucket_col)), F.lit(meta.num_buckets))
+    return df.repartition(meta.num_buckets, b)
 
 
 def register(spark) -> None:

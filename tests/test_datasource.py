@@ -345,6 +345,41 @@ def test_writer_matches_engine_apply(spark, tmp_path, seed_pdf, changes_pdf):
     pd.testing.assert_frame_equal(_pdf(t.read()), _pdf(ref.read()))
 
 
+def test_bucket_partitioned_write_caps_file_count(spark, tmp_path, seed_pdf, changes_pdf):
+    """bucket_partitioned pre-shuffles onto the bucket grid: the facade
+    write then emits at most num_buckets files (not tasks x buckets), and
+    the state is unchanged."""
+    from ccdb_data_pipeline_spark.plans.datasource import bucket_partitioned
+
+    register(spark)
+    spec = TableSpec(num_buckets=8, merge_mode="mor")
+    t = SnapshotParquetTable(spark, str(tmp_path / "bp"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    df = spark.createDataFrame(changes_pdf, CHANGE_SCHEMA).repartition(16)
+    (
+        bucket_partitioned(df, t.root)
+        .write.format("transcript_lake")
+        .option("batchId", 0)
+        .mode("append")
+        .save(t.root)
+    )
+    m = t.refresh().manifest()
+    deltas = [e for fs in m["buckets"].values() for e in fs if e.get("delta")]
+    assert 0 < len(deltas) <= spec.num_buckets
+
+    # same input unshuffled on many partitions exceeds the cap
+    t2 = SnapshotParquetTable(spark, str(tmp_path / "bp2"), spec)
+    t2.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t2, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    df.write.format("transcript_lake").option("batchId", 0).mode("append").save(t2.root)
+    m2 = t2.refresh().manifest()
+    deltas2 = [e for fs in m2["buckets"].values() for e in fs if e.get("delta")]
+    assert len(deltas2) > len(deltas)
+    # both land the identical state
+    pd.testing.assert_frame_equal(_pdf(t.read()), _pdf(t2.read()))
+
+
 def test_writer_requires_batch_id_and_refuses_overwrite(spark, tmp_path, seed_pdf):
     register(spark)
     spec = TableSpec(num_buckets=4, merge_mode="mor")
