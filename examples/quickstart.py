@@ -64,7 +64,22 @@ def main() -> None:
     search_bm25(docs, ["spark", "shuffle"], text_col="text", id_col="doc") \
         .orderBy(F.desc("score")).limit(5).show(truncate=60)
 
-    # 5. pin this exact state for reproducibility (survives vacuum/GC)
+    # 5. the same table through plain Spark formats — no engine imports
+    #    needed on the consuming side (plans/datasource.py)
+    from ccdb_data_pipeline_spark.plans.datasource import register
+
+    register(spark)
+    facade = spark.read.format("transcript_lake").load(table.root)
+    print("facade read:", facade.filter(F.col("conv_id") == "conv-00000001").count(),
+          "turn(s) via pushed-filter bucket pruning")
+    changes = (
+        spark.read.format("transcript_changes")
+        .option("startingVersion", 0).load(table.root)
+    )
+    print("change feed rows:", changes.count(), "across",
+          changes.select("_commit_version").distinct().count(), "commits")
+
+    # 6. pin this exact state for reproducibility (survives vacuum/GC)
     v = table.create_tag("quickstart-v1")
     print("tagged version", v, "| stats:", table.stats())
     spark.stop()
