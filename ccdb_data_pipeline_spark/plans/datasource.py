@@ -299,9 +299,14 @@ def _target_arrow_schema(meta: _TableMeta):
     return pa.schema(fields)
 
 
-def _read_bucket(meta: _TableMeta, part: _BucketPartition):
+def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None = None):
     """Read one bucket's layers, align each file to the current schema,
-    LWW-resolve if delta layers exist, drop tombstones + internal cols."""
+    LWW-resolve if delta layers exist, drop tombstones + internal cols.
+
+    ``columns`` prunes the payload BEFORE the per-file read and the fold
+    (key and marker columns always ride) — the facade twin of
+    ``table.read(columns=...)``; the Python DataSource API has no
+    projection-pushdown hook, so this is surfaced as a read option."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -309,18 +314,42 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition):
 
     target = _target_arrow_schema(meta)
     user_cols = [f.name for f in meta.user_schema().fields]
+    if columns:
+        keep = list(dict.fromkeys(list(meta.key_cols) + list(columns)))
+        user_cols = [c for c in user_cols if c in keep]
+        target = pa.schema(
+            [f for f in target if f.name in keep or f.name.startswith("_")]
+        )
     pieces = []
     for e in part.entries:
-        tbl = pq.read_table(os.path.join(meta.root, e["path"]))
-        if PATCH in tbl.column_names or "_agg_reset" in tbl.column_names:
+        pf = pq.ParquetFile(os.path.join(meta.root, e["path"]))
+        phys = list(pf.schema_arrow.names)
+        if PATCH in phys or "_agg_reset" in phys:
             raise ValueError(
                 "transcript_lake DataSource serves plain LWW tables only; "
                 "partial-update/aggregation/first-row tables read via "
                 "SnapshotParquetTable.read()"
             )
-        if BUCKET in tbl.column_names:
-            tbl = tbl.drop_columns([BUCKET])
         sid = int(e.get("schema_id", 0))
+        if columns:
+            # map each wanted current name back through renames NEWER than
+            # this file's era to its stored physical name, so pruning
+            # reaches the parquet read (column chunks never decoded)
+            wanted = {TS_APPLIED, LSN_APPLIED, DELETED}
+            newer = sorted(
+                (r for r in meta.renames if int(r["sid"]) > sid),
+                key=lambda r: -int(r["sid"]),
+            )
+            for c in user_cols:
+                for r in newer:
+                    if c == r["to"]:
+                        c = r["from"]
+                wanted.add(c)
+            tbl = pf.read(columns=[n for n in phys if n in wanted])
+        else:
+            tbl = pf.read()
+            if BUCKET in tbl.column_names:
+                tbl = tbl.drop_columns([BUCKET])
         tbl = _apply_schema_events_arrow(tbl, meta, after_sid=sid)
         tbl = _align_arrow(tbl, target, _add_defaults(meta, sid))
         pieces.append(tbl)
@@ -349,6 +378,8 @@ class LakeReader(DataSourceReader):
         version = options.get("version")
         self.meta = _TableMeta.load(path, int(version) if version is not None else None)
         self.read_optimized = str(options.get("readoptimized", "false")).lower() == "true"
+        cols = options.get("columns")
+        self.columns = [c.strip() for c in cols.split(",") if c.strip()] if cols else None
         self._key_buckets: set[int] | None = None
         self._ts_lo = None
         self._ts_hi = None
@@ -420,14 +451,15 @@ class LakeReader(DataSourceReader):
     def read(self, partition: _BucketPartition):
         if not partition.entries:
             return iter(())
-        return _read_bucket(self.meta, partition)
+        return _read_bucket(self.meta, partition, columns=self.columns)
 
 
 class TranscriptLakeDataSource(DataSource):
     """``spark.read.format("transcript_lake").load(root)``.
 
     Options: ``version`` (time travel), ``readOptimized`` (base files
-    only — the Hudi RO-view analog)."""
+    only — the Hudi RO-view analog), ``columns`` (comma-separated payload
+    prune applied at the parquet reads; key columns always ride)."""
 
     @classmethod
     def name(cls):
@@ -439,7 +471,15 @@ class TranscriptLakeDataSource(DataSource):
             raise ValueError("transcript_lake requires .load(<table root>)")
         version = self.options.get("version")
         meta = _TableMeta.load(path, int(version) if version is not None else None)
-        return meta.user_schema()
+        schema = meta.user_schema()
+        cols = self.options.get("columns")
+        if cols:
+            keep = list(meta.key_cols) + [c.strip() for c in cols.split(",") if c.strip()]
+            missing = sorted(set(keep) - {f.name for f in schema.fields})
+            if missing:
+                raise ValueError(f"columns option names unknown columns: {missing}")
+            schema = T.StructType([f for f in schema.fields if f.name in keep])
+        return schema
 
     def reader(self, schema):
         return LakeReader(self.options)

@@ -133,6 +133,33 @@ def test_batch_read_after_schema_evolution(spark, tmp_path, seed_pdf, changes_pd
     assert _pdf(got)["priority"].eq(7).all()  # initial default visible
 
 
+def test_columns_option_prunes_payload(spark, tmp_path, seed_pdf, changes_pdf):
+    """option('columns', ...) prunes at the parquet reads (keys always
+    ride) and survives a rename between eras."""
+    t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
+    register(spark)
+    got = (
+        spark.read.format("transcript_lake")
+        .option("columns", "text")
+        .load(t.root)
+    )
+    assert got.columns == ["conv_id", "turn_idx", "text"]
+    exp = t.read().select("conv_id", "turn_idx", "text")
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(exp))
+    # rename text -> body: old files' physical column is still 'text';
+    # the pruned read must back-map through the rename event
+    t.rename_column("text", "body")
+    got2 = (
+        spark.read.format("transcript_lake")
+        .option("columns", "body")
+        .load(t.root)
+    )
+    exp2 = t.read().select("conv_id", "turn_idx", "body")
+    pd.testing.assert_frame_equal(_pdf(got2), _pdf(exp2))
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("transcript_lake").option("columns", "nope").load(t.root).schema
+
+
 def test_time_travel_version_option(spark, tmp_path, seed_pdf, changes_pdf):
     t = _mk(spark, tmp_path, seed_pdf, changes_pdf)
     v_mid = t.current_version() - 1
