@@ -208,6 +208,52 @@ def test_patch_table_refused(spark, tmp_path, seed_pdf):
         spark.read.format("transcript_lake").load(t.root).collect()
 
 
+def test_writer_commit_conflict_rebases(spark, tmp_path, seed_pdf, changes_pdf):
+    """Two facade writers planned against the SAME snapshot: the CAS loser
+    must retry onto the winner's head and BOTH batches' entries survive
+    (MoR appends are rebase-safe)."""
+    import pyarrow as pa
+
+    from ccdb_data_pipeline_spark.plans.datasource import LakeWriter
+
+    spec = TableSpec(num_buckets=4, merge_mode="mor")
+    t = SnapshotParquetTable(spark, str(tmp_path / "cw"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+
+    halves = np.array_split(changes_pdf, 2)
+
+    def batches(pdf):
+        return spark.createDataFrame(pdf, CHANGE_SCHEMA).toArrow().to_batches()
+
+    # both writers plan against the SAME manifest version
+    wa = LakeWriter({"path": t.root, "batchid": "0"}, overwrite=False)
+    wb = LakeWriter({"path": t.root, "batchid": "1"}, overwrite=False)
+    ma = wa.write(iter(batches(halves[0])))
+    mb = wb.write(iter(batches(halves[1])))
+    wa.commit([ma])          # A wins the CAS
+    wb.commit([mb])          # B's expected_ref is stale -> retry onto A's head
+    t.refresh()
+    assert t.last_batch_id == 1
+    # both batches' delta entries present
+    m = t.manifest()
+    deltas = [e for fs in m["buckets"].values() for e in fs if e.get("delta")]
+    lsns = set()
+    for e in deltas:
+        lsns.add((e["lsn_min"], e["lsn_max"]))
+    lo_all = min(x[0] for x in lsns)
+    hi_all = max(x[1] for x in lsns)
+    assert lo_all == int(changes_pdf["lsn"].min())
+    assert hi_all == int(changes_pdf["lsn"].max())
+    # and the state equals the engine applying the same two batches
+    ref = SnapshotParquetTable(spark, str(tmp_path / "cwref"), spec)
+    ref.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(ref, spark.createDataFrame(seed_pdf, TRANSCRIPT_SCHEMA))
+    for i, h in enumerate(halves):
+        apply_changes(ref, spark.createDataFrame(h, CHANGE_SCHEMA), batch_id=i)
+    pd.testing.assert_frame_equal(_pdf(t.read()), _pdf(ref.read()))
+
+
 def test_streaming_changes_rebuild_state(spark, tmp_path, seed_pdf, changes_pdf):
     """Fold the streamed change feed (latest _lsn_applied per key; drop
     deletes) — must reproduce the table's final state exactly."""
