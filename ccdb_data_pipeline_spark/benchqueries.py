@@ -677,6 +677,40 @@ def point_lookup(spark, sf_dir):
 
 
 @q(
+    "value_percentile_disc",
+    """
+    SELECT event_type,
+           CAST(round(quantile_disc(value, 0.5) * 100) AS BIGINT) AS p50_c,
+           CAST(round(quantile_disc(value, 0.95) * 100) AS BIGINT) AS p95_c,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_percentile_disc(spark, sf_dir):
+    """Inverse-distribution DISCRETE percentile (the shape distinct_quantiles
+    doesn't cover: percentile_disc returns an ACTUAL data value, not an
+    interpolation — the right statistic for latency SLOs where a synthetic
+    midpoint is meaningless). Spark's `percentile_disc ... WITHIN GROUP`
+    is an exact sort-based aggregate planned as one partial/merge pair;
+    DuckDB's quantile_disc uses the same lower-bound definition, so the
+    picked values agree bit-for-bit (cents-integerized for the hash)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev.createOrReplaceTempView("_ev_pdisc")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value) * 100)
+                    AS BIGINT) AS p50_c,
+               CAST(round(percentile_disc(0.95) WITHIN GROUP (ORDER BY value) * 100)
+                    AS BIGINT) AS p95_c,
+               COUNT(*) AS n
+        FROM _ev_pdisc GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+@q(
     "lake_sql_read",
     """
     WITH winners AS (

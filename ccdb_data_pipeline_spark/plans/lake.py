@@ -511,6 +511,18 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
                 if st.max:
                     all_live = False
                     break
+        if all_live and PATCH in cols:
+            # orphan patch rows (compaction carry-through) are not live rows;
+            # a file containing any must not take the metadata-count fast path
+            p_idx = cols[PATCH]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(p_idx).statistics
+                if st is None or not st.has_min_max:
+                    all_live = None
+                    break
+                if st.max:
+                    all_live = False
+                    break
         if not with_bucket:
             out.append((b, md.num_rows, lo, hi, tlo, thi, all_live))
             continue
@@ -1103,6 +1115,13 @@ class SnapshotParquetTable:
             for p in parts[1:]:
                 df = df.unionByName(p)
         df = df.filter(~F.col(DELETED))
+        if PATCH in df.columns:
+            # compaction carries ORPHAN patch rows (keys with no full image
+            # yet — out-of-order patch-before-insert) through into base
+            # files so a later insert still composes with them; they are
+            # not rows until that insert arrives, so every read path (incl.
+            # the plain clean-bucket scan and the RO view) must hide them
+            df = df.filter(~F.col(PATCH))
         if tr_us is not None:
             # pushed-down range predicate: inside the surviving files,
             # parquet row-group stats (tight after z-order/sorted compaction)
@@ -2776,7 +2795,23 @@ class SnapshotParquetTable:
         if any(e.get("delta") for e in entries):
             # fold merge-on-read layers to one winner per key BEFORE any
             # tombstone filtering (a tombstone must first beat older versions)
-            df = self._resolve_versions(df)
+            if PATCH in df.columns:
+                # partial-update: a key with ONLY patch rows (out-of-order
+                # patch-before-insert) must NOT materialize — folding it
+                # would either drop the patch data or mint a tombstone
+                # whose dominance pair wrongly outranks the insert still in
+                # flight. Carry the raw patch rows through unchanged (read
+                # paths hide them via the ~_patch filter); the eventual
+                # full image resolves against them with original per-column
+                # (seq, ts, lsn) versions intact.
+                keys = list(self.spec.key_cols)
+                full_keys = df.filter(~F.col(PATCH)).select(*keys).distinct()
+                orphans = df.join(full_keys, keys, "left_anti")
+                df = self._resolve_versions(
+                    df.join(full_keys, keys, "left_semi")
+                ).unionByName(orphans)
+            else:
+                df = self._resolve_versions(df)
             if m0.get("write_path", "fused") == "raw":
                 # materialize the deferred normalization into the base files
                 from ..functions.normalize import normalize_payload
