@@ -314,3 +314,50 @@ def test_standalone_resolve_matches_lake(spark, tmp_path):
         resolve_with_patches(
             df, ["conv_id", "turn_idx"], "lsn", ["role"], sequence_groups=GROUPS
         )
+
+
+def test_orphan_patch_survives_compaction(spark, tmp_path):
+    """Patch-before-insert ACROSS a compaction boundary (the hypothesis-
+    found regression): a key whose only rows are patches must neither
+    materialize as a row nor fold into a dominance-carrying tombstone at
+    compaction — the raw patch rows carry through so the late insert
+    composes with them, and count_fast never counts them."""
+    t = _table(spark, tmp_path)
+    # batch 0: ONLY patches for two keys (text for k1, group-seq for k2)
+    t.merge_events(
+        _batch(
+            spark,
+            [
+                (1, "P", "k1", 0, None, "patched-text", None, None, 9),
+                (2, "P", "k2", 0, "admin", None, "calc", 7, 9),
+            ],
+        ),
+        batch_id=0,
+    )
+    t.compact(drop_tombstones=False)
+    assert _read_state(t) == {}            # patches alone create nothing
+    assert t.count_fast() == 0             # footer fast path must agree
+    # batch 1: the inserts arrive LATER with OLDER ts and higher lsn
+    t.merge_events(
+        _batch(
+            spark,
+            [
+                (3, "I", "k1", 0, "user", "inserted", None, None, 1),
+                (4, "I", "k2", 0, "user", "inserted", None, None, 1),
+            ],
+        ),
+        batch_id=1,
+    )
+    got = _read_state(t)
+    # k1: text from the patch ((ts 9, lsn 1) beats the insert's (1, 3))
+    assert got[("k1", 0)]["text"] == "patched-text"
+    assert got[("k1", 0)]["role"] == "user"
+    # k2: the whole group from the seq-7 patch (insert carries no seq)
+    assert got[("k2", 0)]["role"] == "admin"
+    assert got[("k2", 0)]["tool"] == "calc"
+    assert got[("k2", 0)]["meta_seq"] == 7
+    assert t.count_fast() == 2
+    # a second compaction folds patch + insert into clean base rows
+    t.compact(drop_tombstones=False)
+    assert _read_state(t) == got
+    assert t.count_fast() == 2
