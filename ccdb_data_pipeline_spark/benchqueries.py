@@ -677,6 +677,122 @@ def point_lookup(spark, sf_dir):
 
 
 @q(
+    "lake_count_fast",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_meta, CAST(COUNT(*) AS BIGINT) AS n_scan
+    FROM winners WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def lake_count_fast(spark, sf_dir):
+    """Metadata-only exact COUNT through the real lake (Iceberg
+    manifest-count analog, driver-visible form of test_count_fast): ingest
+    the LWW-deduped event stream into a MoR table ('error' -> DELETE
+    tombstones), compact WITHOUT reclaiming tombstones (files still carry
+    dead rows), then count two ways — ``count_fast`` (per-file all_live
+    footer stats route clean files to manifest sums, tombstoned files to a
+    pruned scan) and a full ``read().count()``. Both must equal the replay
+    oracle's live-key count; emitting the pair pins fast == scan == truth."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.lake import SnapshotParquetTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    deduped = lww_latest(tagged, spec)
+    root = os.path.join(tempfile.gettempdir(), f"cdc-cnt-{uuid.uuid4().hex}")
+    t = SnapshotParquetTable(spark, root, spec)
+    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
+    t.merge(deduped, batch_id=0)
+    t.compact(drop_tombstones=False)
+    n_meta = t.count_fast()
+    n_scan = t.read().count()
+    return spark.createDataFrame(
+        [(n_meta, n_scan)], "n_meta bigint, n_scan bigint"
+    )
+
+
+@q(
+    "lake_ro_view",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id, event_type
+    """,
+)
+def lake_ro_view(spark, sf_dir):
+    """The Hudi read-optimized view as a driver-green query: after
+    compaction folds every delta layer, ``read(read_optimized=True)`` — the
+    zero-resolve, pure pushdown-scan path analytical readers take — must
+    serve the exact merged state (it is stale only by the compaction lag,
+    which is zero here). Same replay oracle as the real-time view."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.lake import SnapshotParquetTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+    )
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    deduped = lww_latest(tagged, spec)
+    root = os.path.join(tempfile.gettempdir(), f"cdc-rov-{uuid.uuid4().hex}")
+    t = SnapshotParquetTable(spark, root, spec)
+    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
+    t.merge(deduped, batch_id=0)
+    t.compact()
+    return (
+        t.read(read_optimized=True)
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
     "value_percentile_disc",
     """
     SELECT event_type,
