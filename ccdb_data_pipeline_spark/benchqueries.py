@@ -792,6 +792,123 @@ def lake_ro_view(spark, sf_dir):
     )
 
 
+def _events_lake(spark, sf_dir, prefix, n_batches=1, **spec_kw):
+    """Shared builder for the lake-path driver queries: the LWW-deduped
+    event stream merged into a fresh MoR SnapshotParquetTable keyed
+    (user_id, event_type), 'error' events routed to DELETE. Returns the
+    table handle; with ``n_batches>1`` the stream splits on event_id so
+    later batches dominate (multi-version history for time travel)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.lake import SnapshotParquetTable
+
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="event_id",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        empty_to_null_exempt=("props",),
+        normalize_ws_cols=(),
+        **spec_kw,
+    )
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    root = os.path.join(tempfile.gettempdir(), f"cdc-{prefix}-{uuid.uuid4().hex}")
+    t = SnapshotParquetTable(spark, root, spec)
+    if n_batches == 1:
+        deduped = lww_latest(tagged, spec)
+        t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
+        t.merge(deduped, batch_id=0)
+        return t
+    cutoff = tagged.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    first = lww_latest(tagged.filter(F.col("event_id") <= cutoff), spec)
+    t.create(first.drop(spec.op_col, spec.lsn_col).schema)
+    t.merge(first, batch_id=0)
+    t.merge(lww_latest(tagged.filter(F.col("event_id") > cutoff), spec), batch_id=1)
+    return t
+
+
+@q(
+    "lake_time_travel",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+      WHERE event_id <= (SELECT max(event_id) // 2 FROM events)
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id, event_type
+    """,
+)
+def lake_time_travel(spark, sf_dir):
+    """Snapshot-isolation time travel as a driver-green query: merge the
+    event stream in two batches, then ``read(version=...)`` AS OF the
+    first commit — the oracle replays ONLY events up to the cutoff, so
+    equality proves the later batch is invisible to the pinned snapshot
+    (version-addressed manifests, no data rewritten)."""
+    t = _events_lake(spark, sf_dir, "ttrv", n_batches=2)
+    v_first = t.current_version() - 1
+    return (
+        t.read(version=v_first)
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
+    "lake_rebucket",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id, event_type
+    """,
+)
+def lake_rebucket(spark, sf_dir):
+    """Partition evolution (Iceberg bucket-spec change analog) as a
+    driver-green query: rewrite the table from 16 onto 32 buckets
+    (``rebucket`` rehashes every key onto the new grid in one job, commits
+    under CAS), then read back — state must be byte-identical to the
+    replay oracle, proving the rehash lost/duplicated nothing and readers
+    route by the NEW manifest-recorded bucket count."""
+    t = _events_lake(spark, sf_dir, "rbkt")
+    t.rebucket(32)
+    return (
+        t.read()
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 @q(
     "value_percentile_disc",
     """
