@@ -206,6 +206,7 @@ class _TableMeta:
     adds: list
     buckets: dict
     mode: str
+    engine: dict
 
     @classmethod
     def load(cls, root: str, version: int | None = None) -> "_TableMeta":
@@ -224,6 +225,7 @@ class _TableMeta:
             adds=m.get("adds", []),
             buckets=m["buckets"],
             mode=m.get("mode", "cow"),
+            engine=m.get("engine", {}),
         )
 
     def user_schema(self) -> T.StructType:
@@ -299,6 +301,36 @@ def _target_arrow_schema(meta: _TableMeta):
     return pa.schema(fields)
 
 
+def _fold_first_read_arrow(tbl, keys: list[str], sort_cols: list[str]):
+    """First-row read resolve on a pyarrow Table: a key ANY layer deleted
+    is dead (permanent erasure — the tombstone survives so the facade must
+    honor it), otherwise the MINIMUM (ts, lsn) writer wins. The twin of
+    plans.lake._resolve_first for the facade's per-bucket reader; the
+    tombstone filter downstream then drops the dead keys' rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        tbl.select(sort_cols), sort_keys=[(c, "ascending") for c in sort_cols]
+    ).to_numpy(zero_copy_only=False)
+    ktbl = (
+        tbl.select(keys)
+        .take(pa.array(order))
+        .append_column("_rank", pa.array(np.arange(order.size, dtype=np.int64)))
+        .append_column(
+            "_dead",
+            pc.fill_null(tbl.column(DELETED), False).take(pa.array(order)).cast(pa.int8()),
+        )
+    )
+    gb = ktbl.group_by(keys, use_threads=False).aggregate(
+        [("_rank", "min"), ("_dead", "max")]
+    )
+    alive = gb.column("_dead_max").to_numpy(zero_copy_only=False) == 0
+    winners = gb.column("_rank_min").to_numpy(zero_copy_only=False)[alive]
+    return tbl.take(pa.array(np.sort(order[winners])))
+
+
 def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None = None):
     """Read one bucket's layers, align each file to the current schema,
     LWW-resolve if delta layers exist, drop tombstones + internal cols.
@@ -357,7 +389,10 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
         return
     out = pa.concat_tables(pieces)
     if part.has_delta and len(out):
-        out = _fold_lww_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
+        if meta.engine.get("first_row"):
+            out = _fold_first_read_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
+        else:
+            out = _fold_lww_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
     if len(out):
         import pyarrow.compute as pc
 
@@ -377,6 +412,15 @@ class LakeReader(DataSourceReader):
             raise ValueError("transcript_lake requires .load(<table root>)")
         version = options.get("version")
         self.meta = _TableMeta.load(path, int(version) if version is not None else None)
+        if self.meta.engine.get("partial_updates") or self.meta.engine.get("agg_spec"):
+            # flag-based refusal (file-schema sniffing in _read_bucket is
+            # only the fallback for pre-flag manifests): these engines'
+            # read resolves are column-level folds the facade doesn't carry
+            raise ValueError(
+                "transcript_lake DataSource serves LWW and first-row tables; "
+                "partial-update/aggregation tables read via "
+                "SnapshotParquetTable.read()"
+            )
         self.read_optimized = str(options.get("readoptimized", "false")).lower() == "true"
         cols = options.get("columns")
         self.columns = [c.strip() for c in cols.split(",") if c.strip()] if cols else None

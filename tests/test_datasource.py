@@ -198,13 +198,42 @@ def test_filter_pushdown_prunes_buckets(spark, tmp_path, seed_pdf, changes_pdf):
     pd.testing.assert_frame_equal(_pdf(got), _pdf(exp))
 
 
+def test_first_row_table_resolves_min_pair(spark, tmp_path, seed_pdf, changes_pdf):
+    """A first-row table through the facade must resolve the MINIMUM
+    (ts, lsn) writer with permanent-erase deletes — NOT max-LWW (files are
+    schema-identical to LWW tables; the manifest engine flag routes the
+    fold). Checked against the engine's own read across delta layers and
+    after compaction."""
+    spec = TableSpec(num_buckets=8, merge_mode="mor", first_row=True)
+    t = SnapshotParquetTable(spark, str(tmp_path / "fr"), spec)
+    t.create(TRANSCRIPT_SCHEMA)
+    for i, h in enumerate(np.array_split(changes_pdf, 3)):
+        t.merge_events(spark.createDataFrame(h, CHANGE_SCHEMA), batch_id=i)
+    register(spark)
+    got = spark.read.format("transcript_lake").load(t.root)
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(t.read()))
+    # the facade result must actually differ from a max-LWW reading
+    # (guards against silently falling back to the wrong fold)
+    lww = SnapshotParquetTable(
+        spark, str(tmp_path / "frlww"), TableSpec(num_buckets=8, merge_mode="mor")
+    )
+    lww.create(TRANSCRIPT_SCHEMA)
+    for i, h in enumerate(np.array_split(changes_pdf, 3)):
+        lww.merge_events(spark.createDataFrame(h, CHANGE_SCHEMA), batch_id=i)
+    assert not _pdf(got).equals(_pdf(lww.read()))
+    t.compact()  # tombstone reclaim auto-downgraded on first-row
+    pd.testing.assert_frame_equal(
+        _pdf(spark.read.format("transcript_lake").load(t.root)), _pdf(t.read())
+    )
+
+
 def test_patch_table_refused(spark, tmp_path, seed_pdf):
     spec = TableSpec(num_buckets=4, merge_mode="mor", partial_updates=True)
     t = SnapshotParquetTable(spark, str(tmp_path / "ptable"), spec)
     t.create(TRANSCRIPT_SCHEMA)
     bootstrap_seed(t, seed_pdf.pipe(lambda p: t.spark.createDataFrame(p, TRANSCRIPT_SCHEMA)))
     register(spark)
-    with pytest.raises(Exception, match="plain LWW tables only"):
+    with pytest.raises(Exception, match="SnapshotParquetTable.read"):
         spark.read.format("transcript_lake").load(t.root).collect()
 
 
