@@ -166,9 +166,13 @@ def _ts_bounds_us(filters: list) -> tuple[int | None, int | None]:
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
-            if v.tzinfo is not None:
-                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+            # PySpark's TimestampType.fromInternal materializes pushed
+            # timestamp literals as tz-NAIVE datetimes in the MACHINE-LOCAL
+            # timezone (datetime.fromtimestamp) — so the exact inverse is
+            # .timestamp(), which interprets naive values in local time.
+            # Treating naive as UTC here shifted bounds by the UTC offset on
+            # non-UTC hosts and pruned files/buckets that held matching rows.
+            return int(v.timestamp() * 1_000_000)
         return None
 
     for f in filters:
@@ -207,6 +211,7 @@ class _TableMeta:
     buckets: dict
     mode: str
     engine: dict
+    has_engine_flag: bool = True
 
     @classmethod
     def load(cls, root: str, version: int | None = None) -> "_TableMeta":
@@ -226,6 +231,7 @@ class _TableMeta:
             buckets=m["buckets"],
             mode=m.get("mode", "cow"),
             engine=m.get("engine", {}),
+            has_engine_flag="engine" in m,
         )
 
     def user_schema(self) -> T.StructType:
@@ -412,6 +418,18 @@ class LakeReader(DataSourceReader):
             raise ValueError("transcript_lake requires .load(<table root>)")
         version = options.get("version")
         self.meta = _TableMeta.load(path, int(version) if version is not None else None)
+        if not self.meta.has_engine_flag:
+            # a flag-less manifest predates the engine block; first-row
+            # tables are file-schema-identical to LWW, so sniffing cannot
+            # prove plain LWW — refuse rather than risk a silent
+            # max-(ts,lsn) resolve of a min-with-permanent-erase table.
+            # Any engine commit (even an empty batch) backfills the flag.
+            raise ValueError(
+                "transcript_lake cannot serve a table whose manifest lacks the "
+                "'engine' block (pre-flag table): first-row tables are "
+                "indistinguishable from LWW by file schema. Commit once through "
+                "SnapshotParquetTable (which backfills the flag) and retry."
+            )
         if self.meta.engine.get("partial_updates") or self.meta.engine.get("agg_spec"):
             # flag-based refusal (file-schema sniffing in _read_bucket is
             # only the fallback for pre-flag manifests): these engines'
@@ -582,7 +600,15 @@ class LakeWriter(DataSourceArrowWriter):
         )
         self.meta = _TableMeta.load(path)
         m = _manifest(path, self.meta.version)
-        eng = m.get("engine", {})
+        if not self.meta.has_engine_flag:
+            raise ValueError(
+                "transcript_lake cannot write a table whose manifest lacks the "
+                "'engine' block (pre-flag table): the LWW delta layout this "
+                "writer emits would corrupt a legacy first-row/patch/agg table. "
+                "Commit once through SnapshotParquetTable (which backfills the "
+                "flag) and retry."
+            )
+        eng = self.meta.engine
         if any(eng.values()):
             raise ValueError(
                 "transcript_lake write serves plain LWW tables only; "
@@ -792,64 +818,93 @@ class LakeStreamWriter(LakeWriter, DataSourceStreamArrowWriter):
 
 
 class _ChangeFilePartition(InputPartition):
-    def __init__(self, version: int, path: str):
+    def __init__(self, version: int, path: str, schema_id: int = 0):
         self.version = version
         self.path = path
+        self.schema_id = schema_id
 
 
-def _main_chain(root: str, lo: int, hi: int) -> list[int]:
+class ChangeFeedGapError(RuntimeError):
+    """The parent chain from `hi` back to `lo` crosses an expired snapshot:
+    serving the feed would silently drop the expired commits' changes."""
+
+
+def _snapshot_index(root: str) -> dict:
+    """snapshot_id -> manifest over every retained slot: ONE readdir +
+    one pass over the manifests (was a per-commit v-1..0 rescan, O(V^2)
+    manifest reads per change-feed batch on long histories)."""
+    idx = {}
+    mdir = os.path.join(root, "manifests")
+    for fn in sorted(os.listdir(mdir)):
+        if fn.startswith("m-") and fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+            idx[m["snapshot_id"]] = m
+    return idx
+
+
+def _main_chain(root: str, lo: int, hi: int, idx: dict | None = None) -> list[int]:
     """Versions on the current ref's ancestry within (lo, hi], oldest
     first — branch commits allocate global slots too, so walking
-    ``parent_snapshot_id`` links is the only correct lineage."""
+    ``parent_snapshot_id`` links is the only correct lineage.
+
+    Raises :class:`ChangeFeedGapError` when the walk cannot be followed
+    all the way back to ``lo`` because ``expire_snapshots`` deleted a
+    manifest inside the range — a silent partial chain here meant a
+    streaming resume from an old checkpoint (or batch CDF from version 0)
+    lost the older changes with no error."""
     if hi <= lo:
         return []
-    by_sid = {}
-    want = list(range(lo, hi + 1))
-    for v in want:
-        p = os.path.join(root, "manifests", f"m-{v:010d}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                m = json.load(f)
-            by_sid[m["snapshot_id"]] = m
+    by_sid = idx if idx is not None else _snapshot_index(root)
     chain = []
     cur = _manifest(root, hi)
     while cur and cur["version"] > lo:
         chain.append(cur["version"])
-        cur = by_sid.get(cur.get("parent_snapshot_id"))
+        parent = cur.get("parent_snapshot_id")
+        if parent is None:
+            break  # reached table creation: full history served
+        nxt = by_sid.get(parent)
+        if nxt is None:
+            pv = cur.get("parent_version")
+            if pv is not None and int(pv) <= lo:
+                break  # parent is at/below the requested floor: no gap
+            raise ChangeFeedGapError(
+                f"change feed cannot reach version {lo}: snapshot "
+                f"m-{cur['version']:010d}'s parent ({parent}) was removed by "
+                "expire_snapshots — changes between the expired history and "
+                f"version {cur['version']} are unrecoverable from this table; "
+                "restart the feed from a retained startingVersion"
+            )
+        cur = nxt
     return sorted(chain)
 
 
 def _change_file_partitions(root: str, lo: int, hi: int):
     """One partition per data file ADDED by a merge/bootstrap commit in
     (lo, hi] on the current ref's ancestry — shared by the streaming
-    offsets walk and the batch from/to-version read."""
+    offsets walk and the batch from/to-version read. Each partition
+    carries its manifest entry's schema_id so the change-file read
+    replays only schema events NEWER than the file's era (mirroring
+    _read_bucket; after_sid=0 mis-read post-evolution files whose
+    column names were reused)."""
     parts: list[_ChangeFilePartition] = []
-    for v in _main_chain(root, lo, hi):
-        m = _manifest(root, v)
+    idx = _snapshot_index(root)
+    by_ver = {m["version"]: m for m in idx.values()}
+    for v in _main_chain(root, lo, hi, idx=idx):
+        m = by_ver[v]
         op = m.get("summary", {}).get("op")
         if op not in ("merge", "bootstrap"):
             continue  # compaction/DDL/retention: no logical change
-        parent_paths = set()
-        pv = None
-        # the parent is wherever parent_snapshot_id points; fall back to
-        # nothing for the bootstrap-on-create case
-        for cand in range(v - 1, -1, -1):
-            p = os.path.join(root, "manifests", f"m-{cand:010d}.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    pm = json.load(f)
-                if pm["snapshot_id"] == m.get("parent_snapshot_id"):
-                    pv = cand
-                    parent_paths = {
-                        e["path"] for fs in pm["buckets"].values() for e in fs
-                    }
-                    break
-        if pv is None:
-            parent_paths = set()
+        pm = idx.get(m.get("parent_snapshot_id"))
+        parent_paths = (
+            {e["path"] for fs in pm["buckets"].values() for e in fs} if pm else set()
+        )
         for files in m["buckets"].values():
             for e in files:
                 if e["path"] not in parent_paths:
-                    parts.append(_ChangeFilePartition(v, e["path"]))
+                    parts.append(
+                        _ChangeFilePartition(v, e["path"], int(e.get("schema_id", 0)))
+                    )
     return parts
 
 
@@ -862,8 +917,9 @@ def _read_change_file(meta: _TableMeta, partition: _ChangeFilePartition):
     if BUCKET in tbl.column_names:
         tbl = tbl.drop_columns([BUCKET])
     target = _target_arrow_schema(meta)
-    tbl = _apply_schema_events_arrow(tbl, meta, after_sid=0)
-    tbl = _align_arrow(tbl, target, {})
+    sid = int(partition.schema_id)
+    tbl = _apply_schema_events_arrow(tbl, meta, after_sid=sid)
+    tbl = _align_arrow(tbl, target, _add_defaults(meta, sid))
     deleted = pc.fill_null(tbl.column(DELETED), False)
     ct = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
     user_cols = [f.name for f in meta.user_schema().fields]

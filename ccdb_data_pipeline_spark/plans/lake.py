@@ -840,6 +840,23 @@ class SnapshotParquetTable:
         ref won, our snapshot is retracted and :class:`CommitConflictError`
         tells the caller to re-read and retry (the loser's data files are
         unreferenced; remove_orphans reclaims them)."""
+        # Backfill the engine/normalize blocks on EVERY commit, not only
+        # create(): a table created before these keys existed would
+        # otherwise stay flag-less forever, and the DataSource facade
+        # (which routes the per-bucket fold by engine.first_row and is
+        # schema-blind to first-row-vs-LWW) could silently mis-resolve it.
+        # The handle's spec declares the table's true engine.
+        if "engine" not in m:
+            m["engine"] = {
+                "partial_updates": bool(self.spec.partial_updates),
+                "agg_spec": bool(self.spec.agg_spec),
+                "first_row": bool(self.spec.first_row),
+            }
+        if "normalize" not in m:
+            m["normalize"] = {
+                "ws_cols": list(self.spec.normalize_ws_cols),
+                "empty_to_null_exempt": list(self.spec.empty_to_null_exempt),
+            }
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         while True:
             try:
@@ -1378,6 +1395,7 @@ class SnapshotParquetTable:
         version = self._alloc_version()
         files = self._write_data(df, version=version)
         m = dict(self.manifest())
+        m["parent_version"] = m["version"]
         m["version"] = version
         m["parent_snapshot_id"] = m["snapshot_id"]
         m["snapshot_id"] = uuid.uuid4().hex
@@ -1622,6 +1640,7 @@ class SnapshotParquetTable:
             src.unpersist()
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = buckets
         m["last_batch_id"] = batch_id
@@ -1996,6 +2015,7 @@ class SnapshotParquetTable:
             buckets[str(b)] = list(buckets.get(str(b), [])) + files.get(b, [])
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = buckets
         m["last_batch_id"] = batch_id
@@ -2072,6 +2092,7 @@ class SnapshotParquetTable:
                 buckets[str(b)] = list(buckets.get(str(b), [])) + files.get(b, [])
             m2["version"] = self._alloc_version()
             m2["parent_snapshot_id"] = mc["snapshot_id"]
+            m2["parent_version"] = mc["version"]
             m2["snapshot_id"] = uuid.uuid4().hex
             m2["buckets"] = buckets
             m2["last_batch_id"] = batch_id
@@ -2197,6 +2218,7 @@ class SnapshotParquetTable:
         parent_version = m["version"]
         m["version"] = self._alloc_version()
         m["parent_snapshot_id"] = m["snapshot_id"]
+        m["parent_version"] = parent_version
         m["snapshot_id"] = uuid.uuid4().hex
         m["last_batch_id"] = batch_id
         extra = summary_extra() if callable(summary_extra) else (summary_extra or {})
@@ -2320,6 +2342,7 @@ class SnapshotParquetTable:
         m["version"] = self._alloc_version()
         m["snapshot_id"] = uuid.uuid4().hex
         m["parent_snapshot_id"] = cur["snapshot_id"]
+        m["parent_version"] = cur["version"]
         m["summary"] = {"op": "rollback", "rolled_back_to": version}
         m["committed_at"] = time.time()
         self._commit(m, expected_ref=cur["version"])
@@ -2447,6 +2470,7 @@ class SnapshotParquetTable:
         m["version"] = self._alloc_version()
         m["snapshot_id"] = uuid.uuid4().hex
         m["parent_snapshot_id"] = cur["snapshot_id"]
+        m["parent_version"] = cur["version"]
         m["schemas"] = dict(cur["schemas"])
         m["schemas"][str(new_sid)] = new_schema.jsonValue()
         m["schema"] = new_schema.jsonValue()
@@ -2841,6 +2865,7 @@ class SnapshotParquetTable:
             df = df.drop("_zorder")
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = {**carried, **{str(b): fs for b, fs in files.items()}}
         m["summary"] = {
@@ -2919,6 +2944,7 @@ class SnapshotParquetTable:
             m2 = dict(mc)
             m2["version"] = self._alloc_version()
             m2["parent_snapshot_id"] = mc["snapshot_id"]
+            m2["parent_version"] = mc["version"]
             m2["snapshot_id"] = uuid.uuid4().hex
             m2["buckets"] = buckets
             m2["summary"] = {**summary, "rebased": True}
@@ -2969,6 +2995,7 @@ class SnapshotParquetTable:
             m["buckets"] = {}
         m["version"] = version
         m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["num_buckets"] = new_num_buckets
         m["summary"] = {"op": "rebucket", "from": old, "to": new_num_buckets}
@@ -3136,6 +3163,7 @@ class SnapshotParquetTable:
         m = dict(m0)
         m["version"] = self._alloc_version()
         m["parent_snapshot_id"] = m0["snapshot_id"]
+        m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = buckets
         m["summary"] = {
@@ -3341,6 +3369,7 @@ class SnapshotParquetTable:
         m = json.loads(json.dumps(src_m))  # deep copy
         m["version"] = 0
         m["parent_snapshot_id"] = None
+        m["parent_version"] = None
         m["snapshot_id"] = uuid.uuid4().hex
         m["summary"] = {
             "op": "clone",
