@@ -634,35 +634,7 @@ def point_lookup(spark, sf_dir):
     same shape via per-document index GETs, index_ccdb.py:103-105). The
     oracle replays LWW over the raw stream and filters to the same keys —
     per-key state equality proves the pruned read path loses nothing."""
-    import os
-    import tempfile
-    import uuid
-
-    from .plans.lake import SnapshotParquetTable
-
-    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
-    spec = TableSpec(
-        key_cols=("user_id", "event_type"),
-        bucket_col="user_id",
-        ts_col="ts",
-        lsn_col="event_id",
-        op_col="op",
-        num_buckets=16,
-        merge_mode="mor",
-        empty_to_null_exempt=("props",),
-        normalize_ws_cols=(),
-    )
-    tagged = ev.withColumn(
-        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
-    )
-    deduped = lww_latest(tagged, spec)
-    root = os.path.join(tempfile.gettempdir(), f"cdc-ptlk-{uuid.uuid4().hex}")
-    t = SnapshotParquetTable(spark, root, spec)
-    t.create(
-        deduped.drop(spec.op_col, spec.lsn_col).schema
-    )
-    t.merge(deduped, batch_id=0)
-    t.compact(sort_within_bucket=True)
+    t = _events_lake(spark, sf_dir, "compact_sorted")
     return (
         t.read_keys([1, 7, 42])
         .select(
@@ -697,33 +669,7 @@ def lake_count_fast(spark, sf_dir):
     footer stats route clean files to manifest sums, tombstoned files to a
     pruned scan) and a full ``read().count()``. Both must equal the replay
     oracle's live-key count; emitting the pair pins fast == scan == truth."""
-    import os
-    import tempfile
-    import uuid
-
-    from .plans.lake import SnapshotParquetTable
-
-    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
-    spec = TableSpec(
-        key_cols=("user_id", "event_type"),
-        bucket_col="user_id",
-        ts_col="ts",
-        lsn_col="event_id",
-        op_col="op",
-        num_buckets=16,
-        merge_mode="mor",
-        empty_to_null_exempt=("props",),
-        normalize_ws_cols=(),
-    )
-    tagged = ev.withColumn(
-        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
-    )
-    deduped = lww_latest(tagged, spec)
-    root = os.path.join(tempfile.gettempdir(), f"cdc-cnt-{uuid.uuid4().hex}")
-    t = SnapshotParquetTable(spark, root, spec)
-    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
-    t.merge(deduped, batch_id=0)
-    t.compact(drop_tombstones=False)
+    t = _events_lake(spark, sf_dir, "compact_keep_tomb")
     n_meta = t.count_fast()
     n_scan = t.read().count()
     return spark.createDataFrame(
@@ -752,33 +698,7 @@ def lake_ro_view(spark, sf_dir):
     zero-resolve, pure pushdown-scan path analytical readers take — must
     serve the exact merged state (it is stale only by the compaction lag,
     which is zero here). Same replay oracle as the real-time view."""
-    import os
-    import tempfile
-    import uuid
-
-    from .plans.lake import SnapshotParquetTable
-
-    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
-    spec = TableSpec(
-        key_cols=("user_id", "event_type"),
-        bucket_col="user_id",
-        ts_col="ts",
-        lsn_col="event_id",
-        op_col="op",
-        num_buckets=16,
-        merge_mode="mor",
-        empty_to_null_exempt=("props",),
-        normalize_ws_cols=(),
-    )
-    tagged = ev.withColumn(
-        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
-    )
-    deduped = lww_latest(tagged, spec)
-    root = os.path.join(tempfile.gettempdir(), f"cdc-rov-{uuid.uuid4().hex}")
-    t = SnapshotParquetTable(spark, root, spec)
-    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
-    t.merge(deduped, batch_id=0)
-    t.compact()
+    t = _events_lake(spark, sf_dir, "compact")
     return (
         t.read(read_optimized=True)
         .select(
@@ -792,19 +712,33 @@ def lake_ro_view(spark, sf_dir):
     )
 
 
-def _events_lake(spark, sf_dir, prefix, n_batches=1, **spec_kw):
+_EV_LAKE_CACHE: dict[tuple, str] = {}
+
+
+def _events_lake(spark, sf_dir, variant="plain", *, cache=True, **spec_kw):
     """Shared builder for the lake-path driver queries: the LWW-deduped
-    event stream merged into a fresh MoR SnapshotParquetTable keyed
-    (user_id, event_type), 'error' events routed to DELETE. Returns the
-    table handle; with ``n_batches>1`` the stream splits on event_id so
-    later batches dominate (multi-version history for time travel)."""
+    event stream merged into a MoR SnapshotParquetTable keyed
+    (user_id, event_type), 'error' events routed to DELETE. ``variant``
+    appends table services after the merge:
+
+      plain              delta layers left unfolded (facade read path)
+      compact            compact()
+      compact_sorted     compact(sort_within_bucket=True) (point lookups)
+      compact_keep_tomb  compact(drop_tombstones=False) (count_fast split)
+      zorder             compact(zorder_by=(user_id, ts)) (time slices)
+      2batch             two merges split on event_id (time travel)
+
+    The build is a pure function of (sf_dir, variant, spec), so the table
+    is built ONCE per process and reused across query invocations — a
+    full registry sweep was paying ~100 single-task driver stages PER
+    lake query rebuilding identical tables. Mutating callers (rebucket)
+    pass ``cache=False`` for a private copy."""
     import os
     import tempfile
     import uuid
 
     from .plans.lake import SnapshotParquetTable
 
-    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
     spec = TableSpec(
         key_cols=("user_id", "event_type"),
         bucket_col="user_id",
@@ -817,21 +751,39 @@ def _events_lake(spark, sf_dir, prefix, n_batches=1, **spec_kw):
         normalize_ws_cols=(),
         **spec_kw,
     )
+    key = (str(sf_dir), variant, tuple(sorted(spec_kw.items())))
+    if cache:
+        root = _EV_LAKE_CACHE.get(key)
+        if root is not None and os.path.exists(os.path.join(root, "HEAD")):
+            return SnapshotParquetTable(spark, root, spec)
+    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
     tagged = ev.withColumn(
         "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
     )
-    root = os.path.join(tempfile.gettempdir(), f"cdc-{prefix}-{uuid.uuid4().hex}")
+    root = os.path.join(tempfile.gettempdir(), f"cdc-{variant}-{uuid.uuid4().hex}")
     t = SnapshotParquetTable(spark, root, spec)
-    if n_batches == 1:
+    if variant == "2batch":
+        cutoff = tagged.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+        first = lww_latest(tagged.filter(F.col("event_id") <= cutoff), spec)
+        t.create(first.drop(spec.op_col, spec.lsn_col).schema)
+        t.merge(first, batch_id=0)
+        t.merge(lww_latest(tagged.filter(F.col("event_id") > cutoff), spec), batch_id=1)
+    else:
         deduped = lww_latest(tagged, spec)
         t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
         t.merge(deduped, batch_id=0)
-        return t
-    cutoff = tagged.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
-    first = lww_latest(tagged.filter(F.col("event_id") <= cutoff), spec)
-    t.create(first.drop(spec.op_col, spec.lsn_col).schema)
-    t.merge(first, batch_id=0)
-    t.merge(lww_latest(tagged.filter(F.col("event_id") > cutoff), spec), batch_id=1)
+        if variant == "compact":
+            t.compact()
+        elif variant == "compact_sorted":
+            t.compact(sort_within_bucket=True)
+        elif variant == "compact_keep_tomb":
+            t.compact(drop_tombstones=False)
+        elif variant == "zorder":
+            t.compact(zorder_by=("user_id", "ts"))
+        elif variant != "plain":
+            raise ValueError(f"unknown events-lake variant {variant!r}")
+    if cache:
+        _EV_LAKE_CACHE[key] = root
     return t
 
 
@@ -857,7 +809,7 @@ def lake_time_travel(spark, sf_dir):
     first commit — the oracle replays ONLY events up to the cutoff, so
     equality proves the later batch is invisible to the pinned snapshot
     (version-addressed manifests, no data rewritten)."""
-    t = _events_lake(spark, sf_dir, "ttrv", n_batches=2)
+    t = _events_lake(spark, sf_dir, "2batch")
     v_first = t.current_version() - 1
     return (
         t.read(version=v_first)
@@ -894,7 +846,7 @@ def lake_rebucket(spark, sf_dir):
     under CAS), then read back — state must be byte-identical to the
     replay oracle, proving the rehash lost/duplicated nothing and readers
     route by the NEW manifest-recorded bucket count."""
-    t = _events_lake(spark, sf_dir, "rbkt")
+    t = _events_lake(spark, sf_dir, "plain", cache=False)  # mutates: private copy
     t.rebucket(32)
     return (
         t.read()
@@ -969,38 +921,58 @@ def lake_sql_read(spark, sf_dir):
     with the engine's Arrow fold, drops tombstones, and Spark re-applies
     the filter post-scan (plans/datasource.py). Equality with the replay
     oracle proves an engine-less SQL user sees exactly the merged state."""
-    import os
-    import tempfile
-    import uuid
-
     from .plans.datasource import register
-    from .plans.lake import SnapshotParquetTable
 
-    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
-    spec = TableSpec(
-        key_cols=("user_id", "event_type"),
-        bucket_col="user_id",
-        ts_col="ts",
-        lsn_col="event_id",
-        op_col="op",
-        num_buckets=16,
-        merge_mode="mor",
-        empty_to_null_exempt=("props",),
-        normalize_ws_cols=(),
-    )
-    tagged = ev.withColumn(
-        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
-    )
-    deduped = lww_latest(tagged, spec)
-    root = os.path.join(tempfile.gettempdir(), f"cdc-dsrd-{uuid.uuid4().hex}")
-    t = SnapshotParquetTable(spark, root, spec)
-    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
-    t.merge(deduped, batch_id=0)
+    t = _events_lake(spark, sf_dir, "plain")
     register(spark)
     return (
         spark.read.format("transcript_lake")
-        .load(root)
+        .load(t.root)
         .filter(F.col("user_id").isin(1, 7, 42))
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
+    "lake_stats_prune",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners
+    WHERE rn = 1 AND event_type = 'purchase' AND value >= 100.0
+    ORDER BY user_id, event_type
+    """,
+)
+def lake_stats_prune(spark, sf_dir):
+    """Generic manifest-level column-statistics file skipping (the Iceberg
+    column-metrics analog, round-3 top item): the table declares
+    ``stats_cols=(event_type, value)``, the footer scan records per-FILE
+    min/max for them at write/compaction time, and
+    ``read(where=[(event_type, '=', 'purchase'), (value, '>=', 100.0)])``
+    drops every file whose recorded range proves no match BEFORE any data
+    byte is opened — then applies the exact residual filter (pushed by
+    Catalyst into the surviving parquet scans, where row-group stats prune
+    further). Equality with the replayed-winners oracle proves skipping
+    never drops a matching row; tests/test_stats_pruning.py pins the
+    file-count behavior (impossible predicate -> zero files read)."""
+    t = _events_lake(
+        spark, sf_dir, "compact", stats_cols=("event_type", "value")
+    )
+    return (
+        t.read(where=[("event_type", "=", "purchase"), ("value", ">=", 100.0)])
         .select(
             "user_id",
             "event_type",
@@ -3705,38 +3677,13 @@ def cdc_time_slice(spark, sf_dir):
     pushed-down row-group skipping inside the survivors. The oracle windows
     the LWW winners' ts identically (integer-micros arithmetic on both
     sides, so the bounds are bit-equal)."""
-    import os
-    import tempfile
-    import uuid
-
-    from .plans.lake import SnapshotParquetTable
-
-    ev = _t(spark, sf_dir, "events").withColumn("last_lsn", F.col("event_id"))
-    spec = TableSpec(
-        key_cols=("user_id", "event_type"),
-        bucket_col="user_id",
-        ts_col="ts",
-        lsn_col="event_id",
-        op_col="op",
-        num_buckets=16,
-        merge_mode="mor",
-        empty_to_null_exempt=("props",),
-        normalize_ws_cols=(),
-    )
+    ev = _t(spark, sf_dir, "events")
     # testdata carries TIMESTAMP_NTZ; cast to session-UTC timestamp for micros
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     mn, mx = ev.agg(F.min(us), F.max(us)).first()
     lo = mn + (mx - mn) * 6 // 10
     hi = mn + (mx - mn) * 9 // 10
-    tagged = ev.withColumn(
-        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
-    )
-    deduped = lww_latest(tagged, spec)
-    root = os.path.join(tempfile.gettempdir(), f"cdc-tslice-{uuid.uuid4().hex}")
-    t = SnapshotParquetTable(spark, root, spec)
-    t.create(deduped.drop(spec.op_col, spec.lsn_col).schema)
-    t.merge(deduped, batch_id=0)
-    t.compact(zorder_by=("user_id", "ts"))
+    t = _events_lake(spark, sf_dir, "zorder")
     return (
         t.read_time_range(lo, hi)
         .select(

@@ -186,6 +186,23 @@ def _ts_bounds_us(filters: list) -> tuple[int | None, int | None]:
     return lo, hi
 
 
+def _probe_scalar(v):
+    """Pushed-filter literal -> the encoding manifest column stats use
+    (plans.lake._stat_scalar): tz-naive datetimes interpret in MACHINE-LOCAL
+    time (TimestampType.fromInternal's shape — see _ts_bounds_us), dates as
+    ISO strings, numbers/strings/bools as-is; unencodable -> None (no
+    pruning on that predicate)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
 # ------------------------------------------------------------- batch reader
 
 
@@ -212,6 +229,7 @@ class _TableMeta:
     mode: str
     engine: dict
     has_engine_flag: bool = True
+    stats_cols: tuple = ()
 
     @classmethod
     def load(cls, root: str, version: int | None = None) -> "_TableMeta":
@@ -232,6 +250,7 @@ class _TableMeta:
             mode=m.get("mode", "cow"),
             engine=m.get("engine", {}),
             has_engine_flag="engine" in m,
+            stats_cols=tuple(m.get("stats_cols", ())),
         )
 
     def user_schema(self) -> T.StructType:
@@ -445,6 +464,7 @@ class LakeReader(DataSourceReader):
         self._key_buckets: set[int] | None = None
         self._ts_lo = None
         self._ts_hi = None
+        self._col_preds: list = []  # (col, op, encoded) for stats skipping
 
     def pushFilters(self, filters):
         bcol = self.meta.bucket_col
@@ -476,10 +496,34 @@ class LakeReader(DataSourceReader):
                     self._ts_lo = lo if self._ts_lo is None else max(self._ts_lo, lo)
                 if hi is not None:
                     self._ts_hi = hi if self._ts_hi is None else min(self._ts_hi, hi)
+            elif col in self.meta.stats_cols:
+                # generic column-stats file skipping on declared stat
+                # columns (performance-only: Spark re-applies the filter)
+                op = None
+                if isinstance(f, EqualTo):
+                    op, val = "=", _probe_scalar(f.value)
+                elif isinstance(f, GreaterThan):
+                    op, val = ">", _probe_scalar(f.value)
+                elif isinstance(f, GreaterThanOrEqual):
+                    op, val = ">=", _probe_scalar(f.value)
+                elif isinstance(f, LessThan):
+                    op, val = "<", _probe_scalar(f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    op, val = "<=", _probe_scalar(f.value)
+                elif isinstance(f, In):
+                    vs = tuple(_probe_scalar(v) for v in f.value)
+                    op, val = ("in", vs) if None not in vs else (None, None)
+                if op is not None and val is not None:
+                    self._col_preds.append((col, op, val))
             remaining.append(f)  # Spark re-applies everything: pruning only
         return remaining
 
     def _overlaps(self, e: dict) -> bool:
+        if self._col_preds:
+            from .lake import _file_may_match
+
+            if not _file_may_match(e, self._col_preds):
+                return False
         if self._ts_lo is None and self._ts_hi is None:
             return True
         tl, th = e.get("ts_min"), e.get("ts_max")
@@ -732,6 +776,22 @@ class LakeWriter(DataSourceArrowWriter):
             if ts_user is not None and pc.count(ts_user).as_py():
                 e["ts_min"] = pc.min(ts_user).cast(pa.int64()).as_py()
                 e["ts_max"] = pc.max(ts_user).cast(pa.int64()).as_py()
+            cstats = {}
+            for sc_name in meta.stats_cols:
+                if sc_name not in part.column_names:
+                    continue
+                col = part.column(sc_name)
+                if pc.count(col).as_py() == 0:
+                    continue
+                from .lake import _stat_scalar
+
+                mm = pc.min_max(col)
+                a = _stat_scalar(mm["min"].as_py())
+                z = _stat_scalar(mm["max"].as_py())
+                if a is not None and z is not None:
+                    cstats[sc_name] = [a, z]
+            if cstats:
+                e["stats"] = cstats
             entries.append((int(b), e))
         lsn_all = out.column(LSN_APPLIED)
         return _WriteMessage(

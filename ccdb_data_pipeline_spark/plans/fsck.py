@@ -94,7 +94,7 @@ def fsck(table: SnapshotParquetTable, verify_footers: bool = True) -> dict:
             checked.update(e["path"] for e in entries)
             pairs = [(i, os.path.join(root, e["path"]))
                      for i, e in enumerate(entries)]
-            for i, n, lo, hi, _tlo, _thi, _live in table._footer_scan(pairs):
+            for i, n, lo, hi, _tlo, _thi, _live, _cs in table._footer_scan(pairs):
                 e = entries[i]
                 if n != e["n_rows"]:
                     bad("row_count_drift", version=ver, path=e["path"],

@@ -458,14 +458,75 @@ def _ts_nullfree(pairs, ts_col: str):
     return out
 
 
-def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
-    """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max[, bucket])
-    from parquet footers only (no data pages). Module-level so Spark can ship
-    it to executors without capturing the table object.
+def _stat_scalar(v):
+    """Parquet footer min/max -> JSON-storable, order-preserving scalar:
+    timestamps as epoch micros (ints), dates as ISO strings (lexicographic
+    == chronological), numbers/strings/bools as-is; unencodable -> None
+    (the file then reads conservatively for that column)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return _ts_micros(v)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_may_match(e: dict, preds: list) -> bool:
+    """Conjunctive predicates vs a manifest entry's recorded column stats:
+    False only when some predicate PROVES the file holds no matching row
+    (min/max disjoint from the probed range). Files without stats for a
+    column — legacy entries, undeclared columns, stat-less row groups —
+    always read conservatively; comparisons across incompatible types do
+    too. Null rows never match a comparison predicate, and min/max stats
+    ignore nulls, so skipping on stats alone is sound."""
+    st = e.get("stats") or {}
+    for col, op, val in preds:
+        rng = st.get(col)
+        if not rng or val is None:
+            continue
+        mn, mx = rng
+        try:
+            if op in ("=", "=="):
+                if val < mn or val > mx:
+                    return False
+            elif op == ">":
+                if mx <= val:
+                    return False
+            elif op == ">=":
+                if mx < val:
+                    return False
+            elif op == "<":
+                if mn >= val:
+                    return False
+            elif op == "<=":
+                if mn > val:
+                    return False
+            elif op == "in":
+                if all(v is not None and (v < mn or v > mx) for v in val):
+                    return False
+        except TypeError:
+            continue  # incomparable probe value: read conservatively
+    return True
+
+
+def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None,
+                  stats_cols: tuple = ()):
+    """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max,
+    all_live, col_stats[, bucket]) from parquet footers only (no data
+    pages). Module-level so Spark can ship it to executors without
+    capturing the table object.
 
     ``ts_col`` adds the event-time range (epoch micros; None when the column
     is absent or all-null) — the per-file metric manifest-level time-range
-    pruning reads. With ``with_bucket=True`` the file's bucket is recovered
+    pruning reads. ``stats_cols`` adds {col: [min, max]} for each declared
+    stat column present in the file with usable row-group statistics (the
+    Iceberg per-file column-metrics analog; drives generic predicate file
+    skipping). With ``with_bucket=True`` the file's bucket is recovered
     from the ``_bucket`` column's row-group statistics (flat-layout delta
     files carry the bucket as a data column instead of a hive directory;
     exact shuffle placement guarantees min == max)."""
@@ -523,8 +584,28 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
                 if st.max:
                     all_live = False
                     break
+        cstats = {}
+        for sc_name in stats_cols:
+            if sc_name not in cols:
+                continue
+            s_idx = cols[sc_name]
+            smn = smx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(s_idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False  # any stat-less row group -> no file bound
+                    break
+                a, z = _stat_scalar(st.min), _stat_scalar(st.max)
+                if a is None or z is None:
+                    ok = False
+                    break
+                smn = a if smn is None else min(smn, a)
+                smx = z if smx is None else max(smx, z)
+            if ok and smn is not None:
+                cstats[sc_name] = [smn, smx]
         if not with_bucket:
-            out.append((b, md.num_rows, lo, hi, tlo, thi, all_live))
+            out.append((b, md.num_rows, lo, hi, tlo, thi, all_live, cstats))
             continue
         b_idx = cols[BUCKET]
         bkt_lo = bkt_hi = None
@@ -538,7 +619,7 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None):
                 f"flat delta file {full} spans buckets {bkt_lo}..{bkt_hi}; "
                 "exact shuffle placement should make this impossible"
             )
-        out.append((b, md.num_rows, lo, hi, tlo, thi, all_live, int(bkt_lo)))
+        out.append((b, md.num_rows, lo, hi, tlo, thi, all_live, cstats, int(bkt_lo)))
     return out
 
 
@@ -857,6 +938,8 @@ class SnapshotParquetTable:
                 "ws_cols": list(self.spec.normalize_ws_cols),
                 "empty_to_null_exempt": list(self.spec.empty_to_null_exempt),
             }
+        if "stats_cols" not in m:
+            m["stats_cols"] = list(self.spec.stats_cols)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
         while True:
             try:
@@ -943,6 +1026,10 @@ class SnapshotParquetTable:
             "key_cols": list(self.spec.key_cols),
             "bucket_col": self.spec.bucket_col,
             "buckets": {},  # bucket -> [{path, schema_id}]
+            # declared per-file column-statistics columns (see
+            # TableSpec.stats_cols) — recorded so engine-less readers (the
+            # DataSource facade) know which pushed filters can prune files
+            "stats_cols": list(self.spec.stats_cols),
             # merge-engine flags for engine-less readers/writers (the
             # Python DataSource facade refuses non-LWW tables by these)
             "engine": {
@@ -1022,6 +1109,7 @@ class SnapshotParquetTable:
              buckets: list[int] | None = None,
              columns: list[str] | None = None,
              time_range: tuple | None = None,
+             where: list | None = None,
              read_optimized: bool = False) -> DataFrame:
         """Snapshot read (time travel via ``version``). Excludes tombstones.
 
@@ -1045,6 +1133,17 @@ class SnapshotParquetTable:
         window reads a handful of files, then parquet row-group pruning
         takes over inside them.
 
+        ``where=[(col, op, value), ...]`` (ops ``= > >= < <= in``, ANDed)
+        returns only matching rows (SQL comparison semantics — nulls never
+        match), skipping at the MANIFEST level every file whose recorded
+        per-file min/max (declared via ``TableSpec.stats_cols``) proves it
+        holds no match — the Iceberg column-metrics file-skipping analog,
+        generalized beyond event time. Works on any column; prunes only
+        where stats were declared/recorded (undeclared columns fall back
+        to the residual filter + parquet row-group stats). Same
+        all-or-nothing rule as ``time_range`` for buckets holding delta
+        layers, and composes with it.
+
         In merge-on-read mode, buckets holding unfolded delta files are
         LWW-resolved per key at read time (buckets whose files are all base
         files scan straight through — compaction restores the cheap path).
@@ -1064,6 +1163,23 @@ class SnapshotParquetTable:
         tr_us: tuple[int, int] | None = None
         if time_range is not None:
             tr_us = (_range_bound_us(time_range[0]), _range_bound_us(time_range[1]))
+        preds: list = []  # (col, op, encoded probe) — manifest-level pruning
+        if where:
+            ops = {"=", "==", ">", ">=", "<", "<=", "in"}
+            for col, op, val in where:
+                if col not in schema_fields:
+                    raise ValueError(
+                        f"where references unknown column {col!r}; "
+                        f"table has {schema_fields}"
+                    )
+                if op not in ops:
+                    raise ValueError(f"where op {op!r} not in {sorted(ops)}")
+                enc = (
+                    tuple(_stat_scalar(v) for v in val)
+                    if op == "in"
+                    else _stat_scalar(val)
+                )
+                preds.append((col, op, enc))
         prune: list[str] | None = None
         if columns is not None:
             unknown = sorted(set(columns) - set(schema_fields))
@@ -1072,12 +1188,16 @@ class SnapshotParquetTable:
             want = set(columns)
             if tr_us is not None:
                 want.add(self.spec.ts_col)  # the window filter needs it
+            for col, _op, _v in preds:
+                want.add(col)  # the residual predicate needs it
             prune = list(dict.fromkeys(
                 [*self.spec.key_cols,
                  *[c for c in schema_fields if c in want]]
             ))
 
         def _ts_overlaps(e: dict) -> bool:
+            if preds and not _file_may_match(e, preds):
+                return False
             if tr_us is None:
                 return True
             tl, th = e.get("ts_min"), e.get("ts_max")
@@ -1148,6 +1268,24 @@ class SnapshotParquetTable:
                 (ts >= F.timestamp_micros(F.lit(tr_us[0])))
                 & (ts <= F.timestamp_micros(F.lit(tr_us[1])))
             )
+        if where:
+            # residual predicate (exact semantics; Catalyst pushes it into
+            # the clean-bucket parquet scans, where row-group stats prune
+            # further inside the files the manifest kept)
+            for col, op, val in where:
+                c = F.col(col)
+                if op in ("=", "=="):
+                    df = df.filter(c == F.lit(val))
+                elif op == ">":
+                    df = df.filter(c > F.lit(val))
+                elif op == ">=":
+                    df = df.filter(c >= F.lit(val))
+                elif op == "<":
+                    df = df.filter(c < F.lit(val))
+                elif op == "<=":
+                    df = df.filter(c <= F.lit(val))
+                elif op == "in":
+                    df = df.filter(c.isin(list(val)))
         if not include_internal:
             out_cols = schema_fields if columns is None else list(columns)
             df = df.select(*out_cols)
@@ -1465,12 +1603,14 @@ class SnapshotParquetTable:
         # (Iceberg per-file metrics analog) — drives the publish row-floor
         # audit and file-level pruning; footer-only reads, Spark-parallel
         # above the driver threshold
-        for i, n, lo, hi, tlo, thi, live in self._footer_scan(pairs):
+        for i, n, lo, hi, tlo, thi, live, cstats in self._footer_scan(pairs):
             flat[i].update(n_rows=n, lsn_min=lo, lsn_max=hi)
             if tlo is not None:
                 flat[i].update(ts_min=tlo, ts_max=thi)
             if live is not None:
                 flat[i].update(all_live=live)
+            if cstats:
+                flat[i]["stats"] = cstats
         return files
 
     def _footer_scan(self, pairs: list[tuple[int, str]]):
@@ -1480,12 +1620,13 @@ class SnapshotParquetTable:
         if not pairs:
             return []
         ts_col = self.spec.ts_col
+        stats_cols = tuple(self.spec.stats_cols)
         if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
-            return _footer_stats(pairs, ts_col=ts_col)
+            return _footer_stats(pairs, ts_col=ts_col, stats_cols=stats_cols)
         sc = self.spark.sparkContext
         n_slices = min(len(pairs), sc.defaultParallelism)
         return sc.parallelize(pairs, n_slices).mapPartitions(
-            lambda it: _footer_stats(it, ts_col=ts_col)
+            lambda it: _footer_stats(it, ts_col=ts_col, stats_cols=stats_cols)
         ).collect()
 
     # ------------------------------------------------------------ MERGE
@@ -2145,21 +2286,26 @@ class SnapshotParquetTable:
             if not pairs:
                 return files, []
             ts_col = self.spec.ts_col
+            scols = tuple(self.spec.stats_cols)
             if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
-                fstats = _footer_stats(pairs, with_bucket=True, ts_col=ts_col)
+                fstats = _footer_stats(pairs, with_bucket=True, ts_col=ts_col,
+                                       stats_cols=scols)
             else:
                 sc = self.spark.sparkContext
                 n_slices = min(len(pairs), sc.defaultParallelism)
                 fstats = sc.parallelize(pairs, n_slices).mapPartitions(
-                    lambda it: _footer_stats(it, with_bucket=True, ts_col=ts_col)
+                    lambda it: _footer_stats(it, with_bucket=True, ts_col=ts_col,
+                                             stats_cols=scols)
                 ).collect()
             stats = []
-            for i, n, lo, hi, tlo, thi, live, b in fstats:
+            for i, n, lo, hi, tlo, thi, live, cs, b in fstats:
                 entries[i].update(n_rows=n)
                 if tlo is not None:
                     entries[i].update(ts_min=tlo, ts_max=thi)
                 if live is not None:
                     entries[i].update(all_live=live)
+                if cs:
+                    entries[i]["stats"] = cs
                 files.setdefault(b, []).append(entries[i])
                 stats.append((b, n, lo, hi))
         else:
@@ -2182,21 +2328,24 @@ class SnapshotParquetTable:
             if not pairs:
                 return files, []
             ts_col = self.spec.ts_col
+            scols = tuple(self.spec.stats_cols)
             if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
-                fstats = _footer_stats(pairs, ts_col=ts_col)
+                fstats = _footer_stats(pairs, ts_col=ts_col, stats_cols=scols)
             else:
                 sc = self.spark.sparkContext
                 n_slices = min(len(pairs), sc.defaultParallelism)
                 fstats = sc.parallelize(pairs, n_slices).mapPartitions(
-                    lambda it: _footer_stats(it, ts_col=ts_col)
+                    lambda it: _footer_stats(it, ts_col=ts_col, stats_cols=scols)
                 ).collect()
             stats = []
-            for i, n, lo, hi, tlo, thi, live in fstats:
+            for i, n, lo, hi, tlo, thi, live, cs in fstats:
                 entries[i].update(n_rows=n)
                 if tlo is not None:
                     entries[i].update(ts_min=tlo, ts_max=thi)
                 if live is not None:
                     entries[i].update(all_live=live)
+                if cs:
+                    entries[i]["stats"] = cs
                 stats.append((entry_bucket[i], n, lo, hi))
         agg: dict[int, list] = {}
         for b, n, lo, hi in stats:

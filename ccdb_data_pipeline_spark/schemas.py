@@ -245,6 +245,19 @@ class TableSpec:
     # partition. MoR delta appends are never split (they are already
     # batch-sized and short-lived).
     max_file_rows: int | None = 4_000_000
+    # declared column-statistics columns (Iceberg metrics-config analog):
+    # the footer scan records per-FILE min/max for each listed payload
+    # column into the manifest entry ({"stats": {col: [min, max]}}), and
+    # read(where=[(col, op, value), ...]) / the DataSource pushed-filter
+    # path skip whole files (and whole buckets, all-or-nothing under MoR
+    # deltas) on ANY of them before a single byte of data is opened — the
+    # biggest IO lever a 100 TB scan has beyond bucketing. Event-time
+    # (``ts_col``) and the bucket key are always pruned natively; declare
+    # here the OTHER payload columns queries range over. Costless at write
+    # (the footer scan already reads those footers); per-entry manifest
+    # bytes are the only overhead, so declare the few columns that matter
+    # rather than every column.
+    stats_cols: tuple[str, ...] = ()
 
     def bloom_write_options(self) -> dict[str, str]:
         if not self.bloom_filter:
