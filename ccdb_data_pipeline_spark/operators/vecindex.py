@@ -108,13 +108,40 @@ class IncrementalVectorIndex:
             F.lit("U").alias("op"),
         )
 
-    def refresh(self, src: SnapshotParquetTable, centroids: DataFrame | None = None) -> dict:
-        """Fold all source changes since the last refresh into the index."""
+    def refresh(
+        self,
+        src: SnapshotParquetTable,
+        centroids: DataFrame | None = None,
+        train_k: int | None = None,
+        train_iters: int = 3,
+        train_seed: int = 42,
+    ) -> dict:
+        """Fold all source changes since the last refresh into the index.
+
+        First build takes the coarse quantizer either as an explicit
+        ``centroids`` frame (the FAISS retrain-offline path) or — with
+        ``train_k`` — trains it IN-ENGINE from the source's current
+        vectors via distributed k-means|| + Lloyd
+        (operators.similarity.train_centroids), making the index
+        self-contained end-to-end (round-2 verdict #2)."""
         cur = src.current_version()
         applied = self.applied_version()
         if applied < 0:
+            if centroids is None and train_k is not None:
+                from .similarity import train_centroids
+
+                centroids = train_centroids(
+                    src.read(version=cur).select(*self.key_cols, self.vec_col),
+                    k=train_k,
+                    iters=train_iters,
+                    id_col=self.key_cols[0],
+                    vec_col=self.vec_col,
+                    seed=train_seed,
+                )
             if centroids is None:
-                raise ValueError("first refresh requires a centroids DataFrame")
+                raise ValueError(
+                    "first refresh requires a centroids DataFrame or train_k="
+                )
             centroids.write.mode("overwrite").parquet(self._centroid_dir)
             batch = self._assign(src.read(version=cur), cur)
             self.table.create(batch.drop("op", "ivx_lsn").schema)
