@@ -27,10 +27,22 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def with_token_count(df: DataFrame, text_col: str = "text",
-                     out_col: str = "n_tokens") -> DataFrame:
-    """Whitespace token count over normalized text (codegen'd; matches the
-    DuckDB oracle's ``len(string_split(...))`` exactly, including the
-    empty-string -> 1 edge both engines share)."""
+                     out_col: str = "n_tokens", tokenizer=None) -> DataFrame:
+    """Token count per row. Default: whitespace count over normalized text
+    (codegen'd; matches the DuckDB oracle's ``len(string_split(...))``
+    exactly, including the empty-string -> 1 edge both engines share).
+
+    With ``tokenizer`` (a functions.bpe.BpeTokenizer): TOKENIZER-FAITHFUL
+    counts — the vocab's merge table rides in the Arrow-batched UDF
+    closure and each unique pre-token encodes once per executor (round-2
+    verdict #3: everything budgeted in "tokens" — pack_sequences,
+    context_budget, mix_token_share — can now budget in real BPE tokens
+    by passing the production vocab here)."""
+    if tokenizer is not None:
+        from ..functions.bpe import count_tokens_udf
+
+        udf = count_tokens_udf(tokenizer.merges, tokenizer.byte_level)
+        return df.withColumn(out_col, udf(F.col(text_col)))
     words = F.split(
         F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
         " ",
