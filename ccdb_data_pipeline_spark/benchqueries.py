@@ -985,6 +985,54 @@ def lake_stats_prune(spark, sf_dir):
 
 
 @q(
+    "lake_dv_delete",
+    """
+    WITH winners AS (
+      SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    )
+    SELECT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           ts AS last_ts, event_id AS last_lsn
+    FROM winners
+    WHERE rn = 1 AND event_type <> 'error'
+      AND NOT (event_type = 'click' AND coalesce(value, 0) < 50.0)
+    ORDER BY user_id, event_type
+    """,
+)
+def lake_dv_delete(spark, sf_dir):
+    """Bulk DELETE WHERE via DELETION VECTORS (round-3 item #5,
+    plans/lake.py delete_where_dv): position-delete sidecars per base file
+    instead of per-row tombstones — O(positions) write, and the affected
+    buckets STAY on the plain-scan read path (no delta layer, no LWW
+    resolve; the read drops positions via anti-join / per-file bitmap).
+    The table is compacted, DV-deleted on a payload predicate, and read
+    back; equality with the replay-oracle-minus-predicate proves the
+    positional erase is exact. tests/test_deletion_vectors.py pins replay
+    equality vs the tombstone path, count_fast exactness, facade parity,
+    re-delete union, time travel, and physical reclamation."""
+    import datetime as _dt
+
+    t = _events_lake(spark, sf_dir, "compact", cache=False)  # mutates: private copy
+    t.delete_where_dv(
+        "event_type = 'click' AND coalesce(value, 0) < 50.0",
+        ts=_dt.datetime(2031, 1, 1),
+    )
+    return (
+        t.read()
+        .select(
+            "user_id",
+            "event_type",
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            "last_lsn",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
     "bpe_token_budget",
     r"""
     SELECT doc_id,

@@ -407,6 +407,24 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
             tbl = pf.read()
             if BUCKET in tbl.column_names:
                 tbl = tbl.drop_columns([BUCKET])
+        if e.get("dv"):
+            # deletion-vector sidecar: drop the recorded row positions with
+            # a plain numpy bitmap over the file — O(bitmap), no resolve
+            # (the facade twin of _read_files' anti-join)
+            import numpy as np
+            import pyarrow.compute as pc
+
+            dvt = pq.read_table(os.path.join(meta.root, e["dv"]["path"]))
+            base = "/".join(e["path"].replace(os.sep, "/").split("/")[-2:])
+            positions = (
+                dvt.filter(pc.equal(dvt.column("path"), base))
+                .column("pos")
+                .to_numpy(zero_copy_only=False)
+            )
+            if positions.size:
+                mask = np.ones(len(tbl), dtype=bool)
+                mask[positions] = False
+                tbl = tbl.filter(pa.array(mask))
         tbl = _apply_schema_events_arrow(tbl, meta, after_sid=sid)
         tbl = _align_arrow(tbl, target, _add_defaults(meta, sid))
         pieces.append(tbl)

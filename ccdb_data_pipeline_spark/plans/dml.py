@@ -339,7 +339,9 @@ def purge_where(
                 if e["path"] not in seen
             ]
             seen.update(e["path"] for e in entries)
-            df = table._read_files(entries, m)
+            # apply_dv=False: DV-deleted rows are LOGICALLY gone but their
+            # bytes are still present — the attestation must see them
+            df = table._read_files(entries, m, apply_dv=False)
             if df is None:
                 continue
             n_files += len(entries)

@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -474,6 +475,14 @@ def _stat_scalar(v):
     if isinstance(v, (bool, int, float, str)):
         return v
     return None
+
+
+def _dv_key(rel_path: str) -> str:
+    """Deletion-vector file key: the last two path components (bucket dir +
+    part basename). A bare basename is NOT unique — one Spark write job
+    reuses the same part-XXXXX-<job-uuid> name in every bucket directory
+    it writes."""
+    return "/".join(rel_path.replace(os.sep, "/").split("/")[-2:])
 
 
 def _file_may_match(e: dict, preds: list) -> bool:
@@ -1078,20 +1087,51 @@ class SnapshotParquetTable:
             fields.append(T.StructField(AGG_N, T.LongType(), False))
         return T.StructType(fields)
 
-    def _read_files(self, entries: list[dict], m: dict) -> DataFrame | None:
+    def _read_files(self, entries: list[dict], m: dict,
+                    apply_dv: bool = True, with_pos: bool = False) -> DataFrame | None:
         """Read data files grouped by their written schema era, align each era
         to the current schema (evolution: old int32 files -> current int64),
-        and union. Returns None when there are no files."""
+        and union. Returns None when there are no files.
+
+        Entries carrying a deletion-vector sidecar (``e["dv"]`` — written by
+        :meth:`delete_where_dv`) have those positions dropped here, so every
+        consumer (read, compaction, count_fast's scan path, merge's CoW
+        target) sees DV-deleted rows as gone. ``apply_dv=False`` is for the
+        purge attestation, which must see the bytes that are still
+        physically present. ``with_pos=True`` keeps the per-row
+        ``(_dv_base, _dv_pos)`` file-position columns (parquet ``_metadata``
+        — basename + row index) for the DV writer itself."""
         if not entries:
             return None
         cur = self._internal_schema(T.StructType.fromJson(m["schema"]))
-        by_sid: dict[int, list[str]] = {}
+        by_sid: dict[int, list[dict]] = {}
         for e in entries:
-            by_sid.setdefault(e["schema_id"], []).append(os.path.join(self.root, e["path"]))
+            by_sid.setdefault(e["schema_id"], []).append(e)
+        dv_dirs = sorted(
+            {e["dv"]["path"] for e in entries if e.get("dv")}
+        ) if apply_dv else []
+        dv_total = sum(e["dv"]["n_deleted"] for e in entries if e.get("dv")) if apply_dv else 0
         parts = []
-        for sid, paths in by_sid.items():
+        for sid, group in by_sid.items():
+            paths = [os.path.join(self.root, e["path"]) for e in group]
             era = self._internal_schema(T.StructType.fromJson(m["schemas"][str(sid)]))
             df = self.spark.read.schema(era).parquet(*paths)
+            need_pos = with_pos or (apply_dv and any(e.get("dv") for e in group))
+            if need_pos:
+                # hidden parquet metadata: the last TWO path components
+                # (bucket dir + part basename) are unique per table — a
+                # bare basename is NOT (one write job reuses the same
+                # part-XXXXX name in every bucket dir it touches);
+                # row_index is the in-file position. Selected at the scan
+                # so it survives renames/alignment.
+                fp = F.split(F.col("_metadata.file_path"), "/")
+                df = df.select(
+                    "*",
+                    F.concat_ws(
+                        "/", F.element_at(fp, -2), F.element_at(fp, -1)
+                    ).alias("_dv_base"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
             # rename/drop events that postdate this era rewrite its column
             # names BEFORE alignment (Iceberg field-id semantics: the stored
             # column IS the renamed field; a dropped-then-re-added name is a
@@ -1099,10 +1139,31 @@ class SnapshotParquetTable:
             # Applied in sid order so chains (a->b then b->c; drop x then
             # rename y->x) compose.
             df = _apply_schema_events(df, m, after_sid=sid)
-            parts.append(align_to_schema(df, cur))
+            aligned = align_to_schema(df, cur)
+            if not need_pos and (with_pos or dv_dirs):
+                # keep the union's shape consistent across era groups
+                aligned = aligned.withColumn(
+                    "_dv_base", F.lit(None).cast("string")
+                ).withColumn("_dv_pos", F.lit(None).cast("long"))
+            parts.append(aligned)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dv_dirs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.root, d) for d in dv_dirs]
+            ).select(
+                F.col("path").alias("_dv_base"), F.col("pos").alias("_dv_pos")
+            )
+            # the DV side is positions-only (16 bytes/row); broadcast while
+            # small, fall back to an AQE-planned join for huge delete sets
+            if dv_total <= 5_000_000:
+                dv = F.broadcast(dv)
+            out = out.join(dv, ["_dv_base", "_dv_pos"], "left_anti")
+        if not with_pos and (dv_dirs or any(
+            c in out.columns for c in ("_dv_base", "_dv_pos")
+        )):
+            out = out.drop("_dv_base", "_dv_pos")
         return out
 
     def read(self, version: int | None = None, include_internal: bool = False,
@@ -1295,6 +1356,139 @@ class SnapshotParquetTable:
         """Event-time window read — ``read(time_range=(lo, hi))``."""
         return self.read(time_range=(lo, hi), **kw)
 
+    def delete_where_dv(self, predicate: str, ts=None) -> dict:
+        """Bulk ``DELETE WHERE`` via POSITION-DELETE sidecars — the Delta
+        deletion-vector / Iceberg positional-delete analog (round-2 verdict
+        item #5). The tombstone path (plans/dml.delete_where) writes one
+        delta ROW per deleted row and flips its whole bucket into the
+        resolve-at-read state: O(deleted rows) write amplification and a
+        per-key fold on every subsequent read until compaction. This writes
+        one sidecar of (file-basename, row-position) pairs — O(positions),
+        16 bytes each — and the affected buckets STAY on the plain-scan
+        path: the read drops the positions with an anti-join (engine) or a
+        numpy bitmap mask per file (DataSource facade), never a resolve.
+
+        Scope and semantics (the same trade Delta/Iceberg make):
+        * applies to BASE files in delta-free buckets; matched rows living
+          in buckets with unfolded delta layers fall back to the tombstone
+          path automatically (a position into an unresolved layer is
+          meaningless) — the report says how many went each way;
+        * a DV delete is TABLE-level maintenance, not a CDC event: it does
+          not enter the lineage ledger or the change feed, and it carries
+          no LWW dominance — a later upstream upsert for a DV-deleted key
+          re-inserts it. For CDC-correct deletes (resurrection protection,
+          feed visibility) use delete_where;
+        * time travel to pre-DV snapshots still sees the rows (the sidecar
+          is referenced only by the new manifest); a hard purge must still
+          run purge_where — the attestation scan reads with apply_dv=False
+          precisely so DV'd bytes are not mistaken for erased ones;
+        * re-deleting from a file that already carries a DV unions the old
+          positions into the new sidecar (one sidecar pointer per entry);
+          compaction/CoW rewrites drop the positions physically and shed
+          the pointer.
+
+        Returns {"n_dv_positions", "n_files_with_dv", "n_tombstoned",
+        "version"}."""
+        import datetime as _dt
+
+        ts = ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        m0 = dict(self.manifest())
+        clean: list[dict] = []
+        dirty_buckets: list[int] = []
+        for b, files in m0["buckets"].items():
+            if any(e.get("delta") for e in files):
+                dirty_buckets.append(int(b))
+            else:
+                clean.extend(files)
+        report = {"n_dv_positions": 0, "n_files_with_dv": 0,
+                  "n_tombstoned": 0, "version": m0["version"]}
+        counts: dict[str, int] = {}
+        sidecar_rel = None
+        if clean:
+            df = self._read_files(clean, m0, with_pos=True)
+            vis = df.filter(~F.col(DELETED))
+            if PATCH in df.columns:
+                vis = vis.filter(~F.col(PATCH))
+            matched = vis.filter(predicate).select(
+                F.col("_dv_base").alias("path"), F.col("_dv_pos").alias("pos")
+            )
+            sidecar_rel = os.path.join("dv", f"dv-{uuid.uuid4().hex[:12]}")
+            out_dir = os.path.join(self.root, sidecar_rel)
+            to_write = matched
+            old_dirs = sorted({e["dv"]["path"] for e in clean if e.get("dv")})
+            if old_dirs:
+                # carry forward prior positions of files touched again this
+                # round (they were invisible to the predicate scan above)
+                old = self.spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in old_dirs]
+                ).select("path", "pos")
+                to_write = matched.unionByName(
+                    old.join(matched.select("path").distinct(), "path", "left_semi")
+                )
+            to_write.write.mode("overwrite").parquet(out_dir)
+            counts = {
+                r["path"]: r["n"]
+                for r in self.spark.read.parquet(out_dir)
+                .groupBy("path")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if not counts:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                sidecar_rel = None
+        if counts:
+            by_base = {_dv_key(e["path"]) for e in clean}
+            unknown = sorted(set(counts) - by_base)
+            if unknown:
+                raise AssertionError(f"DV positions for unknown files: {unknown}")
+            new_total = self.spark.read.parquet(
+                os.path.join(self.root, sidecar_rel)
+            ).count()
+            prior = sum(
+                e["dv"]["n_deleted"] for e in clean
+                if e.get("dv") and _dv_key(e["path"]) in counts
+            )
+            report["n_dv_positions"] = new_total - prior
+            report["n_files_with_dv"] = len(counts)
+            buckets = {}
+            for b, files in m0["buckets"].items():
+                out_files = []
+                for e in files:
+                    base = _dv_key(e["path"])
+                    if base in counts:
+                        e = dict(e)
+                        e["dv"] = {"path": sidecar_rel, "n_deleted": counts[base]}
+                    out_files.append(e)
+                buckets[b] = out_files
+            m = dict(m0)
+            m["version"] = self._alloc_version()
+            m["parent_snapshot_id"] = m0["snapshot_id"]
+            m["parent_version"] = m0["version"]
+            m["snapshot_id"] = uuid.uuid4().hex
+            m["buckets"] = buckets
+            m["summary"] = {
+                "op": "dv_delete",
+                "n_new_positions": report["n_dv_positions"],
+                "n_files": len(counts),
+            }
+            m["committed_at"] = time.time()
+            self._commit(m, expected_ref=m0["version"])
+            report["version"] = m["version"]
+        if dirty_buckets:
+            matched_d = self.read(buckets=dirty_buckets).filter(predicate)
+            n_d = matched_d.count()
+            if n_d:
+                from .apply import apply_changes
+                from .dml import _as_events
+
+                ev = _as_events(
+                    self, matched_d.select(*self.spec.key_cols), "D", ts
+                )
+                st = apply_changes(self, ev, batch_id=self.last_batch_id + 1)
+                report["n_tombstoned"] = st.n_delete
+                report["version"] = st.version
+        return report
+
     def count_fast(self, version: int | None = None) -> int:
         """Exact live-row count, metadata-first (the Iceberg manifest-count
         analog): a bucket whose files are all base files with tombstone-free
@@ -1311,7 +1505,10 @@ class SnapshotParquetTable:
                 e.get("all_live") and e.get("n_rows") is not None for e in files
             )
             if fast:
-                total += sum(e["n_rows"] for e in files)
+                total += sum(
+                    e["n_rows"] - e.get("dv", {}).get("n_deleted", 0)
+                    for e in files
+                )
             else:
                 scan_buckets.append(int(b))
         if scan_buckets:
