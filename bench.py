@@ -69,6 +69,11 @@ HEADLINE = [
     "cdc_time_slice",
     "dedup_span_scrub",
     "cdc_seqgroup_apply",
+    # round-3 additions
+    "lake_stats_prune",
+    "ann_train_assign",
+    "lake_dv_delete",
+    "bpe_token_budget",
 ]
 
 

@@ -67,6 +67,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from . import fsio
 from ..schemas import BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED
 
 _MASK = (1 << 64) - 1
@@ -149,13 +150,13 @@ def _key_bucket(value, num_buckets: int, spark_type: str = "string") -> int | No
 
 
 def _head_version(root: str) -> int:
-    with open(os.path.join(root, "HEAD")) as f:
-        return int(f.read().strip())
+    return int(fsio.read_text(os.path.join(root, "HEAD")).strip())
 
 
 def _manifest(root: str, version: int) -> dict:
-    with open(os.path.join(root, "manifests", f"m-{version:010d}.json")) as f:
-        return json.load(f)
+    return json.loads(
+        fsio.read_text(os.path.join(root, "manifests", f"m-{version:010d}.json"))
+    )
 
 
 def _ts_bounds_us(filters: list) -> tuple[int | None, int | None]:
@@ -379,7 +380,7 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
         )
     pieces = []
     for e in part.entries:
-        pf = pq.ParquetFile(os.path.join(meta.root, e["path"]))
+        pf = pq.ParquetFile(fsio.open_input(os.path.join(meta.root, e["path"])))
         phys = list(pf.schema_arrow.names)
         if PATCH in phys or "_agg_reset" in phys:
             raise ValueError(
@@ -414,7 +415,8 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
             import numpy as np
             import pyarrow.compute as pc
 
-            dvt = pq.read_table(os.path.join(meta.root, e["dv"]["path"]))
+            dv_fs, dv_p = fsio.resolve(os.path.join(meta.root, e["dv"]["path"]))
+            dvt = pq.read_table(dv_p, filesystem=dv_fs)
             base = "/".join(e["path"].replace(os.sep, "/").split("/")[-2:])
             positions = (
                 dvt.filter(pc.equal(dvt.column("path"), base))
@@ -767,7 +769,7 @@ class LakeWriter(DataSourceArrowWriter):
         buckets = bucket_of(bvals, meta.num_buckets, btype)
         out = out.append_column(BUCKET, pa.array(buckets, pa.int32()))
         rel_dir = os.path.join("data", f"wds-{uuid.uuid4().hex[:12]}")
-        os.makedirs(os.path.join(meta.root, rel_dir), exist_ok=True)
+        fsio.makedirs(os.path.join(meta.root, rel_dir))
         entries = []
         import numpy as np
 
@@ -775,9 +777,8 @@ class LakeWriter(DataSourceArrowWriter):
             part = out.filter(pa.array(buckets == b))
             fn = f"b{int(b):05d}-{uuid.uuid4().hex[:8]}.parquet"
             rel = os.path.join(rel_dir, fn)
-            pq.write_table(
-                part, os.path.join(meta.root, rel), compression="zstd"
-            )
+            w_fs, w_p = fsio.resolve(os.path.join(meta.root, rel))
+            pq.write_table(part, w_p, filesystem=w_fs, compression="zstd")
             # per-file metrics straight from the arrays (Iceberg per-file
             # stats analog; no footer re-read)
             lsn = part.column(LSN_APPLIED)
@@ -867,8 +868,8 @@ class LakeWriter(DataSourceArrowWriter):
                 continue
             for _b, e in msg.entries:
                 try:
-                    os.remove(os.path.join(self.meta.root, e["path"]))
-                except OSError:
+                    fsio.remove(os.path.join(self.meta.root, e["path"]))
+                except (OSError, FileNotFoundError):
                     pass
 
 
@@ -913,10 +914,9 @@ def _snapshot_index(root: str) -> dict:
     manifest reads per change-feed batch on long histories)."""
     idx = {}
     mdir = os.path.join(root, "manifests")
-    for fn in sorted(os.listdir(mdir)):
+    for fn in fsio.listdir(mdir):
         if fn.startswith("m-") and fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                m = json.load(f)
+            m = json.loads(fsio.read_text(os.path.join(mdir, fn)))
             idx[m["snapshot_id"]] = m
     return idx
 
@@ -991,7 +991,8 @@ def _read_change_file(meta: _TableMeta, partition: _ChangeFilePartition):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(meta.root, partition.path))
+    _cf_fs, _cf_p = fsio.resolve(os.path.join(meta.root, partition.path))
+    tbl = pq.read_table(_cf_p, filesystem=_cf_fs)
     if BUCKET in tbl.column_names:
         tbl = tbl.drop_columns([BUCKET])
     target = _target_arrow_schema(meta)

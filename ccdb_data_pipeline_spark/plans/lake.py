@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fsio
 from ..operators.dedupe import EPOCH, lww_order
 from ..operators.evolve import align_to_schema, evolve_schema
 from ..schemas import (
@@ -719,6 +720,9 @@ def _apply_schema_events(df: DataFrame, m: dict, after_sid: int) -> DataFrame:
 
 
 def _atomic_write(path: str, data: str) -> None:
+    if "://" in path:
+        fsio.write_atomic(path, data)  # one object PUT: atomic per key
+        return
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(data)
@@ -742,7 +746,17 @@ class CommitConflictError(RuntimeError):
 def _atomic_write_exclusive(path: str, data: str) -> None:
     """Compare-and-swap on a version slot: write a temp file, then ``link``
     it to the final name — link(2) fails atomically if the slot is taken, so
-    two racing writers can never both believe they own one version."""
+    two racing writers can never both believe they own one version.
+    Remote schemes route through fsio.write_exclusive (probe-then-put;
+    see plans/fsio.py for the object-store conditional-put discussion)."""
+    if "://" in path:
+        try:
+            fsio.write_exclusive(path, data)
+        except fsio.ExclusiveCreateError:
+            raise CommitConflictError(
+                f"snapshot version slot already committed by another writer: {path}"
+            ) from None
+        return
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(data)
@@ -827,7 +841,7 @@ class SnapshotParquetTable:
         return os.path.join(self.root, "manifests", f"m-{version:010d}.json")
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.root, "HEAD"))
+        return fsio.exists(os.path.join(self.root, "HEAD"))
 
     def _max_slot(self) -> int:
         """Highest allocated version slot across ALL refs (one readdir —
@@ -836,18 +850,16 @@ class SnapshotParquetTable:
         case so writers don't burn a conflict-retry per contended commit."""
         mdir = os.path.join(self.root, "manifests")
         mx = -1
-        if os.path.isdir(mdir):
-            for fn in os.listdir(mdir):
-                if fn.startswith("m-") and fn.endswith(".json"):
-                    mx = max(mx, int(fn[2:12]))
+        for fn in fsio.listdir(mdir):
+            if fn.startswith("m-") and fn.endswith(".json"):
+                mx = max(mx, int(fn[2:12]))
         return mx
 
     def _alloc_version(self) -> int:
         return max(self._max_slot(), self.manifest()["version"]) + 1
 
     def current_version(self) -> int:
-        with open(self._head_path) as f:
-            return int(f.read().strip())
+        return int(fsio.read_text(self._head_path).strip())
 
     def refresh(self) -> "SnapshotParquetTable":
         """Drop the cached manifest so the next read sees commits made by
@@ -863,11 +875,9 @@ class SnapshotParquetTable:
             if self._manifest is not None:
                 return self._manifest
             version = self.current_version()
-            with open(self._manifest_path(version)) as f:
-                self._manifest = json.load(f)
+            self._manifest = json.loads(fsio.read_text(self._manifest_path(version)))
             return self._manifest
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        return json.loads(fsio.read_text(self._manifest_path(version)))
 
     @property
     def schema(self) -> T.StructType:
@@ -893,20 +903,31 @@ class SnapshotParquetTable:
         import contextlib
 
         lock_dir = f"{self._head_path}.lock"
+        remote = "://" in lock_dir
 
         @contextlib.contextmanager
         def _cm():
             deadline = time.time() + timeout
             while True:
                 try:
-                    os.mkdir(lock_dir)
+                    if remote:
+                        # marker-object mutex: probe-then-put (production
+                        # object-store deployments CAS the ref through a
+                        # catalog instead; see plans/fsio.py)
+                        fsio.write_exclusive(lock_dir, str(time.time()))
+                    else:
+                        os.mkdir(lock_dir)
                     break
-                except FileExistsError:
+                except (FileExistsError, fsio.ExclusiveCreateError):
                     try:
-                        if time.time() - os.path.getmtime(lock_dir) > stale_after:
-                            os.rmdir(lock_dir)
+                        if remote:
+                            held = time.time() - float(fsio.read_text(lock_dir))
+                        else:
+                            held = time.time() - os.path.getmtime(lock_dir)
+                        if held > stale_after:
+                            (fsio.remove if remote else os.rmdir)(lock_dir)
                             continue
-                    except OSError:
+                    except (OSError, ValueError):
                         pass
                     if time.time() > deadline:
                         raise TimeoutError(f"ref lock busy: {lock_dir}")
@@ -915,7 +936,7 @@ class SnapshotParquetTable:
                 yield
             finally:
                 try:
-                    os.rmdir(lock_dir)
+                    (fsio.remove if remote else os.rmdir)(lock_dir)
                 except OSError:
                     pass
 
@@ -949,7 +970,7 @@ class SnapshotParquetTable:
             }
         if "stats_cols" not in m:
             m["stats_cols"] = list(self.spec.stats_cols)
-        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        fsio.makedirs(os.path.join(self.root, "manifests"))
         while True:
             try:
                 _atomic_write_exclusive(
@@ -966,7 +987,7 @@ class SnapshotParquetTable:
             cur = self.current_version()
             if cur != expected_ref:
                 # stale snapshot: based on a parent this ref moved past
-                os.remove(self._manifest_path(m["version"]))
+                fsio.remove(self._manifest_path(m["version"]))
                 self._manifest = None
                 raise CommitConflictError(
                     f"ref {self.ref} moved {expected_ref} -> {cur} during commit; "
@@ -1021,7 +1042,7 @@ class SnapshotParquetTable:
                     raise ValueError(
                         f"sequence column {s!r} must be an integer type, got {st}"
                     )
-        os.makedirs(self.root, exist_ok=True)
+        fsio.makedirs(self.root)
         m = {
             "version": 0,
             "snapshot_id": uuid.uuid4().hex,
@@ -2679,7 +2700,7 @@ class SnapshotParquetTable:
         until expired. Restoring the old ``last_batch_id`` / ``last_lsn``
         re-opens the exactly-once ledger so the rolled-back batches can be
         replayed."""
-        if not os.path.exists(self._manifest_path(version)):
+        if not fsio.exists(self._manifest_path(version)):
             raise ValueError(f"no manifest for version {version}")
         old, cur = self.manifest(version), self.manifest()
         if version == cur["version"]:
@@ -2856,7 +2877,7 @@ class SnapshotParquetTable:
         if name == "main":
             raise ValueError("'main' is the published ref, not a branch name")
         refs_dir = os.path.join(self.root, "refs")
-        os.makedirs(refs_dir, exist_ok=True)
+        fsio.makedirs(refs_dir)
         _atomic_write_exclusive(
             os.path.join(refs_dir, name), str(self.current_version())
         )
@@ -2864,11 +2885,11 @@ class SnapshotParquetTable:
 
     def branches(self) -> dict[str, int]:
         refs_dir = os.path.join(self.root, "refs")
-        out = {}
-        for fn in os.listdir(refs_dir) if os.path.isdir(refs_dir) else []:
-            with open(os.path.join(refs_dir, fn)) as f:
-                out[fn] = int(f.read().strip())
-        return out
+        return {
+            fn: int(fsio.read_text(os.path.join(refs_dir, fn)).strip())
+            for fn in fsio.listdir(refs_dir)
+            if not fn.endswith(".lock")
+        }
 
     # ------------------------------------------------------------ tags
 
@@ -2879,10 +2900,10 @@ class SnapshotParquetTable:
         tag lives. Unlike a branch, a tag can never advance; creating over
         an existing name raises. Returns the pinned version."""
         v = self.current_version() if version is None else int(version)
-        if not os.path.exists(self._manifest_path(v)):
+        if not fsio.exists(self._manifest_path(v)):
             raise ValueError(f"version {v} does not exist")
         tags_dir = os.path.join(self.root, "tags")
-        os.makedirs(tags_dir, exist_ok=True)
+        fsio.makedirs(tags_dir)
         try:
             _atomic_write_exclusive(os.path.join(tags_dir, name), str(v))
         except CommitConflictError:
@@ -2891,19 +2912,18 @@ class SnapshotParquetTable:
 
     def tags(self) -> dict[str, int]:
         tags_dir = os.path.join(self.root, "tags")
-        out = {}
-        for fn in os.listdir(tags_dir) if os.path.isdir(tags_dir) else []:
-            with open(os.path.join(tags_dir, fn)) as f:
-                out[fn] = int(f.read().strip())
-        return out
+        return {
+            fn: int(fsio.read_text(os.path.join(tags_dir, fn)).strip())
+            for fn in fsio.listdir(tags_dir)
+        }
 
     def drop_tag(self, name: str) -> None:
         """Release the pin; the tagged snapshot becomes reclaimable at the
         next expire_snapshots like any other out-of-retention version."""
         path = os.path.join(self.root, "tags", name)
-        if not os.path.exists(path):
+        if not fsio.exists(path):
             raise ValueError(f"no such tag: {name}")
-        os.remove(path)
+        fsio.remove(path)
 
     def read_tag(self, name: str, **kw) -> DataFrame:
         tags = self.tags()
@@ -2915,17 +2935,16 @@ class SnapshotParquetTable:
         """Abort a staged line of work. The branch's manifests stay readable
         (time travel) until expired; its data files become reclaimable once
         no retained manifest references them."""
-        os.remove(os.path.join(self.root, "refs", name))
+        fsio.remove(os.path.join(self.root, "refs", name))
 
     def _snapshot_index(self) -> dict[str, dict]:
         """snapshot_id -> manifest over every allocated slot (one readdir +
         manifest reads — driver-side metadata, never data files)."""
         idx: dict[str, dict] = {}
         mdir = os.path.join(self.root, "manifests")
-        for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        for fn in fsio.listdir(mdir):
             if fn.startswith("m-") and fn.endswith(".json"):
-                with open(os.path.join(mdir, fn)) as f:
-                    m = json.load(f)
+                m = json.loads(fsio.read_text(os.path.join(mdir, fn)))
                 idx[m["snapshot_id"]] = m
         return idx
 
@@ -3551,8 +3570,7 @@ class SnapshotParquetTable:
         # ref — dropped/aborted branches — expire regardless of age.
         idx = self._snapshot_index()
         by_version = {m["version"]: m for m in idx.values()}
-        with open(os.path.join(self.root, "HEAD")) as f:
-            heads = {int(f.read().strip())}
+        heads = {int(fsio.read_text(os.path.join(self.root, "HEAD")).strip())}
         heads.update(self.branches().values())
         kept_versions: set[int] = set()
         for head_v in heads:
@@ -3575,23 +3593,21 @@ class SnapshotParquetTable:
         min_keep = min(kept_versions)
         n_files = n_manifests = bytes_reclaimed = 0
         data_root = os.path.join(self.root, "data")
-        for dirpath, _dn, filenames in os.walk(data_root):
-            for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                if rel not in kept_refs:
-                    bytes_reclaimed += os.path.getsize(full)
-                    os.remove(full)
-                    n_files += 1
-        # prune now-empty commit/bucket dirs (bottom-up)
-        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
-            if dirpath != data_root and not dirnames and not filenames:
-                os.rmdir(dirpath)
+        prefix = self.root.rstrip("/") + "/"
+        for full, size in fsio.walk_files(data_root):
+            if not full.endswith(".parquet"):
+                continue
+            rel = full[len(prefix):] if full.startswith(prefix) else os.path.relpath(full, self.root)
+            if rel not in kept_refs:
+                bytes_reclaimed += size
+                fsio.remove(full)
+                n_files += 1
+        # prune now-empty commit/bucket dirs (bottom-up; no-op on flat
+        # object-store namespaces)
+        fsio.remove_empty_dirs(data_root)
         for v in by_version:
             if v not in kept_versions:
-                os.remove(self._manifest_path(v))
+                fsio.remove(self._manifest_path(v))
                 n_manifests += 1
         return {
             "n_data_files_deleted": n_files,
@@ -3606,27 +3622,24 @@ class SnapshotParquetTable:
         makes them invisible but they still hold bytes)."""
         refs: set[str] = set()
         mdir = os.path.join(self.root, "manifests")
-        for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        for fn in fsio.listdir(mdir):
             if fn.startswith("m-") and fn.endswith(".json"):
-                with open(os.path.join(mdir, fn)) as f:
-                    m = json.load(f)
+                m = json.loads(fsio.read_text(os.path.join(mdir, fn)))
                 for fs in m["buckets"].values():
                     for e in fs:
                         refs.add(e["path"])
         n_files = bytes_reclaimed = 0
         data_root = os.path.join(self.root, "data")
-        for dirpath, _dn, filenames in os.walk(data_root):
-            for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                if os.path.relpath(full, self.root) not in refs:
-                    bytes_reclaimed += os.path.getsize(full)
-                    os.remove(full)
-                    n_files += 1
-        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
-            if dirpath != data_root and not dirnames and not filenames:
-                os.rmdir(dirpath)
+        prefix = self.root.rstrip("/") + "/"
+        for full, size in fsio.walk_files(data_root):
+            if not full.endswith(".parquet"):
+                continue
+            rel = full[len(prefix):] if full.startswith(prefix) else os.path.relpath(full, self.root)
+            if rel not in refs:
+                bytes_reclaimed += size
+                fsio.remove(full)
+                n_files += 1
+        fsio.remove_empty_dirs(data_root)
         return {"n_data_files_deleted": n_files, "bytes_reclaimed": bytes_reclaimed}
 
     def version_as_of(self, ts: float) -> int:

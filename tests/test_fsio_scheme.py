@@ -1,0 +1,180 @@
+"""Object-store-shaped filesystem routing (plans/fsio.py, round-2 verdict
+item #8): the engine's metadata plane (manifests, HEAD/refs/tags, CAS
+commit, retention walks) and the facade's pyarrow data plane (file
+writes/reads, change feed, DV sidecars) run on a scheme-routed
+pyarrow.fs FileSystem — proven here end-to-end on the in-memory
+``mock://`` filesystem, which shares NO code with os.path.
+
+Boundary, stated honestly: the Spark JVM data plane (bootstrap / merge /
+compaction jobs) reads and writes through Hadoop filesystems and speaks
+whatever schemes the Hadoop conf provides (s3a:// in production); the
+mock scheme is per-process, so everything here runs driver-side through
+the REAL facade classes — the same code Spark ships to executors."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from ccdb_data_pipeline_spark.plans import fsio
+from ccdb_data_pipeline_spark.plans.datasource import (
+    ChangesBatchReader,
+    LakeReader,
+    LakeWriter,
+    _read_bucket,
+    _read_change_file,
+)
+from ccdb_data_pipeline_spark.plans.lake import CommitConflictError, SnapshotParquetTable
+from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
+
+
+@pytest.fixture()
+def mock_root():
+    import pyarrow.fs as pafs
+
+    fs = pafs._MockFileSystem()
+    fsio.register_filesystem("mock", fs)
+    yield "mock://tbl"
+    fsio._REGISTERED.pop("mock", None)
+
+
+def _batch(rows):
+    """change rows: (conv, turn, role, text, tool, ts, lsn, op)"""
+    cols = list(zip(*rows))
+    return pa.record_batch(
+        {
+            "conv_id": pa.array(cols[0], pa.string()),
+            "turn_idx": pa.array(cols[1], pa.int32()),
+            "role": pa.array(cols[2], pa.string()),
+            "text": pa.array(cols[3], pa.string()),
+            "tool": pa.array(cols[4], pa.string()),
+            "ts": pa.array(cols[5], pa.timestamp("us", tz="UTC")),
+            "lsn": pa.array(cols[6], pa.int64()),
+            "op": pa.array(cols[7], pa.string()),
+        }
+    )
+
+
+T0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _mk_table(spark, root, **kw):
+    t = SnapshotParquetTable(
+        spark, root, TableSpec(num_buckets=4, merge_mode="mor", **kw)
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def _facade_write(root, rows, batch_id):
+    w = LakeWriter({"path": root, "batchid": str(batch_id)}, overwrite=False)
+    msg = w.write(iter([_batch(rows)]))
+    w.commit([msg])
+
+
+def _facade_read(root, **options):
+    r = LakeReader({"path": root, **options})
+    out = []
+    for part in r.partitions():
+        if part.entries:
+            for b in _read_bucket(r.meta, part):
+                out.extend(b.to_pylist())
+    return sorted(out, key=lambda x: (x["conv_id"], x["turn_idx"]))
+
+
+def test_fsio_helpers_on_mock(mock_root):
+    fsio.makedirs(fsio.join(mock_root, "x/y"))
+    fsio.write_atomic(fsio.join(mock_root, "x/y/a.txt"), "hello")
+    assert fsio.read_text(fsio.join(mock_root, "x/y/a.txt")) == "hello"
+    assert fsio.exists(fsio.join(mock_root, "x/y/a.txt"))
+    assert fsio.listdir(fsio.join(mock_root, "x")) == ["y"]
+    fsio.write_exclusive(fsio.join(mock_root, "x/once"), "1")
+    with pytest.raises(fsio.ExclusiveCreateError):
+        fsio.write_exclusive(fsio.join(mock_root, "x/once"), "2")
+    files = dict(fsio.walk_files(fsio.join(mock_root, "x")))
+    assert set(files) == {mock_root + "/x/y/a.txt", mock_root + "/x/once"}
+    fsio.remove(fsio.join(mock_root, "x/once"))
+    assert not fsio.exists(fsio.join(mock_root, "x/once"))
+
+
+def test_create_write_read_on_mock(spark, mock_root):
+    """Full lifecycle on a non-POSIX scheme through the production facade
+    classes: DDL create -> exactly-once facade MERGE writes -> LWW facade
+    read -> time travel."""
+    t = _mk_table(spark, mock_root)
+    _facade_write(
+        mock_root,
+        [
+            ("c1", 0, "user", "hello", None, T0, 1, "I"),
+            ("c1", 1, "assistant", "hi", None, T0, 2, "I"),
+            ("c2", 0, "user", "yo", "bash", T0, 3, "I"),
+        ],
+        batch_id=0,
+    )
+    v1 = SnapshotParquetTable(None, mock_root).current_version()
+    _facade_write(
+        mock_root,
+        [
+            ("c1", 1, "assistant", "hi there", None, T0 + dt.timedelta(minutes=1), 4, "U"),
+            ("c2", 0, None, None, None, T0 + dt.timedelta(minutes=1), 5, "D"),
+        ],
+        batch_id=1,
+    )
+    got = _facade_read(mock_root)
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
+        ("c1", 0, "hello"),
+        ("c1", 1, "hi there"),
+    ]
+    # time travel to the pre-update snapshot still serves 3 rows
+    old = _facade_read(mock_root, version=str(v1))
+    assert len(old) == 3
+    # exactly-once: replaying batch 1 is a no-op
+    head = SnapshotParquetTable(None, mock_root).current_version()
+    _facade_write(
+        mock_root, [("c9", 0, "user", "dup", None, T0, 99, "I")], batch_id=1
+    )
+    assert SnapshotParquetTable(None, mock_root).current_version() == head
+    assert len(_facade_read(mock_root)) == 2
+
+
+def test_change_feed_and_services_on_mock(spark, mock_root):
+    _mk_table(spark, mock_root)
+    _facade_write(mock_root, [("c1", 0, "user", "a", None, T0, 1, "I")], 0)
+    _facade_write(mock_root, [("c1", 0, "user", "b", None, T0 + dt.timedelta(minutes=1), 2, "U")], 1)
+    t = SnapshotParquetTable(None, mock_root)
+    head = t.current_version()
+    # batch CDF read, driver-side through the production reader
+    r = ChangesBatchReader({"path": mock_root, "startingversion": "0"})
+    rows = []
+    for part in r.partitions():
+        if part.path:
+            for b in _read_change_file(r.meta, part):
+                rows.extend(b.to_pylist())
+    assert [x["text"] for x in sorted(rows, key=lambda x: x["_commit_version"])] == ["a", "b"]
+    # tags / branches / rollback / expire all on mock metadata
+    t.create_tag("pin", version=head)
+    assert t.tags() == {"pin": head}
+    t.drop_tag("pin")
+    t.rollback(head - 1)
+    t2 = SnapshotParquetTable(None, mock_root)
+    assert t2.manifest()["summary"]["op"] == "rollback"
+    stats = t2.expire_snapshots(retain_last=1)
+    assert stats["n_manifests_deleted"] > 0
+    orf = t2.remove_orphans()
+    assert orf["n_data_files_deleted"] >= 0
+
+
+def test_commit_cas_on_mock(spark, mock_root):
+    t = _mk_table(spark, mock_root)
+    m = dict(t.manifest())
+    m["version"] = t._alloc_version()
+    m["snapshot_id"] = "zzz"
+    m["parent_snapshot_id"] = t.manifest()["snapshot_id"]
+    m["summary"] = {"op": "test"}
+    # a stale expected_ref loses the CAS and retracts its slot
+    with pytest.raises(CommitConflictError):
+        t._commit(dict(m), expected_ref=999)
+    t._manifest = None
+    m["version"] = t._alloc_version()
+    t._commit(dict(m), expected_ref=t.current_version())
+    assert SnapshotParquetTable(None, mock_root).current_version() == m["version"]
