@@ -125,21 +125,123 @@ def _winnow_one(text: str, k: int = 5, w: int = 4) -> tuple[int, int, int]:
     return int(picks.size), int(picks[0]), int(np.bitwise_xor.reduce(picks))
 
 
+def _winnow_batch(texts: pd.Series, k: int = 5, w: int = 4):
+    """Whole-BATCH winnowing: one set of vectorized passes over the
+    concatenation of every document in the Arrow batch — no per-doc Python
+    dispatch (round-2 verdict nit #3; the same length-free batch
+    formulation functions/xxh.py uses for hashing).
+
+    The k-gram rolling hash runs k vectorized passes over the concatenated
+    code-point array (hashes straddling document boundaries are computed
+    and then discarded by position arithmetic — k·n_docs wasted lanes, far
+    cheaper than a Python loop); the window minimum is ONE stride-tricks
+    sliding view over the whole batch with per-document valid-start
+    ranges; per-document dedup + (count, min, xor) come from a lexsort +
+    boundary-diff + segmented reductions. Returns three int64 arrays
+    aligned with ``texts``."""
+    norm = texts.fillna("").astype(str).str.replace(_WS_RUN, " ", regex=True).str.strip()
+    n_docs = len(norm)
+    zeros = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return zeros, zeros.copy(), zeros.copy()
+    lens = norm.str.len().to_numpy(dtype=np.int64)
+    blob = "".join(norm)
+    total = int(lens.sum())
+    if total < k:
+        return zeros, zeros.copy(), zeros.copy()
+    codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    m_full = total - k + 1
+    h = np.zeros(m_full, dtype=np.int64)
+    for j in range(k):
+        h = (h * _WINNOW_BASE + codes[j : j + m_full]) % _WINNOW_MOD
+    m_doc = np.maximum(lens - k + 1, 0)  # valid k-gram starts per doc
+
+    doc_parts: list[np.ndarray] = []
+    val_parts: list[np.ndarray] = []
+
+    def _segmented_take(doc_ids, starts, counts, src):
+        """(doc index, src[starts_i + 0..counts_i-1]) per segment, fully
+        vectorized (the standard repeat/arange segmented-gather)."""
+        rep = np.repeat(np.arange(len(doc_ids)), counts)
+        local = np.arange(counts.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        gidx = np.repeat(starts, counts) + local
+        return doc_ids[rep], src[gidx]
+
+    big = np.nonzero(m_doc >= w)[0]
+    if big.size and m_full >= w:
+        wins_full = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        d, v = _segmented_take(big, off[big], m_doc[big] - w + 1, wins_full)
+        doc_parts.append(d)
+        val_parts.append(v)
+    small = np.nonzero((m_doc >= 1) & (m_doc < w))[0]
+    if small.size:
+        # shorter-than-one-window docs: their single window is the min over
+        # the doc's whole k-gram range — gather those lanes segmented too
+        d, v = _segmented_take(small, off[small], m_doc[small], h)
+        # one min per small doc: vals sorted within doc by the global
+        # lexsort below, so just emit all lanes; the dedup keeps distinct
+        # values and the per-doc reduction would overcount n_fingerprints.
+        # Reduce here instead: lexsort lanes by (doc, val), take firsts.
+        o = np.lexsort((v, d))
+        d, v = d[o], v[o]
+        first = np.concatenate([[True], d[1:] != d[:-1]])
+        doc_parts.append(d[first])
+        val_parts.append(v[first])
+    if not doc_parts:
+        return zeros, zeros.copy(), zeros.copy()
+    docs = np.concatenate(doc_parts)
+    vals = np.concatenate(val_parts)
+    order = np.lexsort((vals, docs))
+    docs, vals = docs[order], vals[order]
+    keep = np.ones(len(docs), dtype=bool)
+    keep[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
+    docs, vals = docs[keep], vals[keep]
+    seg_start = np.nonzero(
+        np.concatenate([[True], docs[1:] != docs[:-1]])
+    )[0]
+    n_fp = zeros.copy()
+    fp_min = zeros.copy()
+    fp_xor = zeros.copy()
+    seg_docs = docs[seg_start]
+    n_fp[seg_docs] = np.diff(np.concatenate([seg_start, [len(docs)]]))
+    fp_min[seg_docs] = vals[seg_start]  # sorted within doc: first = min
+    fp_xor[seg_docs] = np.bitwise_xor.reduceat(vals, seg_start)
+    return n_fp, fp_min, fp_xor
+
+
 def fingerprint_winnow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        k: int = 5, w: int = 4) -> DataFrame:
-    """Document fingerprinting via winnowing — mapInPandas (Arrow batches;
-    the rolling window is inherently sequential per doc, the canonical
-    pandas-UDF case per SURVEY 2.8)."""
+    """Document fingerprinting via winnowing — mapInPandas over Arrow
+    batches, with the rolling hash + window-min + per-doc dedup all
+    computed batch-at-once in numpy (``_winnow_batch``); the only per-doc
+    Python is the batch's string concatenation."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            res = [_winnow_one(t, k, w) for t in b[text_col].fillna("")]
+            texts = b[text_col]
+            # routing, measured (see test_text_analysis parity suite):
+            # short docs -> whole-batch formulation (dispatch overhead
+            # dominates; 2.6x at ~30 chars), long docs -> per-doc numpy
+            # (the batch path's global lexsort over every window lane
+            # costs more than per-doc np.unique once docs are big)
+            mean_len = float(texts.fillna("").str.len().mean() or 0.0)
+            if mean_len <= 512:
+                n_fp, fp_min, fp_xor = _winnow_batch(texts, k, w)
+            else:
+                res = [_winnow_one(t, k, w) for t in texts.fillna("")]
+                n_fp = [r[0] for r in res]
+                fp_min = [r[1] for r in res]
+                fp_xor = [r[2] for r in res]
             yield pd.DataFrame(
                 {
                     "doc_id": b[id_col].astype("int64"),
-                    "n_fingerprints": [r[0] for r in res],
-                    "fp_min": [r[1] for r in res],
-                    "fp_xor": [r[2] for r in res],
+                    "n_fingerprints": n_fp,
+                    "fp_min": fp_min,
+                    "fp_xor": fp_xor,
                 }
             )
 

@@ -68,3 +68,30 @@ def test_fingerprint_winnow_dataframe(spark):
     exp = _naive_winnow("the quick brown fox jumps over the lazy dog")
     assert (rows[1]["n_fingerprints"], rows[1]["fp_min"], rows[1]["fp_xor"]) == exp
     assert rows[2]["n_fingerprints"] == 0 and rows[3]["n_fingerprints"] == 0
+
+
+def test_winnow_batch_parity_with_per_doc():
+    """The whole-batch winnowing formulation (round-3: no per-doc Python
+    dispatch for short docs) must equal the per-doc reference bit-for-bit
+    across edge cases and k/w settings."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from ccdb_data_pipeline_spark.functions.text_analysis import (
+        _winnow_batch,
+        _winnow_one,
+    )
+
+    random.seed(3)
+    rand = lambda n: "".join(random.choice("ab cde f\tg\n") for _ in range(n))  # noqa: E731
+    texts = ["", "ab", "abcd", "abcde", "aaaaaaaaaa", "  sp   aces ", None] + [
+        rand(n) for n in (3, 5, 6, 7, 8, 10, 20, 50, 200, 1000)
+    ]
+    s = pd.Series(texts)
+    for k, w in [(5, 4), (3, 2), (7, 9), (2, 1)]:
+        n_fp, mn, xr = _winnow_batch(s, k, w)
+        for i, t in enumerate(texts):
+            want = _winnow_one("" if t is None else t, k, w)
+            assert (int(n_fp[i]), int(mn[i]), int(xr[i])) == want, (k, w, i, t)
