@@ -116,9 +116,31 @@ def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
             lw = gw.drop_duplicates(keys, keep="last").set_index(keys)
             for c in (s, *members):
                 out[c] = lw[c].reindex(out.index)
+    extra = None
+    if out[DELETED].any() and pdf[PATCH].any():
+        # a key whose batch outcome is a TOMBSTONE may still carry patch
+        # contributions (patch -> delete -> later-batch insert): the
+        # documented argmax semantics make group/column state a function of
+        # the whole event set, so a later insert must recompose with these
+        # patches. Emit them as an ADDITIONAL folded patch row alongside
+        # the tombstone (the recursive call sees a patch-only frame, which
+        # is exactly the orphan-patch fold). Found by the hypothesis
+        # property search (test_property_seqgroups), present since round 2.
+        dead = out.index[out[DELETED]]
+        pidx = pdf.set_index(keys).index
+        sel = pdf[PATCH].to_numpy() & pidx.isin(dead)
+        if sel.any():
+            extra = _fold_patches_pandas(
+                pdf[sel], keys, payload_cols, sort_cols, seq_groups
+            )
     if out[DELETED].any():
         out.loc[out[DELETED], payload_cols] = None
-    return out.reset_index()
+    out = out.reset_index()
+    if extra is not None:
+        import pandas as _pd
+
+        out = _pd.concat([out, extra], ignore_index=True)
+    return out
 
 
 def _fold_agg_pandas(pdf, keys: list[str], payload_cols: list[str],
@@ -300,7 +322,17 @@ def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
         else:
             # keys, dominance pair, bucket, op rider: from the last event
             arrays.append(gather(c, w_all))
-    return pa.Table.from_arrays(arrays, names=names)
+    res = pa.Table.from_arrays(arrays, names=names)
+    # tombstoned keys' patch rows fold into an EXTRA orphan patch row so a
+    # later-batch insert recomposes (see _fold_patches_pandas; the
+    # recursive call sees a patch-only subset = the orphan fold)
+    dead_rows = patch & out_deleted[kid] if n else patch
+    if dead_rows.any():
+        sub = tbl.filter(pa.array(dead_rows))
+        res = pa.concat_tables(
+            [res, _fold_patches_arrow(sub, keys, payload_cols, sort_cols, seq_groups)]
+        )
+    return res
 
 
 def _fold_first_arrow(tbl, keys: list[str], sort_cols: list[str]):
@@ -3196,9 +3228,21 @@ class SnapshotParquetTable:
                 keys = list(self.spec.key_cols)
                 full_keys = df.filter(~F.col(PATCH)).select(*keys).distinct()
                 orphans = df.join(full_keys, keys, "left_anti")
-                df = self._resolve_versions(
+                resolved = self._resolve_versions(
                     df.join(full_keys, keys, "left_semi")
-                ).unionByName(orphans)
+                )
+                # TOMBSTONED keys' patch rows also carry raw: the resolve
+                # nulls a tombstone's payload, but a later insert must
+                # recompose with those patches (same whole-event-set argmax
+                # contract as the patch-before-insert carry above; found by
+                # the seqgroup hypothesis search)
+                dead_keys = resolved.filter(F.col(DELETED)).select(*keys).distinct()
+                dead_patches = (
+                    df.filter(F.col(PATCH))
+                    .join(full_keys, keys, "left_semi")
+                    .join(dead_keys, keys, "left_semi")
+                )
+                df = resolved.unionByName(orphans).unionByName(dead_patches)
             else:
                 df = self._resolve_versions(df)
             if m0.get("write_path", "fused") == "raw":

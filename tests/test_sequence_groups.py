@@ -361,3 +361,34 @@ def test_orphan_patch_survives_compaction(spark, tmp_path):
     t.compact(drop_tombstones=False)
     assert _read_state(t) == got
     assert t.count_fast() == 2
+
+
+def test_patch_survives_same_batch_delete_then_later_insert(spark, tmp_path):
+    """Hypothesis-found (round 3): a patch whose key is TOMBSTONED later in
+    the same batch must still contribute to a later-batch insert — group
+    and column state are argmax over the whole event set, and the fold now
+    emits the folded patch row alongside the tombstone instead of
+    destroying it. Covers the fold fix, compaction carry, and both fold
+    engines via the shared read resolve."""
+    import pandas as pd
+
+    for eng, compact_mid in (("arrow", False), ("pandas", False), ("arrow", True)):
+        t = _table(spark, tmp_path, name=f"pd-{eng}-{compact_mid}", fold_engine=eng)
+        batch0 = [
+            # (lsn, op, conv, turn, role, text, tool, meta_seq, ts_minutes)
+            (2, "P", "b", 1, None, "yy", "calc", 0, 5),
+            (7, "D", "b", 1, None, None, None, None, 0),
+        ]
+        t.merge_events(_batch(spark, batch0), batch_id=0)
+        if compact_mid:
+            t.compact(drop_tombstones=False)
+        t.merge_events(
+            _batch(spark, [(10, "I", "b", 1, None, None, None, None, 5)]), batch_id=1
+        )
+        got = _read_state(t)[("b", 1)]
+        assert got["tool"] == "calc" and got["meta_seq"] == 0, (eng, compact_mid, got)
+        assert got["text"] is None  # later full image outranks the patch
+        # ... and the delete still wins when no insert follows
+        t2 = _table(spark, tmp_path, name=f"pd2-{eng}-{compact_mid}", fold_engine=eng)
+        t2.merge_events(_batch(spark, batch0), batch_id=0)
+        assert ("b", 1) not in _read_state(t2)
