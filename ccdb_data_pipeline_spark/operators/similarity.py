@@ -319,6 +319,7 @@ def train_centroids(
             scored = v.crossJoin(carr).select(
                 "_id", "_v", _l2_argmin("_v")["d2"].alias("_d2")
             )
+            scored = scored.persist()  # d2 feeds both phi and the sampler
             phi = scored.agg(F.sum("_d2")).collect()[0][0]
             if not phi:
                 break  # every point sits on a candidate already
@@ -334,6 +335,7 @@ def train_centroids(
                 .select("_v")
                 .collect()
             )
+            scored.unpersist()
             cand.extend(list(p["_v"]) for p in picked)
         # ---- weight candidates by the points they own (one pass)
         carr = _struct_centroids(spark, list(enumerate(cand)))
@@ -376,13 +378,19 @@ def train_centroids(
         # ---- distributed Lloyd over the full corpus
         for _ in range(iters):
             carr = _struct_centroids(spark, list(enumerate(cents.tolist())))
+            # assignment materialized pre-explode: the HOF argmin would be
+            # re-evaluated per exploded row otherwise (see exact twin)
+            assigned = v.crossJoin(carr).select(
+                _l2_argmin("_v")["cid"].alias("_cid"), "_v"
+            )
+            assigned = assigned.persist()
             comp = (
-                v.crossJoin(carr)
-                .select(_l2_argmin("_v")["cid"].alias("_cid"), F.posexplode("_v").alias("_pos", "_x"))
+                assigned.select("_cid", F.posexplode("_v").alias("_pos", "_x"))
                 .groupBy("_cid", "_pos")
                 .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
                 .collect()
             )
+            assigned.unpersist()
             nxt = cents.copy()
             agg: dict[int, tuple[np.ndarray, int]] = {}
             dim = cents.shape[1]
@@ -448,16 +456,23 @@ def train_centroids_exact(
         dim = len(cents[0][1]) if cents else 0
         for _ in range(iters):
             carr = _struct_centroids(spark, cents, dtype="int")
+            # materialize the assignment BEFORE the posexplode: the argmin
+            # is a higher-order-function expression (aggregate/zip_with —
+            # interpreted, not codegen'd), and projection collapse would
+            # otherwise re-evaluate it once per EXPLODED row (dim x per
+            # vector — measured 12s/round on 2k vectors vs ~0.3s with the
+            # barrier)
+            assigned = q.crossJoin(carr).select(
+                _l2_argmin("_qv", dtype="int")["cid"].alias("_cid"), "_qv"
+            )
+            assigned = assigned.persist()
             comp = (
-                q.crossJoin(carr)
-                .select(
-                    _l2_argmin("_qv", dtype="int")["cid"].alias("_cid"),
-                    F.posexplode("_qv").alias("_pos", "_x"),
-                )
+                assigned.select("_cid", F.posexplode("_qv").alias("_pos", "_x"))
                 .groupBy("_cid", "_pos")
                 .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
                 .collect()
             )
+            assigned.unpersist()
             by_cid: dict[int, dict[int, int]] = {}
             for r in comp:
                 # python // is floor division — identical to the SQL

@@ -38,14 +38,22 @@ from .lake import MergeStats, SnapshotParquetTable
 
 def _as_events(table: SnapshotParquetTable, rows, op: str, ts: dt.datetime):
     """Stamp matched rows as op-tagged change events with fresh unique LSNs
-    (gap-free, starting at last_lsn + 1, ordered by the table key)."""
+    (gap-free, starting at last_lsn + 1, ordered by the table key). The
+    event-time stamp casts to the TABLE's ts column type — a TIMESTAMP_NTZ
+    table must not receive a TIMESTAMP literal (schema-union would refuse
+    the widening)."""
     spec: TableSpec = table.spec
+    ts_type = next(
+        (f.dataType for f in table.schema.fields if f.name == spec.ts_col),
+        None,
+    )
+    stamp = F.lit(ts) if ts_type is None else F.lit(ts).cast(ts_type)
     idx = with_global_index(rows, order_by=list(spec.key_cols), index_col="_i")
     return idx.select(
         (F.lit(table.last_lsn) + F.col("_i")).cast("long").alias(spec.lsn_col),
         F.lit(op).alias(spec.op_col),
         *[F.col(c) for c in rows.columns],
-    ).withColumn(spec.ts_col, F.lit(ts))
+    ).withColumn(spec.ts_col, stamp)
 
 
 def delete_where(
