@@ -808,7 +808,8 @@ class LakeWriter(DataSourceArrowWriter):
                 a = _stat_scalar(mm["min"].as_py())
                 z = _stat_scalar(mm["max"].as_py())
                 if a is not None and z is not None:
-                    cstats[sc_name] = [a, z]
+                    nulls = len(part) - pc.count(col).as_py()
+                    cstats[sc_name] = [a, z, int(nulls)]
             if cstats:
                 e["stats"] = cstats
             entries.append((int(b), e))

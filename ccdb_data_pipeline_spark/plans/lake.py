@@ -531,7 +531,7 @@ def _file_may_match(e: dict, preds: list) -> bool:
         rng = st.get(col)
         if not rng or val is None:
             continue
-        mn, mx = rng
+        mn, mx = rng[0], rng[1]  # entries may carry [min, max, null_count]
         try:
             if op in ("=", "=="):
                 if val < mn or val > mx:
@@ -553,6 +553,48 @@ def _file_may_match(e: dict, preds: list) -> bool:
                     return False
         except TypeError:
             continue  # incomparable probe value: read conservatively
+    return True
+
+
+def _file_all_match(e: dict, preds: list) -> bool:
+    """True only when the entry's recorded stats PROVE every LIVE row
+    matches every predicate — the whole-file-drop condition for a
+    metadata-only DELETE. Requires per-column [min, max, null_count] with
+    zero nulls (a null row never matches), all_live footer stats (no
+    tombstones / orphan patches hiding in the file), and a range fully
+    inside the predicate. Anything unknown -> False (fall back to the
+    positional path)."""
+    if not preds or not e.get("all_live"):
+        return False
+    st = e.get("stats") or {}
+    for col, op, val in preds:
+        rng = st.get(col)
+        if not rng or len(rng) < 3 or rng[2] != 0 or val is None:
+            return False
+        mn, mx = rng[0], rng[1]
+        try:
+            if op in ("=", "=="):
+                if not (mn == mx == val):
+                    return False
+            elif op == ">":
+                if not (mn > val):
+                    return False
+            elif op == ">=":
+                if not (mn >= val):
+                    return False
+            elif op == "<":
+                if not (mx < val):
+                    return False
+            elif op == "<=":
+                if not (mx <= val):
+                    return False
+            elif op == "in":
+                if not (mn == mx and mn in val):
+                    return False
+            else:
+                return False
+        except TypeError:
+            return False
     return True
 
 
@@ -632,6 +674,7 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None,
                 continue
             s_idx = cols[sc_name]
             smn = smx = None
+            nulls = 0
             ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(s_idx).statistics
@@ -644,8 +687,16 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None,
                     break
                 smn = a if smn is None else min(smn, a)
                 smx = z if smx is None else max(smx, z)
+                if nulls is not None:
+                    nc = st.null_count
+                    nulls = None if nc is None else nulls + int(nc)
             if ok and smn is not None:
-                cstats[sc_name] = [smn, smx]
+                # [min, max, null_count] — the null count is what lets an
+                # ALL-rows-match proof hold (null never matches a
+                # comparison); None/absent = unknown, proof unavailable
+                cstats[sc_name] = (
+                    [smn, smx] if nulls is None else [smn, smx, nulls]
+                )
         if not with_bucket:
             out.append((b, md.num_rows, lo, hi, tlo, thi, all_live, cstats))
             continue
@@ -1440,11 +1491,53 @@ class SnapshotParquetTable:
           compaction/CoW rewrites drop the positions physically and shed
           the pointer.
 
-        Returns {"n_dv_positions", "n_files_with_dv", "n_tombstoned",
-        "version"}."""
+        ``predicate`` is a SQL string, or — the structured form —
+        ``[(col, op, value), ...]`` tuples (same ops as ``read(where=)``),
+        which additionally unlock the stats tiers:
+
+        * METADATA-ONLY whole-file drops: a file whose recorded
+          [min, max, null_count] stats PROVE every live row matches every
+          predicate (zero nulls, range fully inside, all_live) is dropped
+          from the manifest with ZERO data IO — the Iceberg
+          delete-by-partition analog generalized to column stats, and the
+          bulk of a stats-clustered sweep;
+        * candidate pruning: the positional scan then reads ONLY the files
+          whose stats admit a match (``_file_may_match``), not every clean
+          file.
+
+        Returns {"n_dv_positions", "n_files_with_dv", "n_files_dropped",
+        "n_rows_dropped", "n_tombstoned", "version"}."""
         import datetime as _dt
 
         ts = ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        preds = None
+        cond = None
+        if not isinstance(predicate, str):
+            ops = {"=", "==", ">", ">=", "<", "<=", "in"}
+            schema_fields = [f.name for f in self.schema.fields]
+            preds = []
+            for col, op, val in predicate:
+                if col not in schema_fields:
+                    raise ValueError(f"unknown column {col!r} in predicate")
+                if op not in ops:
+                    raise ValueError(f"op {op!r} not in {sorted(ops)}")
+                enc = (
+                    tuple(_stat_scalar(v) for v in val)
+                    if op == "in"
+                    else _stat_scalar(val)
+                )
+                preds.append((col, op, enc))
+                c = F.col(col)
+                term = (
+                    c.isin(list(val)) if op == "in"
+                    else c == F.lit(val) if op in ("=", "==")
+                    else c > F.lit(val) if op == ">"
+                    else c >= F.lit(val) if op == ">="
+                    else c < F.lit(val) if op == "<"
+                    else c <= F.lit(val)
+                )
+                cond = term if cond is None else (cond & term)
+        row_filter = predicate if isinstance(predicate, str) else cond
         m0 = dict(self.manifest())
         clean: list[dict] = []
         dirty_buckets: list[int] = []
@@ -1454,7 +1547,21 @@ class SnapshotParquetTable:
             else:
                 clean.extend(files)
         report = {"n_dv_positions": 0, "n_files_with_dv": 0,
+                  "n_files_dropped": 0, "n_rows_dropped": 0,
                   "n_tombstoned": 0, "version": m0["version"]}
+        dropped: set[str] = set()
+        if preds:
+            for e in clean:
+                if _file_all_match(e, preds):
+                    dropped.add(_dv_key(e["path"]))
+                    report["n_files_dropped"] += 1
+                    report["n_rows_dropped"] += (
+                        e.get("n_rows", 0) - e.get("dv", {}).get("n_deleted", 0)
+                    )
+            clean = [e for e in clean if _dv_key(e["path"]) not in dropped]
+            # candidate pruning: only files whose stats admit a match need
+            # the positional scan at all
+            clean = [e for e in clean if _file_may_match(e, preds)]
         counts: dict[str, int] = {}
         sidecar_rel = None
         if clean:
@@ -1462,7 +1569,7 @@ class SnapshotParquetTable:
             vis = df.filter(~F.col(DELETED))
             if PATCH in df.columns:
                 vis = vis.filter(~F.col(PATCH))
-            matched = vis.filter(predicate).select(
+            matched = vis.filter(row_filter).select(
                 F.col("_dv_base").alias("path"), F.col("_dv_pos").alias("pos")
             )
             sidecar_rel = os.path.join("dv", f"dv-{uuid.uuid4().hex[:12]}")
@@ -1489,25 +1596,28 @@ class SnapshotParquetTable:
             if not counts:
                 shutil.rmtree(out_dir, ignore_errors=True)
                 sidecar_rel = None
-        if counts:
+        if counts or dropped:
             by_base = {_dv_key(e["path"]) for e in clean}
             unknown = sorted(set(counts) - by_base)
             if unknown:
                 raise AssertionError(f"DV positions for unknown files: {unknown}")
-            new_total = self.spark.read.parquet(
-                os.path.join(self.root, sidecar_rel)
-            ).count()
-            prior = sum(
-                e["dv"]["n_deleted"] for e in clean
-                if e.get("dv") and _dv_key(e["path"]) in counts
-            )
-            report["n_dv_positions"] = new_total - prior
-            report["n_files_with_dv"] = len(counts)
+            if counts:
+                new_total = self.spark.read.parquet(
+                    os.path.join(self.root, sidecar_rel)
+                ).count()
+                prior = sum(
+                    e["dv"]["n_deleted"] for e in clean
+                    if e.get("dv") and _dv_key(e["path"]) in counts
+                )
+                report["n_dv_positions"] = new_total - prior
+                report["n_files_with_dv"] = len(counts)
             buckets = {}
             for b, files in m0["buckets"].items():
                 out_files = []
                 for e in files:
                     base = _dv_key(e["path"])
+                    if base in dropped:
+                        continue  # metadata-only whole-file delete
                     if base in counts:
                         e = dict(e)
                         e["dv"] = {"path": sidecar_rel, "n_deleted": counts[base]}
@@ -1523,12 +1633,13 @@ class SnapshotParquetTable:
                 "op": "dv_delete",
                 "n_new_positions": report["n_dv_positions"],
                 "n_files": len(counts),
+                "n_files_dropped": report["n_files_dropped"],
             }
             m["committed_at"] = time.time()
             self._commit(m, expected_ref=m0["version"])
             report["version"] = m["version"]
         if dirty_buckets:
-            matched_d = self.read(buckets=dirty_buckets).filter(predicate)
+            matched_d = self.read(buckets=dirty_buckets).filter(row_filter)
             n_d = matched_d.count()
             if n_d:
                 from .apply import apply_changes

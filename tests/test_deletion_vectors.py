@@ -168,3 +168,71 @@ def test_later_upsert_reinserts_documented_semantics(spark, tmp_path):
         .collect()
     )
     assert len(got) == 1 and got[0]["text"] == "resurrected"
+
+
+def _seed_roles(spark, tmp_path, name, role_of):
+    """Transcript table (stats on role), 200 rows; role = role_of(i)."""
+    import pandas as pd
+
+    t = SnapshotParquetTable(
+        spark,
+        str(tmp_path / name),
+        TableSpec(num_buckets=4, merge_mode="mor", stats_cols=("role",)),
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 20}" for i in range(200)],
+            "turn_idx": [i // 20 for i in range(200)],
+            "role": [role_of(i) for i in range(200)],
+            "text": [f"t{i}" for i in range(200)],
+            "tool": [None] * 200,
+            "ts": [TS] * 200,
+        }
+    )
+    bootstrap_seed(t, spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA))
+    t.compact(only_dirty=False)
+    return t
+
+
+def test_structured_predicate_metadata_drop_all(spark, tmp_path):
+    """Every file provably all-matching -> the whole DELETE is a manifest
+    edit: zero data bytes read, zero positions written."""
+    t = _seed_roles(spark, tmp_path, "alldrop", lambda i: "user")
+    n_files = sum(len(fs) for fs in t.manifest()["buckets"].values())
+    seen = []
+    orig = t._read_files
+    t._read_files = lambda entries, m, **kw: (seen.append(len(entries)), orig(entries, m, **kw))[1]
+    rep = t.delete_where_dv([("role", "=", "user")], ts=TS)
+    assert rep["n_files_dropped"] == n_files
+    assert rep["n_rows_dropped"] == 200
+    assert rep["n_dv_positions"] == 0
+    assert sum(seen) == 0  # metadata only — no positional scan at all
+    assert t.read().count() == 0
+    assert t.count_fast() == 0
+
+
+def test_structured_predicate_mixed_tiers(spark, tmp_path):
+    """Conversations bucket together; convs 0..9 are all-'zz' (their
+    buckets' files may be homogeneous) while others are mixed — the drop
+    tier takes provable files, the positional tier the rest, and the
+    final state equals the SQL-string twin."""
+    role_of = lambda i: "zz" if (i % 20) < 10 else ("user" if i % 2 else "zz")  # noqa: E731
+    a = _seed_roles(spark, tmp_path, "mix-a", role_of)
+    b = _seed_roles(spark, tmp_path, "mix-b", role_of)
+    rep = a.delete_where_dv([("role", "=", "zz")], ts=TS)
+    b.delete_where_dv("role = 'zz'", ts=TS)
+    assert a.read().filter("role = 'zz'").count() == 0
+    got = sorted(map(tuple, a.read().select("conv_id", "turn_idx", "text").collect()))
+    want = sorted(map(tuple, b.read().select("conv_id", "turn_idx", "text").collect()))
+    assert got == want and got
+    assert rep["n_files_dropped"] + rep["n_files_with_dv"] > 0
+    assert a.count_fast() == a.read().count()
+
+
+def test_structured_predicate_validation(spark, tmp_path):
+    t = _seed_roles(spark, tmp_path, "val2", lambda i: "user")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.delete_where_dv([("nope", "=", 1)], ts=TS)
+    with pytest.raises(ValueError, match="op"):
+        t.delete_where_dv([("role", "~", 1)], ts=TS)
