@@ -162,3 +162,37 @@ def test_reconcile_to_converges_on_authoritative_snapshot(spark, tmp_path):
     assert desired.select(cmp_cols).exceptAll(after.select(cmp_cols)).count() == 0
     # convergence: nothing left to repair
     assert reconcile_to(t, desired, ts=dt.datetime(2026, 6, 2), dry_run=True).count() == 0
+
+
+def test_dml_on_timestamp_ntz_table(spark, tmp_path):
+    """The event-time stamp casts to the TABLE's ts type: a TIMESTAMP_NTZ
+    table (the events-testdata shape) must accept delete_where /
+    update_where without a schema-union refusal (round-3 fix)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    spec = TableSpec(
+        key_cols=("k",), bucket_col="k", ts_col="ts", lsn_col="lsn",
+        op_col="op", num_buckets=2, merge_mode="mor",
+        empty_to_null_exempt=(), normalize_ws_cols=(),
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / "ntz"), spec)
+    seed = spark.createDataFrame(
+        [(f"k{i}", i, dt.datetime(2025, 1, 1)) for i in range(20)], schema
+    ).select("*", F.col("v").alias("lsn"), F.lit("I").alias("op"))
+    t.create(schema)
+    t.merge_events(seed, batch_id=0)
+    st = delete_where(t, "v % 2 = 0", ts=dt.datetime(2026, 1, 1))
+    assert st.n_delete == 10
+    assert t.read().count() == 10
+    update_where(t, "v = 1", {"v": "v + 100"}, ts=dt.datetime(2026, 1, 2))
+    assert t.read().filter("k = 'k1'").collect()[0]["v"] == 101
