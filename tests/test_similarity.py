@@ -97,3 +97,35 @@ def test_ivf_topk_searches_within_cluster(spark, vecs):
     for r in got:
         assert clusters[r["neighbor_id"]] == clusters[r["qid"]]
         assert r["neighbor_id"] != r["qid"]
+
+
+def test_ivf_assign_arrow_parity_and_speed(spark):
+    """The Arrow/numpy assignment twin must agree with the JVM fold on
+    real-valued data (knife-edge .5 rounding ties are measure-zero there;
+    the docstring documents the 1bp boundary caveat)."""
+    import numpy as np
+
+    from ccdb_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in rng.randn(16)]) for j in range(6)],
+        "centroid_id long, embedding array<double>",
+    )
+    jvm = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos_bp"])
+        for r in ivf_assign(df, cents).collect()
+    }
+    arw = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos_bp"])
+        for r in ivf_assign_arrow(df, cents).collect()
+    }
+    assert set(jvm) == set(arw)
+    for k in jvm:
+        assert jvm[k][0] == arw[k][0], k          # identical assignment
+        assert abs(jvm[k][1] - arw[k][1]) <= 1, k  # bp within the documented 1
