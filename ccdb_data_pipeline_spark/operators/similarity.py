@@ -130,8 +130,9 @@ def ivf_assign_arrow(
     can differ by 1 at exact .5 rounding boundaries and an assignment
     could flip on a knife-edge tie — byte-parity with engine oracles is
     not guaranteed, while the JVM path is. Use this for throughput on
-    real corpora; keep ivf_assign where bit-stability matters. Keeps only
-    (id, centroid_id, centroid_cos_bp) + ``keep`` columns."""
+    real corpora; keep ivf_assign where bit-stability matters. Output is
+    (id, centroid_id, centroid_cos_bp) — join back on the id for other
+    columns (the JVM twin carries them through instead)."""
     import numpy as np
 
     rows = centroids.select(
