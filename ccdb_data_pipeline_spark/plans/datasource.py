@@ -159,21 +159,44 @@ def _manifest(root: str, version: int) -> dict:
     )
 
 
-def _ts_bounds_us(filters: list) -> tuple[int | None, int | None]:
-    """Fold pushed ts-range filters into (lo, hi) epoch-micros bounds."""
+def _pushed_dt_us(v, ntz: bool) -> int:
+    """Pushed tz-naive datetime literal -> the epoch-micros encoding the
+    manifest stats use (plans.lake._ts_micros records naive-as-UTC).
+
+    The inverse depends on the COLUMN's Spark type, because the two
+    timestamp types materialize pushed literals differently:
+
+    * ``timestamp`` (TimestampType): ``fromInternal`` runs
+      ``datetime.fromtimestamp`` — naive in MACHINE-LOCAL time — so the
+      exact inverse is ``.timestamp()`` (interprets naive as local).
+    * ``timestamp_ntz`` (TimestampNTZType): ``fromInternal`` materializes
+      the stored WALL CLOCK directly (no local-time round trip), and the
+      manifest stats recorded that same wall clock naive-as-UTC — so the
+      inverse interprets naive as UTC. Using ``.timestamp()`` here shifted
+      the probe by the UTC offset on non-UTC hosts, and manifest pruning
+      dropped files holding matching rows (unrecoverable: Spark's
+      re-applied filter never sees the pruned files).
+    """
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        return int(v.timestamp() * 1_000_000)
+    if ntz:
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    return int(v.timestamp() * 1_000_000)
+
+
+def _ts_bounds_us(filters: list, ntz: bool = False) -> tuple[int | None, int | None]:
+    """Fold pushed ts-range filters into (lo, hi) epoch-micros bounds.
+    ``ntz`` = the ts column's declared type is timestamp_ntz (see
+    _pushed_dt_us for why the encoding branches on it)."""
     lo = hi = None
 
     def _us(v) -> int | None:
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
-            # PySpark's TimestampType.fromInternal materializes pushed
-            # timestamp literals as tz-NAIVE datetimes in the MACHINE-LOCAL
-            # timezone (datetime.fromtimestamp) — so the exact inverse is
-            # .timestamp(), which interprets naive values in local time.
-            # Treating naive as UTC here shifted bounds by the UTC offset on
-            # non-UTC hosts and pruned files/buckets that held matching rows.
-            return int(v.timestamp() * 1_000_000)
+            return _pushed_dt_us(v, ntz)
         return None
 
     for f in filters:
@@ -187,16 +210,16 @@ def _ts_bounds_us(filters: list) -> tuple[int | None, int | None]:
     return lo, hi
 
 
-def _probe_scalar(v):
+def _probe_scalar(v, ntz: bool = False):
     """Pushed-filter literal -> the encoding manifest column stats use
-    (plans.lake._stat_scalar): tz-naive datetimes interpret in MACHINE-LOCAL
-    time (TimestampType.fromInternal's shape — see _ts_bounds_us), dates as
-    ISO strings, numbers/strings/bools as-is; unencodable -> None (no
-    pruning on that predicate)."""
+    (plans.lake._stat_scalar): datetimes as epoch micros with the
+    column-type-aware naive interpretation (``ntz`` — see _pushed_dt_us),
+    dates as ISO strings, numbers/strings/bools as-is; unencodable ->
+    None (no pruning on that predicate)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        return int(v.timestamp() * 1_000_000)
+        return _pushed_dt_us(v, ntz)
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (bool, int, float, str)):
@@ -488,14 +511,17 @@ class LakeReader(DataSourceReader):
 
     def pushFilters(self, filters):
         bcol = self.meta.bucket_col
-        btype = next(
-            (
-                f["type"]
-                for f in self.meta.schema_json.get("fields", [])
-                if f["name"] == bcol and isinstance(f["type"], str)
-            ),
-            None,
-        )
+        coltypes = {
+            f["name"]: f["type"]
+            for f in self.meta.schema_json.get("fields", [])
+            if isinstance(f["type"], str)
+        }
+        btype = coltypes.get(bcol)
+
+        def _ntz(col: str) -> bool:
+            # column-type-aware naive-datetime encoding (see _pushed_dt_us)
+            return coltypes.get(col) == "timestamp_ntz"
+
         remaining = []
         for f in filters:
             attr = getattr(f, "attribute", None)
@@ -511,7 +537,7 @@ class LakeReader(DataSourceReader):
             elif col == "ts" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
             ):
-                lo, hi = _ts_bounds_us([f])
+                lo, hi = _ts_bounds_us([f], ntz=_ntz("ts"))
                 if lo is not None:
                     self._ts_lo = lo if self._ts_lo is None else max(self._ts_lo, lo)
                 if hi is not None:
@@ -520,18 +546,19 @@ class LakeReader(DataSourceReader):
                 # generic column-stats file skipping on declared stat
                 # columns (performance-only: Spark re-applies the filter)
                 op = None
+                ntz = _ntz(col)
                 if isinstance(f, EqualTo):
-                    op, val = "=", _probe_scalar(f.value)
+                    op, val = "=", _probe_scalar(f.value, ntz)
                 elif isinstance(f, GreaterThan):
-                    op, val = ">", _probe_scalar(f.value)
+                    op, val = ">", _probe_scalar(f.value, ntz)
                 elif isinstance(f, GreaterThanOrEqual):
-                    op, val = ">=", _probe_scalar(f.value)
+                    op, val = ">=", _probe_scalar(f.value, ntz)
                 elif isinstance(f, LessThan):
-                    op, val = "<", _probe_scalar(f.value)
+                    op, val = "<", _probe_scalar(f.value, ntz)
                 elif isinstance(f, LessThanOrEqual):
-                    op, val = "<=", _probe_scalar(f.value)
+                    op, val = "<=", _probe_scalar(f.value, ntz)
                 elif isinstance(f, In):
-                    vs = tuple(_probe_scalar(v) for v in f.value)
+                    vs = tuple(_probe_scalar(v, ntz) for v in f.value)
                     op, val = ("in", vs) if None not in vs else (None, None)
                 if op is not None and val is not None:
                     self._col_preds.append((col, op, val))

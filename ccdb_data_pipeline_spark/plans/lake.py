@@ -510,6 +510,54 @@ def _stat_scalar(v):
     return None
 
 
+def _residual_lit(val, dtype=None):
+    """Residual-filter literal sharing the prune tier's datetime encoding
+    (``_stat_scalar``: naive = UTC), so manifest-level file skipping and
+    the exact row filter can never disagree. ``F.lit(datetime)`` is
+    SESSION-TIMEZONE dependent — under ``spark.sql.session.timeZone !=
+    UTC`` it drifts from the stats encoding and a file could be "provably
+    non-matching" by stats yet hold rows the residual would keep (silent
+    row loss). Instead: a Timestamp column compares the instant via
+    ``timestamp_micros`` on the SAME encoded micros (mirroring the
+    time_range filter); a TimestampNTZ column compares the wall clock via
+    a tz-free string->ntz cast of those micros."""
+    import datetime as _dt
+
+    if isinstance(val, _dt.datetime):
+        us = _ts_micros(val)
+        if isinstance(dtype, T.TimestampNTZType):
+            sec, rem = divmod(us, 1_000_000)
+            wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=sec, microseconds=rem)
+            return F.lit(wall.isoformat(sep=" ")).cast(T.TimestampNTZType())
+        return F.timestamp_micros(F.lit(us))
+    return F.lit(val)
+
+
+def _where_term(col: str, op: str, val, dtype=None):
+    """One ``where=[(col, op, value)]`` predicate as a Column, with
+    datetime literals routed through :func:`_residual_lit`."""
+    c = F.col(col)
+    if op == "in":
+        import datetime as _dt
+
+        if any(isinstance(v, _dt.datetime) for v in val):
+            term = F.lit(False)
+            for v in val:
+                term = term | (c == _residual_lit(v, dtype))
+            return term
+        return c.isin(list(val))
+    lit = _residual_lit(val, dtype)
+    if op in ("=", "=="):
+        return c == lit
+    if op == ">":
+        return c > lit
+    if op == ">=":
+        return c >= lit
+    if op == "<":
+        return c < lit
+    return c <= lit
+
+
 def _dv_key(rel_path: str) -> str:
     """Deletion-vector file key: the last two path components (bucket dir +
     part basename). A bare basename is NOT unique — one Spark write job
@@ -1436,21 +1484,12 @@ class SnapshotParquetTable:
         if where:
             # residual predicate (exact semantics; Catalyst pushes it into
             # the clean-bucket parquet scans, where row-group stats prune
-            # further inside the files the manifest kept)
+            # further inside the files the manifest kept). Datetime
+            # literals share the prune tier's encoding via _residual_lit —
+            # F.lit(datetime) would drift under a non-UTC session timezone.
+            dtypes = {f.name: f.dataType for f in T.StructType.fromJson(m["schema"]).fields}
             for col, op, val in where:
-                c = F.col(col)
-                if op in ("=", "=="):
-                    df = df.filter(c == F.lit(val))
-                elif op == ">":
-                    df = df.filter(c > F.lit(val))
-                elif op == ">=":
-                    df = df.filter(c >= F.lit(val))
-                elif op == "<":
-                    df = df.filter(c < F.lit(val))
-                elif op == "<=":
-                    df = df.filter(c <= F.lit(val))
-                elif op == "in":
-                    df = df.filter(c.isin(list(val)))
+                df = df.filter(_where_term(col, op, val, dtypes.get(col)))
         if not include_internal:
             out_cols = schema_fields if columns is None else list(columns)
             df = df.select(*out_cols)
@@ -1514,10 +1553,10 @@ class SnapshotParquetTable:
         cond = None
         if not isinstance(predicate, str):
             ops = {"=", "==", ">", ">=", "<", "<=", "in"}
-            schema_fields = [f.name for f in self.schema.fields]
+            dtypes = {f.name: f.dataType for f in self.schema.fields}
             preds = []
             for col, op, val in predicate:
-                if col not in schema_fields:
+                if col not in dtypes:
                     raise ValueError(f"unknown column {col!r} in predicate")
                 if op not in ops:
                     raise ValueError(f"op {op!r} not in {sorted(ops)}")
@@ -1527,15 +1566,10 @@ class SnapshotParquetTable:
                     else _stat_scalar(val)
                 )
                 preds.append((col, op, enc))
-                c = F.col(col)
-                term = (
-                    c.isin(list(val)) if op == "in"
-                    else c == F.lit(val) if op in ("=", "==")
-                    else c > F.lit(val) if op == ">"
-                    else c >= F.lit(val) if op == ">="
-                    else c < F.lit(val) if op == "<"
-                    else c <= F.lit(val)
-                )
+                # datetime literals share the prune tier's encoding (see
+                # _residual_lit) — the stats tiers and the positional scan
+                # must agree under any session timezone
+                term = _where_term(col, op, val, dtypes.get(col))
                 cond = term if cond is None else (cond & term)
         row_filter = predicate if isinstance(predicate, str) else cond
         m0 = dict(self.manifest())
