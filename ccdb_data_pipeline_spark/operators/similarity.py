@@ -138,11 +138,18 @@ def ivf_assign_arrow(
     rows = centroids.select(
         F.col(centroid_id_col).cast("long"), F.col(vec_col)
     ).collect()
+    bad_c = [r[0] for r in rows if r[1] is None]
+    if bad_c:
+        raise ValueError(f"ivf_assign_arrow: null centroid vectors for ids {bad_c[:10]}")
     cids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([r[1] for r in rows], dtype=np.float64)
+    if C.ndim != 2:
+        lens = sorted({len(r[1]) for r in rows})
+        raise ValueError(f"ivf_assign_arrow: ragged centroid dims {lens}")
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     order = np.argsort(cids, kind="stable")  # tie-break: smaller cid wins
     cids_s, Cn_s = cids[order], Cn[order]
+    dim = Cn_s.shape[1]
 
     out_schema = (
         corpus.select(id_col).schema
@@ -150,14 +157,40 @@ def ivf_assign_arrow(
         .add("centroid_cos_bp", "long")
     )
 
+    def _matrix(tbl):
+        """(n, dim) float64 from the list column — via offsets + flatten
+        (no to_pylist), raising a clear error naming the offending ids for
+        null or wrong-length vectors (object-dtype/ValueError deep inside
+        the matmul otherwise; the training paths pre-filter with nrm > 0)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col = tbl.column(vec_col).combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), -1).to_numpy(
+            zero_copy_only=False
+        )
+        bad = lens != dim
+        if bad.any():
+            ids = tbl.column(id_col).filter(pa.array(bad)).to_pylist()[:10]
+            raise ValueError(
+                f"ivf_assign_arrow: null or wrong-length (expect dim {dim}) "
+                f"embeddings for ids {ids}"
+            )
+        flat = col.flatten()
+        if flat.null_count:
+            mask = pc.is_null(flat).to_numpy(zero_copy_only=False).reshape(-1, dim)
+            ids = tbl.column(id_col).filter(pa.array(mask.any(axis=1))).to_pylist()[:10]
+            raise ValueError(f"ivf_assign_arrow: null vector ELEMENTS for ids {ids}")
+        return flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False).reshape(-1, dim)
+
     def run(batches):
         import pyarrow as pa
 
         for b in batches:
             tbl = pa.Table.from_batches([b])
-            V = np.array(tbl.column(vec_col).to_pylist(), dtype=np.float64)
-            if V.size == 0:
+            if len(tbl) == 0:
                 continue
+            V = _matrix(tbl)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             x = Vn @ Cn_s.T * 10000
             # HALF_UP like Spark's round (np.rint is half-even)

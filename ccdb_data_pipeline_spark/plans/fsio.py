@@ -19,11 +19,14 @@ Object-store caveats, explicit by design:
 
 * ``write_atomic`` on a remote scheme is a single PUT — atomic per
   object on S3/GCS, which is the property the manifest/HEAD writes need.
-* ``write_exclusive`` on a remote scheme is probe-then-put. S3 offers
-  real conditional PUT (If-None-Match) and Iceberg-style engines use a
-  catalog CAS for the ref swap; single-writer-per-ref deployments (the
-  engine's streaming ingest) never race it. The version-slot collision
-  this guards is already survivable: the loser just takes the next slot.
+* ``write_exclusive`` on a remote scheme requires the scheme's
+  registered ``conditional_put`` (S3: PutObject ``If-None-Match: *``;
+  GCS: ``ifGenerationMatch=0``) or an explicit ``conditional_put=True``
+  opt-in to probe-then-put for single-writer deployments — an
+  UNREGISTERED scheme raises :class:`UnsupportedCommitSchemeError`
+  instead of silently weakening the single-commit-per-slot CAS
+  contract (multi-writer object-store deployments without conditional
+  put must route commits through a catalog CAS).
 * The SPARK data plane (bootstrap / merge / compaction writes) goes
   through Hadoop filesystems and therefore speaks whatever schemes the
   Hadoop conf provides (s3a:// etc.); that plane is exercised locally
@@ -40,17 +43,45 @@ import shutil
 from typing import Iterator
 
 _REGISTERED: dict = {}
+_CONDITIONAL_PUT: dict = {}
 
 
 class ExclusiveCreateError(FileExistsError):
     """write_exclusive lost the race: the path already exists."""
 
 
-def register_filesystem(scheme: str, fs) -> None:
+class UnsupportedCommitSchemeError(RuntimeError):
+    """write_exclusive on a remote scheme with no conditional-put support:
+    probe-then-put cannot guarantee single-commit-per-slot, so the commit
+    protocol's CAS contract would silently weaken. Register the scheme
+    with a ``conditional_put`` implementation (S3: PutObject with
+    ``If-None-Match: *``), or route commits through an external catalog
+    CAS for multi-writer deployments."""
+
+
+def register_filesystem(scheme: str, fs, conditional_put=None) -> None:
     """Register a pyarrow.fs.FileSystem to serve ``scheme://`` paths
     (tests use pyarrow.fs._MockFileSystem; production schemes usually
-    resolve via FileSystem.from_uri instead)."""
+    resolve via FileSystem.from_uri instead).
+
+    ``conditional_put`` declares how :func:`write_exclusive` gets its
+    create-if-absent guarantee on this scheme:
+
+    * a callable ``(fs_path: str, data: bytes) -> None`` that performs an
+      atomic conditional PUT, raising :class:`ExclusiveCreateError` when
+      the key already exists (S3's ``If-None-Match: *``, GCS's
+      ``ifGenerationMatch=0``);
+    * ``True`` — probe-then-put is acceptable for this filesystem (an
+      in-process mock, a single-writer deployment that accepts the
+      documented race);
+    * ``None`` (default) — the scheme cannot serve commit writes:
+      write_exclusive raises :class:`UnsupportedCommitSchemeError` rather
+      than silently weakening the single-commit-per-slot contract."""
     _REGISTERED[scheme] = fs
+    if conditional_put is not None:
+        _CONDITIONAL_PUT[scheme] = conditional_put
+    else:
+        _CONDITIONAL_PUT.pop(scheme, None)
 
 
 def resolve(path: str):
@@ -119,7 +150,14 @@ def write_atomic(path: str, data: str | bytes) -> None:
 
 def write_exclusive(path: str, data: str | bytes) -> None:
     """Create-if-absent; raises ExclusiveCreateError when taken.
-    Local = O_EXCL; remote = probe-then-put (see module docstring)."""
+
+    Local = O_EXCL (a true kernel guarantee). Remote = the scheme's
+    registered ``conditional_put`` (see :func:`register_filesystem`);
+    a scheme registered with ``True`` uses probe-then-put, and a scheme
+    with NO registration raises :class:`UnsupportedCommitSchemeError` —
+    two racing writers could both win the version-slot CAS otherwise,
+    silently breaking the commit protocol's single-commit-per-slot
+    contract on object stores."""
     raw = data.encode("utf-8") if isinstance(data, str) else data
     fs, p = resolve(path)
     if fs is None:
@@ -128,6 +166,19 @@ def write_exclusive(path: str, data: str | bytes) -> None:
             os.write(fd, raw)
         finally:
             os.close(fd)
+        return
+    scheme = path.split("://", 1)[0]
+    cput = _CONDITIONAL_PUT.get(scheme)
+    if cput is None:
+        raise UnsupportedCommitSchemeError(
+            f"write_exclusive on {scheme}:// needs a conditional-put: "
+            f"register_filesystem({scheme!r}, fs, conditional_put=<callable "
+            "performing an If-None-Match PUT>) — or conditional_put=True to "
+            "accept probe-then-put (single-writer deployments) — or route "
+            "commits through a catalog CAS"
+        )
+    if callable(cput):
+        cput(p, raw)
         return
     if exists(path):
         raise ExclusiveCreateError(path)

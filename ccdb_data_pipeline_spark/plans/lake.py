@@ -558,6 +558,30 @@ def _where_term(col: str, op: str, val, dtype=None):
     return c <= lit
 
 
+def _reclaim_dv_dirs(root: str, kept: set[str]) -> tuple[int, int]:
+    """Delete every deletion-vector sidecar directory under ``root``/dv
+    whose relative path (``dv/dv-<hex>``) is in NO retained manifest —
+    superseded sidecars (re-deletes union positions into a NEW sidecar)
+    and compaction-shed ones otherwise leak forever, since the data walks
+    only cover data/. Returns (n_files_deleted, bytes_reclaimed)."""
+    dv_root = os.path.join(root, "dv")
+    prefix = root.rstrip("/") + "/"
+    n = freed = 0
+    doomed_dirs: set[str] = set()
+    for full, size in fsio.walk_files(dv_root):
+        rel = full[len(prefix):] if full.startswith(prefix) else os.path.relpath(full, root)
+        rel = rel.replace(os.sep, "/")
+        sidecar = "/".join(rel.split("/")[:2])  # dv/dv-<hex>
+        if sidecar not in kept:
+            freed += size
+            fsio.remove(full)
+            n += 1
+            doomed_dirs.add(sidecar)
+    for d in doomed_dirs:
+        fsio.rmtree(os.path.join(root, d))
+    return n, freed
+
+
 def _dv_key(rel_path: str) -> str:
     """Deletion-vector file key: the last two path components (bucket dir +
     part basename). A bare basename is NOT unique — one Spark write job
@@ -1628,7 +1652,7 @@ class SnapshotParquetTable:
                 .collect()
             }
             if not counts:
-                shutil.rmtree(out_dir, ignore_errors=True)
+                fsio.rmtree(out_dir)  # scheme-routed (shutil no-ops remotely)
                 sidecar_rel = None
         if counts or dropped:
             by_base = {_dv_key(e["path"]) for e in clean}
@@ -3779,6 +3803,12 @@ class SnapshotParquetTable:
             for fs in m["buckets"].values():
                 for e in fs:
                     kept_refs.add(e["path"])
+        kept_dv: set[str] = set()
+        for v in sorted(kept_versions):
+            for fs in by_version[v]["buckets"].values():
+                for e in fs:
+                    if e.get("dv"):
+                        kept_dv.add(e["dv"]["path"].replace(os.sep, "/"))
         min_keep = min(kept_versions)
         n_files = n_manifests = bytes_reclaimed = 0
         data_root = os.path.join(self.root, "data")
@@ -3791,6 +3821,12 @@ class SnapshotParquetTable:
                 bytes_reclaimed += size
                 fsio.remove(full)
                 n_files += 1
+        # deletion-vector sidecars: superseded by re-deletes and shed by
+        # compaction/CoW rewrites — reclaim every dv/ directory no retained
+        # manifest references (they leaked forever before round 4)
+        n_dv, dv_bytes = _reclaim_dv_dirs(self.root, kept_dv)
+        n_files += n_dv
+        bytes_reclaimed += dv_bytes
         # prune now-empty commit/bucket dirs (bottom-up; no-op on flat
         # object-store namespaces)
         fsio.remove_empty_dirs(data_root)
@@ -3808,8 +3844,11 @@ class SnapshotParquetTable:
     def remove_orphans(self) -> dict:
         """Delete data files referenced by NO manifest (crash debris from
         writes whose commit never happened — the rollback-by-omission design
-        makes them invisible but they still hold bytes)."""
+        makes them invisible but they still hold bytes). DV sidecar
+        directories referenced by no manifest (crashed delete_where_dv
+        runs) are reclaimed the same way."""
         refs: set[str] = set()
+        dv_refs: set[str] = set()
         mdir = os.path.join(self.root, "manifests")
         for fn in fsio.listdir(mdir):
             if fn.startswith("m-") and fn.endswith(".json"):
@@ -3817,6 +3856,8 @@ class SnapshotParquetTable:
                 for fs in m["buckets"].values():
                     for e in fs:
                         refs.add(e["path"])
+                        if e.get("dv"):
+                            dv_refs.add(e["dv"]["path"].replace(os.sep, "/"))
         n_files = bytes_reclaimed = 0
         data_root = os.path.join(self.root, "data")
         prefix = self.root.rstrip("/") + "/"
@@ -3828,6 +3869,9 @@ class SnapshotParquetTable:
                 bytes_reclaimed += size
                 fsio.remove(full)
                 n_files += 1
+        n_dv, dv_bytes = _reclaim_dv_dirs(self.root, dv_refs)
+        n_files += n_dv
+        bytes_reclaimed += dv_bytes
         fsio.remove_empty_dirs(data_root)
         return {"n_data_files_deleted": n_files, "bytes_reclaimed": bytes_reclaimed}
 

@@ -236,3 +236,45 @@ def test_structured_predicate_validation(spark, tmp_path):
         t.delete_where_dv([("nope", "=", 1)], ts=TS)
     with pytest.raises(ValueError, match="op"):
         t.delete_where_dv([("role", "~", 1)], ts=TS)
+
+
+def test_retention_reclaims_superseded_dv_sidecars(spark, tmp_path):
+    """Superseded/shed DV sidecar directories are reclaimed by the
+    retention walks (round-3 ADVICE: dv/ leaked forever — expire and
+    orphan GC only walked data/)."""
+    t = _mk(spark, tmp_path, "dvgc")
+    t.delete_where_dv(PRED, ts=TS)
+    t.delete_where_dv("turn_idx % 5 = 1", ts=TS)  # re-delete: new sidecar
+    dv_root = os.path.join(t.root, "dv")
+    n_sidecars = len([d for d in os.listdir(dv_root) if d.startswith("dv-")])
+    assert n_sidecars == 2
+    # compaction folds positions physically and sheds every dv pointer;
+    # after retention collapses history, no manifest references any sidecar
+    t.compact(only_dirty=False)
+    before = t.read().collect()
+    stats = t.expire_snapshots(retain_last=1)
+    assert stats["n_data_files_deleted"] > 0
+    remaining = os.listdir(dv_root) if os.path.isdir(dv_root) else []
+    assert remaining == []
+    assert sorted(map(tuple, t.read().collect())) == sorted(map(tuple, before))
+
+
+def test_remove_orphans_reclaims_unreferenced_dv_dirs(spark, tmp_path):
+    """A crashed delete_where_dv leaves a sidecar no manifest references;
+    remove_orphans reclaims it but keeps the referenced one."""
+    t = _mk(spark, tmp_path, "dvorph")
+    t.delete_where_dv(PRED, ts=TS)
+    dv_root = os.path.join(t.root, "dv")
+    live = [d for d in os.listdir(dv_root) if d.startswith("dv-")]
+    assert len(live) == 1
+    # fabricate crash debris: an unreferenced sidecar dir with a file
+    import pandas as pd
+
+    debris = os.path.join(dv_root, "dv-deadbeef0000")
+    os.makedirs(debris)
+    pd.DataFrame({"path": ["x"], "pos": [0]}).to_parquet(os.path.join(debris, "p.parquet"))
+    rep = t.remove_orphans()
+    assert rep["n_data_files_deleted"] >= 1
+    remaining = sorted(d for d in os.listdir(dv_root) if d.startswith("dv-"))
+    assert remaining == sorted(live)
+    assert t.read().filter(PRED.replace("AND", "and")).count() == 0

@@ -28,14 +28,35 @@ from ccdb_data_pipeline_spark.plans.lake import CommitConflictError, SnapshotPar
 from ccdb_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA, TableSpec
 
 
+def _mock_conditional_put(fs):
+    """A TRUE conditional put for the in-process mock fs: lock-guarded
+    probe-then-put is atomic when every writer shares the process — the
+    shape an S3 implementation gets from ``If-None-Match: *``."""
+    import threading
+
+    lock = threading.Lock()
+
+    def put(p, raw):
+        with lock:
+            import pyarrow.fs as pafs
+
+            if fs.get_file_info(p).type != pafs.FileType.NotFound:
+                raise fsio.ExclusiveCreateError(p)
+            with fs.open_output_stream(p) as f:
+                f.write(raw)
+
+    return put
+
+
 @pytest.fixture()
 def mock_root():
     import pyarrow.fs as pafs
 
     fs = pafs._MockFileSystem()
-    fsio.register_filesystem("mock", fs)
+    fsio.register_filesystem("mock", fs, conditional_put=_mock_conditional_put(fs))
     yield "mock://tbl"
     fsio._REGISTERED.pop("mock", None)
+    fsio._CONDITIONAL_PUT.pop("mock", None)
 
 
 def _batch(rows):
@@ -91,6 +112,26 @@ def test_fsio_helpers_on_mock(mock_root):
     fsio.write_exclusive(fsio.join(mock_root, "x/once"), "1")
     with pytest.raises(fsio.ExclusiveCreateError):
         fsio.write_exclusive(fsio.join(mock_root, "x/once"), "2")
+    # a remote scheme with NO conditional-put refuses commit writes rather
+    # than silently weakening the single-commit-per-slot contract
+    import pyarrow.fs as pafs
+
+    fsio.register_filesystem("nocas", pafs._MockFileSystem())
+    try:
+        with pytest.raises(fsio.UnsupportedCommitSchemeError):
+            fsio.write_exclusive("nocas://tbl/HEAD", "0")
+    finally:
+        fsio._REGISTERED.pop("nocas", None)
+    # conditional_put=True opts a scheme into documented probe-then-put
+    fsio.register_filesystem("okcas", pafs._MockFileSystem(), conditional_put=True)
+    try:
+        fsio.makedirs("okcas://tbl")
+        fsio.write_exclusive("okcas://tbl/once", "1")
+        with pytest.raises(fsio.ExclusiveCreateError):
+            fsio.write_exclusive("okcas://tbl/once", "2")
+    finally:
+        fsio._REGISTERED.pop("okcas", None)
+        fsio._CONDITIONAL_PUT.pop("okcas", None)
     files = dict(fsio.walk_files(fsio.join(mock_root, "x")))
     assert set(files) == {mock_root + "/x/y/a.txt", mock_root + "/x/once"}
     fsio.remove(fsio.join(mock_root, "x/once"))

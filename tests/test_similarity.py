@@ -129,3 +129,39 @@ def test_ivf_assign_arrow_parity_and_speed(spark):
     for k in jvm:
         assert jvm[k][0] == arw[k][0], k          # identical assignment
         assert abs(jvm[k][1] - arw[k][1]) <= 1, k  # bp within the documented 1
+
+
+def test_ivf_assign_arrow_rejects_bad_vectors(spark):
+    """Null / wrong-length embeddings raise a clear error NAMING the
+    offending ids (round-3 ADVICE: the np.array(to_pylist) path blew up
+    with an opaque object-dtype/ValueError inside the executor)."""
+    import numpy as np
+    import pytest as _pt
+
+    from ccdb_data_pipeline_spark.operators.similarity import ivf_assign_arrow
+
+    rng = np.random.RandomState(11)
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in rng.randn(8)]) for j in range(3)],
+        "centroid_id long, embedding array<double>",
+    )
+    good = [(i, [float(x) for x in rng.randn(8)]) for i in range(10)]
+
+    df_null = spark.createDataFrame(
+        good + [(99, None)], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(Exception, match="99"):
+        ivf_assign_arrow(df_null, cents).collect()
+
+    df_ragged = spark.createDataFrame(
+        good + [(77, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(Exception, match="77"):
+        ivf_assign_arrow(df_ragged, cents).collect()
+
+    # null CENTROID vectors raise driver-side with the centroid id
+    bad_cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (5, None)], "centroid_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="5"):
+        ivf_assign_arrow(spark.createDataFrame(good, "vec_id long, embedding array<double>"), bad_cents)
