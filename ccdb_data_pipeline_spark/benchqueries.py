@@ -787,6 +787,97 @@ def _events_lake(spark, sf_dir, variant="plain", *, cache=True, **spec_kw):
     return t
 
 
+_FACADE_AGG_CACHE: dict[str, str] = {}
+
+
+@q(
+    "facade_agg_stream",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+           COUNT(*) AS n_events,
+           MAX(event_id) AS last_lsn,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def facade_agg_stream(spark, sf_dir):
+    """A NON-LWW engine driven entirely through the DataSource facade's
+    STREAMING sink (round-3 verdict item #1 done-criterion): an
+    aggregation-engine lake table (`agg_spec` sum/sum/max/max) receives the
+    event stream via ``writeStream.format("transcript_lake")`` in multiple
+    micro-batches (maxFilesPerTrigger=1 over a pre-split copy of the
+    events), the stream-writer epoch id serving as the exactly-once ledger
+    batch id, and the engine read folds the per-batch partials. Every
+    declared accumulator (sum of cents, sum of 1s, max lsn, max ts) is
+    ASSOCIATIVE, so the result is micro-batch-split invariant and the
+    DuckDB oracle is a plain GROUP BY over the raw events."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.datasource import register
+    from .plans.lake import SnapshotParquetTable
+
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="max_ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        agg_spec={"value_c": "sum", "n_events": "sum", "last_lsn": "max", "max_ts": "max"},
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    root = _FACADE_AGG_CACHE.get(str(sf_dir))
+    if root is None or not os.path.exists(os.path.join(root, "HEAD")):
+        register(spark)
+        ev = _t(spark, sf_dir, "events")
+        work = os.path.join(tempfile.gettempdir(), f"cdc-fagg-{uuid.uuid4().hex}")
+        src = os.path.join(work, "src")
+        # pre-split so availableNow + maxFilesPerTrigger=1 drives multiple
+        # facade micro-batch commits (the ledger gate per epoch)
+        ev.repartition(4).write.parquet(src)
+        proj_schema = ev.schema
+        stream = spark.readStream.schema(proj_schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        proj = stream.select(
+            F.col("user_id"),
+            F.col("event_type"),
+            _cents(F.col("value")).alias("value_c"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("event_id").alias("last_lsn"),
+            F.col("ts").alias("max_ts"),
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        root = os.path.join(work, "table")
+        t = SnapshotParquetTable(spark, root, spec)
+        t.create(proj.drop("lsn", "op").schema)
+        qstream = (
+            proj.writeStream.format("transcript_lake")
+            .option("path", root)
+            .option("tsColumn", "max_ts")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qstream.awaitTermination(300)
+        assert SnapshotParquetTable(None, root).last_batch_id >= 1, (
+            "expected multiple facade micro-batch commits"
+        )
+        _FACADE_AGG_CACHE[str(sf_dir)] = root
+    t = SnapshotParquetTable(spark, root, spec)
+    return t.read().select(
+        "user_id", "event_type", "value_c", "n_events", "last_lsn", "max_ts"
+    ).orderBy("user_id", "event_type")
+
+
 @q(
     "lake_time_travel",
     """

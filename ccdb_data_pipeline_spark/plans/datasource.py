@@ -68,7 +68,7 @@ from pyspark.sql.datasource import (
 )
 
 from . import fsio
-from ..schemas import BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED
+from ..schemas import AGG_N, AGG_RESET, BUCKET, DELETED, LSN_APPLIED, PATCH, TS_APPLIED
 
 _MASK = (1 << 64) - 1
 _P1 = 11400714785074694791
@@ -700,12 +700,28 @@ class LakeWriter(DataSourceArrowWriter):
                 "flag) and retry."
             )
         eng = self.meta.engine
-        if any(eng.values()):
-            raise ValueError(
-                "transcript_lake write serves plain LWW tables only; "
-                "partial-update/aggregation/first-row tables write via "
-                "SnapshotParquetTable.merge()"
-            )
+        # engine routing: every merge engine has a facade delta projection.
+        # first-row files are schema-identical to LWW (raw dominance rows;
+        # the read resolve differs); patch/agg project their own internal
+        # columns and within-task fold (their manifests carry the full
+        # engine PARAMS — agg_fns/seq_groups — backfilled by _commit).
+        if eng.get("agg_spec"):
+            self.engine_kind = "agg"
+            self.agg_fns = eng.get("agg_fns")
+            if self.agg_fns is None:
+                raise ValueError(
+                    "transcript_lake write: this aggregation table's manifest "
+                    "predates engine params (no engine.agg_fns). Commit once "
+                    "through SnapshotParquetTable with its TableSpec (which "
+                    "backfills the params) and retry."
+                )
+        elif eng.get("partial_updates"):
+            self.engine_kind = "patch"
+            self.seq_groups = eng.get("seq_groups") or None
+        elif eng.get("first_row"):
+            self.engine_kind = "first_row"
+        else:
+            self.engine_kind = "lww"
         if self.meta.mode != "mor":
             raise ValueError(
                 "transcript_lake write appends merge-on-read delta layers; "
@@ -756,7 +772,12 @@ class LakeWriter(DataSourceArrowWriter):
         if len(tbl) == 0:
             return _WriteMessage([], 0, 0, n_malformed, None, None)
         # the table's recorded normalization policy — the SAME arrow kernel
-        # the engine's fused apply runs (functions/normalize.py)
+        # the engine's fused apply runs (functions/normalize.py). For the
+        # row-selection engines (LWW, first-row) normalization commutes
+        # with the fold, so raw rows normalize at write; for the
+        # column-composing engines (patch, agg) the engine normalizes the
+        # FOLDED output (merge_events._fold_arrow order) — mirrored below,
+        # after the per-bucket fold.
         from ..functions.normalize import normalize_arrow_table
         from ..schemas import TableSpec
 
@@ -765,14 +786,13 @@ class LakeWriter(DataSourceArrowWriter):
             for f in meta.user_schema().fields
             if f.name not in meta.key_cols and f.dataType.simpleString() == "string"
         ]
-        tbl = normalize_arrow_table(
-            tbl.combine_chunks(),
-            TableSpec(
-                normalize_ws_cols=self.norm_ws,
-                empty_to_null_exempt=self.norm_exempt,
-            ),
-            str_payload,
+        norm_spec = TableSpec(
+            normalize_ws_cols=self.norm_ws,
+            empty_to_null_exempt=self.norm_exempt,
         )
+        tbl = tbl.combine_chunks()
+        if self.engine_kind in ("lww", "first_row"):
+            tbl = normalize_arrow_table(tbl, norm_spec, str_payload)
         is_del = pc.equal(op, pa.scalar("D"))
         target = _target_arrow_schema(meta)
         epoch = pa.scalar(0, pa.timestamp("us", tz="UTC"))
@@ -782,12 +802,23 @@ class LakeWriter(DataSourceArrowWriter):
             c = tbl.column(f.name).cast(dict(zip(target.names, target.types))[f.name])
             if f.name not in meta.key_cols:
                 # tombstones carry no payload — only the dominance pair
+                # (patch rows, op 'P', keep theirs: null there means
+                # "column not written")
                 c = pc.if_else(is_del, null_of[f.name], c)
             cols[f.name] = c
         ts_src = tbl.column(self.ts_col).cast(pa.timestamp("us", tz="UTC"))
         cols[TS_APPLIED] = pc.fill_null(ts_src, epoch)
         cols[LSN_APPLIED] = tbl.column(self.lsn_col).cast(pa.int64())
         cols[DELETED] = pc.fill_null(is_del, False)
+        if self.engine_kind == "patch":
+            cols[PATCH] = pc.fill_null(pc.equal(op, pa.scalar("P")), False)
+        elif self.engine_kind == "agg":
+            # raw rows are single-event partials (plans/lake._as_delta_rows):
+            # a delete is its own reset layer, any other event contributes 1
+            cols[AGG_RESET] = pc.fill_null(is_del, False)
+            cols[AGG_N] = pc.if_else(
+                pc.fill_null(is_del, False), pa.scalar(0, pa.int64()), pa.scalar(1, pa.int64())
+            )
         out = pa.table(cols)
         bvals = tbl.column(meta.bucket_col).combine_chunks()
         btype = next(
@@ -795,6 +826,30 @@ class LakeWriter(DataSourceArrowWriter):
         )
         buckets = bucket_of(bvals, meta.num_buckets, btype)
         out = out.append_column(BUCKET, pa.array(buckets, pa.int32()))
+        if self.engine_kind in ("patch", "agg"):
+            # the folds carry an op rider column (dropped before the write,
+            # like the engine's fused path)
+            out = out.append_column("_op", op.combine_chunks() if isinstance(op, pa.ChunkedArray) else op)
+        canonical = [c for c in out.column_names if c != "_op"]
+        payload_cols = [f.name for f in user_fields if f.name not in meta.key_cols]
+        keys = list(meta.key_cols)
+
+        def _fold_part(part):
+            """Within-task per-bucket fold for the column-composing engines
+            (the facade twin of merge_events._fold_arrow): patch/agg partials
+            compose with other layers under the read-side resolve, so a key
+            split across write tasks still converges."""
+            from .lake import _fold_agg_arrow, _fold_patches_arrow
+
+            if self.engine_kind == "patch":
+                part = _fold_patches_arrow(
+                    part, keys, payload_cols, [TS_APPLIED, LSN_APPLIED], self.seq_groups
+                )
+            else:
+                part = _fold_agg_arrow(part, keys, payload_cols, self.agg_fns)
+            part = part.drop_columns(["_op"]).select(canonical)
+            return normalize_arrow_table(part, norm_spec, str_payload)
+
         rel_dir = os.path.join("data", f"wds-{uuid.uuid4().hex[:12]}")
         fsio.makedirs(os.path.join(meta.root, rel_dir))
         entries = []
@@ -802,6 +857,8 @@ class LakeWriter(DataSourceArrowWriter):
 
         for b in np.unique(buckets):
             part = out.filter(pa.array(buckets == b))
+            if self.engine_kind in ("patch", "agg"):
+                part = _fold_part(part)
             fn = f"b{int(b):05d}-{uuid.uuid4().hex[:8]}.parquet"
             rel = os.path.join(rel_dir, fn)
             w_fs, w_p = fsio.resolve(os.path.join(meta.root, rel))

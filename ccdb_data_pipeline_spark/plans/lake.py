@@ -1118,6 +1118,17 @@ class SnapshotParquetTable:
                 "agg_spec": bool(self.spec.agg_spec),
                 "first_row": bool(self.spec.first_row),
             }
+        # engine PARAMS (not just flags) ride the manifest so spec-less
+        # consumers — the DataSource facade writer, a plain SQL user —
+        # can project/fold the engine-correct delta layout without the
+        # creating TableSpec in hand. Backfilled on every commit like the
+        # flags (a pre-params manifest gains them on its next commit).
+        if self.spec.agg_spec and "agg_fns" not in m["engine"]:
+            m["engine"]["agg_fns"] = dict(self.spec.agg_spec)
+        if self.spec.sequence_groups and "seq_groups" not in m["engine"]:
+            m["engine"]["seq_groups"] = {
+                s: list(members) for s, members in self.spec.sequence_groups.items()
+            }
         if "normalize" not in m:
             m["normalize"] = {
                 "ws_cols": list(self.spec.normalize_ws_cols),

@@ -1,0 +1,235 @@
+"""DataSource facade write path for ALL FOUR merge engines (round-3 verdict
+item #1): LakeWriter projects the engine-correct delta layout — LWW and
+first-row as raw dominance rows (schema-identical files; the read resolve
+differs), patch with the ``_patch`` marker and within-task
+``_fold_patches_arrow``, agg with ``(_agg_reset, _n_contrib)`` partials and
+``_fold_agg_arrow`` — so ``df.write.format("transcript_lake")`` serves any
+engine. The manifest's engine block carries the full PARAMS (agg_fns,
+seq_groups), backfilled by ``_commit``, so the facade needs no TableSpec.
+
+Done-criteria from the verdict: facade-written state == apply_changes-written
+state per engine (including after compaction folds the facade deltas), plus
+an exactly-once replay no-op per engine."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ccdb_data_pipeline_spark.plans.datasource import LakeWriter, register
+from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+from ccdb_data_pipeline_spark.schemas import TableSpec
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("note", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+BASE_SPEC = dict(
+    key_cols=("k",), bucket_col="k", ts_col="ts", lsn_col="lsn",
+    op_col="op", num_buckets=4, merge_mode="mor",
+)
+
+T0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+# (k, v, note, ts_minutes, lsn, op) — exercises same-batch collisions,
+# out-of-order dominance, deletes, patches with partial columns, and a
+# patch+delete-in-one-batch orphan case
+BATCHES = [
+    [
+        ("a", 1, "a-one", 0, 1, "I"),
+        ("b", 2, "b-one", 0, 2, "I"),
+        ("c", 3, "c-one", 0, 3, "I"),
+        ("a", 10, "a-two", 5, 4, "U"),      # same-batch collision on a
+        ("d", 4, "d-one", 1, 5, "I"),
+    ],
+    [
+        ("b", 20, None, 10, 6, "P"),         # patch: v only (note unwritten)
+        ("c", None, "c-patched", 9, 7, "P"),  # patch: note only
+        ("d", None, None, 11, 8, "D"),        # delete d
+        ("e", 50, "e-one", 2, 9, "I"),        # late-ts insert
+        ("e", None, "e-patch", 12, 10, "P"),  # patch e in same batch
+        ("a", 99, "a-three", 3, 11, "U"),     # OLDER ts than a's (5min) row
+    ],
+    [
+        ("c", None, None, 20, 12, "D"),       # delete c
+        ("c", 300, None, 21, 13, "P"),        # patch AFTER delete (orphan)
+        ("f", 6, "  spaced   out  ", 22, 14, "I"),  # ws normalization
+        ("b", None, "", 23, 15, "U"),         # ""->null normalization (full image)
+    ],
+]
+
+
+def _events_df(spark, rows):
+    data = [(k, v, note, _ts(m), lsn, op) for (k, v, note, m, lsn, op) in rows]
+    sch = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    return spark.createDataFrame(data, sch)
+
+
+def _events_batch(rows):
+    ks, vs, notes, ms, lsns, ops = zip(*rows)
+    return pa.record_batch({
+        "k": pa.array(ks, pa.string()),
+        "v": pa.array(vs, pa.int64()),
+        "note": pa.array(notes, pa.string()),
+        "ts": pa.array([_ts(m) for m in ms], pa.timestamp("us", tz="UTC")),
+        "lsn": pa.array(lsns, pa.int64()),
+        "op": pa.array(ops, pa.string()),
+    })
+
+
+def _mk(spark, tmp_path, name, **eng_kw):
+    spec = TableSpec(**BASE_SPEC, **eng_kw)
+    t = SnapshotParquetTable(spark, str(tmp_path / name), spec)
+    t.create(SCHEMA)
+    return t
+
+
+def _state(t):
+    t.refresh()
+    rows = t.read().collect()
+    return sorted((r["k"], r["v"], r["note"]) for r in rows)
+
+
+def _facade_apply(root, rows, batch_id):
+    w = LakeWriter({"path": root, "batchid": str(batch_id)}, overwrite=False)
+    msg = w.write(iter([_events_batch(rows)]))
+    w.commit([msg])
+
+
+ENGINES = {
+    "lww": {},
+    "first_row": {"first_row": True},
+    "patch": {"partial_updates": True},
+    "agg": {"agg_spec": {"v": "sum", "note": "last"}},
+}
+
+
+def _batches_for(kind):
+    if kind in ("patch",):
+        return BATCHES
+    # non-patch engines have no 'P' op: route patches as updates
+    return [[(k, v, n, m, lsn, "U" if op == "P" else op) for (k, v, n, m, lsn, op) in b]
+            for b in BATCHES]
+
+
+@pytest.mark.parametrize("kind", list(ENGINES))
+def test_facade_write_equals_engine_apply(spark, tmp_path, kind):
+    eng_kw = ENGINES[kind]
+    a = _mk(spark, tmp_path, f"eng-{kind}", **eng_kw)
+    b = _mk(spark, tmp_path, f"fac-{kind}", **eng_kw)
+    for i, rows in enumerate(_batches_for(kind)):
+        a.merge_events(_events_df(spark, rows), batch_id=i)
+        _facade_apply(b.root, rows, batch_id=i)
+        assert _state(a) == _state(b), (kind, i)
+    # exactly-once: replaying the last batch through the facade is a no-op
+    head = SnapshotParquetTable(None, b.root).current_version()
+    _facade_apply(b.root, _batches_for(kind)[-1], batch_id=len(BATCHES) - 1)
+    assert SnapshotParquetTable(None, b.root).current_version() == head
+    # compaction folds the facade-written deltas to the same state
+    b.refresh().compact(only_dirty=False)
+    assert _state(a) == _state(b), (kind, "post-compaction")
+    m = b.refresh().manifest()
+    assert not any(e.get("delta") for fs in m["buckets"].values() for e in fs)
+
+
+def test_facade_write_patch_with_sequence_groups(spark, tmp_path):
+    """Sequence-group columns fold atomically by their OWN (seq, lsn)
+    order — the facade fold must honor the manifest's seq_groups params."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("other", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    spec_kw = dict(
+        key_cols=("k",), bucket_col="k", ts_col="ts", lsn_col="lsn",
+        op_col="op", num_buckets=2, merge_mode="mor",
+        partial_updates=True, sequence_groups={"seq": ("val",)},
+    )
+    a = SnapshotParquetTable(spark, str(tmp_path / "sga"), TableSpec(**spec_kw))
+    b = SnapshotParquetTable(spark, str(tmp_path / "sgb"), TableSpec(**spec_kw))
+    a.create(schema)
+    b.create(schema)
+    assert b.manifest()["engine"]["seq_groups"] == {"seq": ["val"]}
+
+    rows = [
+        # (k, seq, val, other, ts_min, lsn, op) — group winner is seq=9
+        ("g", 5, "five", "x", 0, 1, "I"),
+        ("g", 9, "nine", None, 1, 2, "P"),   # higher seq, earlier lsn wins group
+        ("g", 7, "seven", "y", 2, 3, "P"),   # lower seq loses despite later lsn
+        ("h", None, None, "h0", 0, 4, "I"),
+    ]
+    sch = T.StructType(list(schema.fields) + [
+        T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())
+    ])
+    df = spark.createDataFrame(
+        [(k, s, v, o, _ts(m), lsn, op) for (k, s, v, o, m, lsn, op) in rows], sch
+    )
+    a.merge_events(df, batch_id=0)
+
+    ks, seqs, vals, others, ms, lsns, ops = zip(*rows)
+    batch = pa.record_batch({
+        "k": pa.array(ks, pa.string()),
+        "seq": pa.array(seqs, pa.int64()),
+        "val": pa.array(vals, pa.string()),
+        "other": pa.array(others, pa.string()),
+        "ts": pa.array([_ts(m) for m in ms], pa.timestamp("us", tz="UTC")),
+        "lsn": pa.array(lsns, pa.int64()),
+        "op": pa.array(ops, pa.string()),
+    })
+    w = LakeWriter({"path": b.root, "batchid": "0"}, overwrite=False)
+    w.commit([w.write(iter([batch]))])
+
+    sa = sorted(map(tuple, a.read().select("k", "seq", "val", "other").collect()))
+    sb = sorted(map(tuple, b.refresh().read().select("k", "seq", "val", "other").collect()))
+    assert sa == sb
+    assert ("g", 9, "nine", "y") in sa
+
+
+def test_facade_write_agg_through_spark_writer(spark, tmp_path):
+    """The real distributed path: df.write.format('transcript_lake') onto an
+    aggregation-engine table — one green end-to-end write per the verdict's
+    done-criterion, checked against the engine apply."""
+    eng_kw = ENGINES["agg"]
+    a = _mk(spark, tmp_path, "spark-agg-a", **eng_kw)
+    b = _mk(spark, tmp_path, "spark-agg-b", **eng_kw)
+    register(spark)
+    for i, rows in enumerate(_batches_for("agg")):
+        a.merge_events(_events_df(spark, rows), batch_id=i)
+        (
+            _events_df(spark, rows)
+            .write.format("transcript_lake")
+            .option("batchId", str(i))
+            .mode("append")
+            .save(b.root)
+        )
+        assert _state(a) == _state(b), i
+
+
+def test_facade_agg_refuses_paramless_manifest(spark, tmp_path):
+    """An agg table whose manifest predates engine params must be refused
+    with a backfill hint, never mis-folded with default fns."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path, "noparams", **ENGINES["agg"])
+    mpath = os.path.join(t.root, "manifests", f"m-{t.current_version():010d}.json")
+    m = json.loads(open(mpath).read())
+    m["engine"].pop("agg_fns", None)
+    open(mpath, "w").write(json.dumps(m))
+    with pytest.raises(ValueError, match="agg_fns"):
+        LakeWriter({"path": t.root, "batchid": "0"}, overwrite=False)
