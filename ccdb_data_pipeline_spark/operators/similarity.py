@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b) -> F.Column:
@@ -130,9 +131,9 @@ def ivf_assign_arrow(
     can differ by 1 at exact .5 rounding boundaries and an assignment
     could flip on a knife-edge tie — byte-parity with engine oracles is
     not guaranteed, while the JVM path is. Use this for throughput on
-    real corpora; keep ivf_assign where bit-stability matters. Output is
-    (id, centroid_id, centroid_cos_bp) — join back on the id for other
-    columns (the JVM twin carries them through instead)."""
+    real corpora; keep ivf_assign where bit-stability matters. All corpus
+    columns are carried through (drop-in for ivf_assign — wired into
+    IncrementalVectorIndex via ``assign_engine="arrow"``)."""
     import numpy as np
 
     rows = centroids.select(
@@ -152,7 +153,7 @@ def ivf_assign_arrow(
     dim = Cn_s.shape[1]
 
     out_schema = (
-        corpus.select(id_col).schema
+        T.StructType(list(corpus.schema.fields))
         .add(centroid_id_col, "long")
         .add("centroid_cos_bp", "long")
     )
@@ -196,17 +197,14 @@ def ivf_assign_arrow(
             # HALF_UP like Spark's round (np.rint is half-even)
             bp = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
             best = bp.argmax(axis=1)  # first max = smallest cid (sorted)
-            yield pa.record_batch(
-                {
-                    id_col: tbl.column(id_col).combine_chunks(),
-                    centroid_id_col: pa.array(cids_s[best], pa.int64()),
-                    "centroid_cos_bp": pa.array(
-                        bp[np.arange(len(best)), best], pa.int64()
-                    ),
-                }
+            cols = {n: tbl.column(n).combine_chunks() for n in tbl.column_names}
+            cols[centroid_id_col] = pa.array(cids_s[best], pa.int64())
+            cols["centroid_cos_bp"] = pa.array(
+                bp[np.arange(len(best)), best], pa.int64()
             )
+            yield pa.record_batch(cols)
 
-    return corpus.select(id_col, vec_col).mapInArrow(run, out_schema)
+    return corpus.mapInArrow(run, out_schema)
 
 
 def embedding_near_dup_pairs(

@@ -36,14 +36,21 @@ from pyspark.sql import types as T
 
 from ..schemas import TableSpec
 from ..plans.lake import SnapshotParquetTable
-from .similarity import ivf_assign, ivf_assign_probes, ivf_topk
+from .similarity import ivf_assign, ivf_assign_arrow, ivf_assign_probes, ivf_topk
 
 
 class IncrementalVectorIndex:
     """IVF index over ``vec_col`` of a lake table, maintained from the
     change feed. ``root`` holds the centroid snapshot (fixed at first
     build — coarse quantizers are retrained offline, as in FAISS) and the
-    index lake table itself."""
+    index lake table itself.
+
+    ``assign_engine`` routes nearest-centroid assignment (mirroring
+    ``TableSpec.fold_engine``): ``"jvm"`` (default) is the interpreted
+    higher-order-function fold — bit-stable, oracle-pinned; ``"arrow"``
+    is the numpy-matmul mapInArrow twin — measured 3.8x end-to-end at
+    dim 64 / k 64 and growing with k, at the documented 1bp
+    knife-edge-tie caveat (operators/similarity.ivf_assign_arrow)."""
 
     def __init__(
         self,
@@ -52,11 +59,15 @@ class IncrementalVectorIndex:
         key_cols: Sequence[str] = ("vec_id",),
         vec_col: str = "embedding",
         num_buckets: int = 16,
+        assign_engine: str = "jvm",
     ):
+        if assign_engine not in ("jvm", "arrow"):
+            raise ValueError("assign_engine must be 'jvm' or 'arrow'")
         self.spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.vec_col = vec_col
+        self.assign_engine = assign_engine
         self.table = SnapshotParquetTable(
             spark,
             os.path.join(root, "table"),
@@ -93,9 +104,11 @@ class IncrementalVectorIndex:
         return self.table.last_batch_id
 
     def _assign(self, rows: DataFrame, version: int) -> DataFrame:
-        assigned = ivf_assign(
+        assign = ivf_assign_arrow if self.assign_engine == "arrow" else ivf_assign
+        assigned = assign(
             rows.select(*self.key_cols, self.vec_col),
             self.centroids(),
+            id_col=self.key_cols[0],
             vec_col=self.vec_col,
         )
         return assigned.select(

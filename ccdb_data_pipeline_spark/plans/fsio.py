@@ -27,10 +27,12 @@ Object-store caveats, explicit by design:
   instead of silently weakening the single-commit-per-slot CAS
   contract (multi-writer object-store deployments without conditional
   put must route commits through a catalog CAS).
-* The SPARK data plane (bootstrap / merge / compaction writes) goes
-  through Hadoop filesystems and therefore speaks whatever schemes the
-  Hadoop conf provides (s3a:// etc.); that plane is exercised locally
-  here and scheme-routing applies to everything the engine itself opens.
+* The SPARK data plane (bootstrap / merge / compaction / DV writes)
+  routes by scheme too: REGISTERED filesystems take a driver-side Arrow
+  writer/reader (``plans.lake._arrow_plane`` — correct and
+  scheme-complete, sized for tests/small stores since the registration
+  is per-process), while Hadoop-conf schemes (s3a:// etc.) keep Spark's
+  fully distributed writers.
 
 tests/test_fsio_scheme.py runs the metadata plane + the full facade data
 plane on the in-memory ``mock://`` filesystem end-to-end.

@@ -476,7 +476,7 @@ def _ts_nullfree(pairs, ts_col: str):
 
     out = []
     for tag, path in pairs:
-        md = _pq.read_metadata(path)
+        md = _pq.read_metadata(path if "://" not in path else fsio.open_input(path))
         cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if ts_col not in cols:
             out.append((tag, False))
@@ -690,7 +690,7 @@ def _footer_stats(pairs, with_bucket: bool = False, ts_col: str | None = None,
 
     out = []
     for b, full in pairs:
-        md = _pq.read_metadata(full)
+        md = _pq.read_metadata(full if "://" not in full else fsio.open_input(full))
         if md.num_rows == 0:
             # flat writes emit a 0-row part file for empty shuffle partitions
             # (partitionBy never did — no dir, no file); skip it so it is
@@ -1299,26 +1299,30 @@ class SnapshotParquetTable:
         ) if apply_dv else []
         dv_total = sum(e["dv"]["n_deleted"] for e in entries if e.get("dv")) if apply_dv else 0
         parts = []
+        arrow_plane = self._arrow_plane()
         for sid, group in by_sid.items():
-            paths = [os.path.join(self.root, e["path"]) for e in group]
             era = self._internal_schema(T.StructType.fromJson(m["schemas"][str(sid)]))
-            df = self.spark.read.schema(era).parquet(*paths)
             need_pos = with_pos or (apply_dv and any(e.get("dv") for e in group))
-            if need_pos:
-                # hidden parquet metadata: the last TWO path components
-                # (bucket dir + part basename) are unique per table — a
-                # bare basename is NOT (one write job reuses the same
-                # part-XXXXX name in every bucket dir it touches);
-                # row_index is the in-file position. Selected at the scan
-                # so it survives renames/alignment.
-                fp = F.split(F.col("_metadata.file_path"), "/")
-                df = df.select(
-                    "*",
-                    F.concat_ws(
-                        "/", F.element_at(fp, -2), F.element_at(fp, -1)
-                    ).alias("_dv_base"),
-                    F.col("_metadata.row_index").alias("_dv_pos"),
-                )
+            if arrow_plane:
+                df = self._arrow_read_era(group, era, need_pos)
+            else:
+                paths = [os.path.join(self.root, e["path"]) for e in group]
+                df = self.spark.read.schema(era).parquet(*paths)
+                if need_pos:
+                    # hidden parquet metadata: the last TWO path components
+                    # (bucket dir + part basename) are unique per table — a
+                    # bare basename is NOT (one write job reuses the same
+                    # part-XXXXX name in every bucket dir it touches);
+                    # row_index is the in-file position. Selected at the scan
+                    # so it survives renames/alignment.
+                    fp = F.split(F.col("_metadata.file_path"), "/")
+                    df = df.select(
+                        "*",
+                        F.concat_ws(
+                            "/", F.element_at(fp, -2), F.element_at(fp, -1)
+                        ).alias("_dv_base"),
+                        F.col("_metadata.row_index").alias("_dv_pos"),
+                    )
             # rename/drop events that postdate this era rewrite its column
             # names BEFORE alignment (Iceberg field-id semantics: the stored
             # column IS the renamed field; a dropped-then-re-added name is a
@@ -1337,11 +1341,19 @@ class SnapshotParquetTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if dv_dirs:
-            dv = self.spark.read.parquet(
-                *[os.path.join(self.root, d) for d in dv_dirs]
-            ).select(
-                F.col("path").alias("_dv_base"), F.col("pos").alias("_dv_pos")
-            )
+            if arrow_plane:
+                dv = self.spark.createDataFrame(
+                    self._arrow_read_table(dv_dirs).select(["path", "pos"]),
+                    schema="path string, pos long",
+                ).select(
+                    F.col("path").alias("_dv_base"), F.col("pos").alias("_dv_pos")
+                )
+            else:
+                dv = self.spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in dv_dirs]
+                ).select(
+                    F.col("path").alias("_dv_base"), F.col("pos").alias("_dv_pos")
+                )
             # the DV side is positions-only (16 bytes/row); broadcast while
             # small, fall back to an AQE-planned join for huge delete sets
             if dv_total <= 5_000_000:
@@ -1648,20 +1660,38 @@ class SnapshotParquetTable:
             if old_dirs:
                 # carry forward prior positions of files touched again this
                 # round (they were invisible to the predicate scan above)
-                old = self.spark.read.parquet(
-                    *[os.path.join(self.root, d) for d in old_dirs]
-                ).select("path", "pos")
+                if self._arrow_plane():
+                    old = self.spark.createDataFrame(
+                        self._arrow_read_table(old_dirs).select(["path", "pos"]),
+                        schema="path string, pos long",
+                    )
+                else:
+                    old = self.spark.read.parquet(
+                        *[os.path.join(self.root, d) for d in old_dirs]
+                    ).select("path", "pos")
                 to_write = matched.unionByName(
                     old.join(matched.select("path").distinct(), "path", "left_semi")
                 )
-            to_write.write.mode("overwrite").parquet(out_dir)
-            counts = {
-                r["path"]: r["n"]
-                for r in self.spark.read.parquet(out_dir)
-                .groupBy("path")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            if self._arrow_plane():
+                import pyarrow.parquet as _paq
+
+                dv_tbl = to_write.toArrow()
+                fsio.makedirs(out_dir)
+                w_fs, w_p = fsio.resolve(fsio.join(out_dir, "part-00000.parquet"))
+                _paq.write_table(dv_tbl, w_p, filesystem=w_fs, compression="zstd")
+                g = dv_tbl.group_by("path").aggregate([("path", "count")])
+                counts = dict(
+                    zip(g.column("path").to_pylist(), g.column("path_count").to_pylist())
+                )
+            else:
+                to_write.write.mode("overwrite").parquet(out_dir)
+                counts = {
+                    r["path"]: r["n"]
+                    for r in self.spark.read.parquet(out_dir)
+                    .groupBy("path")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
             if not counts:
                 fsio.rmtree(out_dir)  # scheme-routed (shutil no-ops remotely)
                 sidecar_rel = None
@@ -1671,9 +1701,13 @@ class SnapshotParquetTable:
             if unknown:
                 raise AssertionError(f"DV positions for unknown files: {unknown}")
             if counts:
-                new_total = self.spark.read.parquet(
-                    os.path.join(self.root, sidecar_rel)
-                ).count()
+                new_total = (
+                    len(self._arrow_read_table([sidecar_rel]))
+                    if self._arrow_plane()
+                    else self.spark.read.parquet(
+                        os.path.join(self.root, sidecar_rel)
+                    ).count()
+                )
                 prior = sum(
                     e["dv"]["n_deleted"] for e in clean
                     if e.get("dv") and _dv_key(e["path"]) in counts
@@ -1972,6 +2006,114 @@ class SnapshotParquetTable:
         m["committed_at"] = time.time()
         self._commit(m, expected_ref=self.manifest()["version"])
 
+    # ------------------------------------------- pyarrow data plane (S13)
+
+    def _arrow_plane(self) -> bool:
+        """True when the table root's scheme is served by a REGISTERED
+        pyarrow filesystem (plans/fsio.register_filesystem): the Spark
+        data plane — bootstrap / merge / compaction / DV parquet jobs —
+        then routes through a driver-side Arrow writer/reader on that
+        filesystem instead of Spark's Hadoop plane. Trade, stated
+        honestly: the registered-fs plane is single-process (a mock:// or
+        custom store registration lives in the driver), so it collects the
+        job's output through ``df.toArrow()`` — correct and
+        scheme-complete (the FULL lifecycle runs on mock://), sized for
+        tests and small registered stores. Production object stores speak
+        s3a:// / abfs:// through the Hadoop conf and keep the fully
+        distributed writers."""
+        return "://" in self.root and self.root.split("://", 1)[0] in fsio._REGISTERED
+
+    def _arrow_write_dir(self, df: DataFrame, out_dir: str, flat: bool,
+                         sort_cols: tuple | list = ()) -> None:
+        """Driver-side Arrow twin of the Spark parquet write: one file per
+        bucket, in the SAME layouts the footer scans recover entries from —
+        flat (single-bucket files, ``_bucket`` riding as a data column) or
+        hive (``_bucket=N/`` dirs, column stripped)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = df.toArrow()
+        fsio.makedirs(out_dir)
+        if len(tbl) == 0:
+            return
+        bucket = tbl.column(BUCKET).to_numpy(zero_copy_only=False)
+        for b in np.unique(bucket):
+            part = tbl.filter(pa.array(bucket == b))
+            if sort_cols:
+                part = part.sort_by([(c, "ascending") for c in sort_cols])
+                drop = [c for c in sort_cols if c.startswith("_zorder")]
+                if drop:
+                    part = part.drop_columns(drop)
+            if flat:
+                path = fsio.join(out_dir, f"part-b{int(b):05d}.parquet")
+            else:
+                d = fsio.join(out_dir, f"{BUCKET}={int(b)}")
+                fsio.makedirs(d)
+                part = part.drop_columns([BUCKET])
+                path = fsio.join(d, "part-00000.parquet")
+            w_fs, w_p = fsio.resolve(path)
+            pq.write_table(part, w_p, filesystem=w_fs, compression="zstd")
+
+    def _arrow_read_table(self, rel_dirs_or_files: list[str]):
+        """Concatenated pyarrow Table of every parquet file under the given
+        table-relative dirs/files, via the scheme layer."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = []
+        for rel in rel_dirs_or_files:
+            full = fsio.join(self.root, rel)
+            targets = (
+                [p for p, _sz in fsio.walk_files(full) if p.endswith(".parquet")]
+                if fsio.isdir(full)
+                else [full]
+            )
+            for p in targets:
+                with fsio.open_input(p) as f:
+                    tables.append(pq.read_table(f))
+        return pa.concat_tables(tables, promote_options="default")
+
+    def _arrow_read_era(self, group: list[dict], era: T.StructType,
+                        need_pos: bool) -> DataFrame:
+        """Arrow twin of ``spark.read.schema(era).parquet(*paths)`` for the
+        registered-scheme plane: per-file read via fsio, cast/null-align to
+        the era's internal schema, with the DV position columns
+        (``_dv_base``, ``_dv_pos``) synthesized driver-side when asked
+        (the Hadoop plane gets them from ``_metadata``)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        target = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType), f.nullable) for f in era.fields]
+        )
+        pieces = []
+        for e in group:
+            with fsio.open_input(fsio.join(self.root, e["path"])) as f:
+                t = pq.read_table(f)
+            cols, names = [], []
+            for fld in target:
+                names.append(fld.name)
+                if fld.name in t.column_names:
+                    cols.append(t.column(fld.name).cast(fld.type))
+                else:
+                    cols.append(pa.nulls(len(t), fld.type))
+            t2 = pa.table(dict(zip(names, cols)))
+            if need_pos:
+                t2 = t2.append_column(
+                    "_dv_base", pa.array([_dv_key(e["path"])] * len(t2), pa.string())
+                ).append_column(
+                    "_dv_pos", pa.array(np.arange(len(t2), dtype=np.int64))
+                )
+            pieces.append(t2)
+        out = pa.concat_tables(pieces)
+        schema = T.StructType(list(era.fields))
+        if need_pos:
+            schema = schema.add("_dv_base", T.StringType()).add("_dv_pos", T.LongType())
+        return self.spark.createDataFrame(out, schema=schema)
+
     def _write_data(self, df: DataFrame, version: int, sid: int | None = None,
                     delta: bool = False, sort_cols: tuple[str, ...] = ()) -> dict[int, list[dict]]:
         """Write df (with BUCKET col) partitioned by bucket; return
@@ -1988,47 +2130,51 @@ class SnapshotParquetTable:
         out_dir = os.path.join(self.root, rel)
         if sid is None:
             sid = self.manifest().get("current_schema_id", 0)
-        part = df.repartition(F.col(BUCKET))
-        if sort_cols:
-            part = part.sortWithinPartitions(BUCKET, *sort_cols)
-            # transient cluster keys (e.g. the z-value) order the rows but
-            # are not table columns — project them away after the sort (a
-            # narrow op in the same stage: row order is preserved)
-            drop = [c for c in sort_cols if c.startswith("_zorder")]
-            if drop:
-                part = part.drop(*drop)
-        # blooms go on long-lived files only (base/CoW/compaction output):
-        # short-lived MoR delta files are folded away by compaction, and the
-        # measured ~3-4% bloom write cost on the apply hot path buys little
-        # row-group skipping before they are
-        opts = {} if delta else self.spec.bloom_write_options()
-        if delta and self.spec.delta_codec:
-            opts["compression"] = self.spec.delta_codec
-        if not delta and self.spec.max_file_rows:
-            # target-file-size splitting for long-lived files (see TableSpec)
-            opts["maxRecordsPerFile"] = str(self.spec.max_file_rows)
-        (
-            part.write.mode("overwrite")
-            .options(**opts)
-            .partitionBy(BUCKET)
-            .parquet(out_dir)
-        )
+        if self._arrow_plane():
+            # registered-scheme root: driver-side Arrow writer, same hive
+            # layout (blooms/maxRecordsPerFile are Hadoop-plane features)
+            self._arrow_write_dir(df, out_dir, flat=False, sort_cols=tuple(sort_cols))
+        else:
+            part = df.repartition(F.col(BUCKET))
+            if sort_cols:
+                part = part.sortWithinPartitions(BUCKET, *sort_cols)
+                # transient cluster keys (e.g. the z-value) order the rows but
+                # are not table columns — project them away after the sort (a
+                # narrow op in the same stage: row order is preserved)
+                drop = [c for c in sort_cols if c.startswith("_zorder")]
+                if drop:
+                    part = part.drop(*drop)
+            # blooms go on long-lived files only (base/CoW/compaction output):
+            # short-lived MoR delta files are folded away by compaction, and the
+            # measured ~3-4% bloom write cost on the apply hot path buys little
+            # row-group skipping before they are
+            opts = {} if delta else self.spec.bloom_write_options()
+            if delta and self.spec.delta_codec:
+                opts["compression"] = self.spec.delta_codec
+            if not delta and self.spec.max_file_rows:
+                # target-file-size splitting for long-lived files (see TableSpec)
+                opts["maxRecordsPerFile"] = str(self.spec.max_file_rows)
+            (
+                part.write.mode("overwrite")
+                .options(**opts)
+                .partitionBy(BUCKET)
+                .parquet(out_dir)
+            )
         files: dict[int, list[dict]] = {}
         flat: list[dict] = []
         pairs: list[tuple[int, str]] = []
-        for dirpath, _dirnames, filenames in os.walk(out_dir):
-            base = os.path.basename(dirpath)
-            if not base.startswith(f"{BUCKET}="):
+        for full, _sz in fsio.walk_files(out_dir):
+            posix = full.replace(os.sep, "/")
+            base, fn = posix.split("/")[-2], posix.split("/")[-1]
+            if not base.startswith(f"{BUCKET}=") or not fn.endswith(".parquet"):
                 continue
             b = int(base.split("=", 1)[1])
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    e = {"path": os.path.join(rel, base, fn), "schema_id": sid}
-                    if delta:
-                        e["delta"] = True
-                    files.setdefault(b, []).append(e)
-                    pairs.append((len(flat), os.path.join(dirpath, fn)))
-                    flat.append(e)
+            e = {"path": os.path.join(rel, base, fn), "schema_id": sid}
+            if delta:
+                e["delta"] = True
+            files.setdefault(b, []).append(e)
+            pairs.append((len(flat), full))
+            flat.append(e)
         # per-file row counts + LSN ranges from the footers just written
         # (Iceberg per-file metrics analog) — drives the publish row-floor
         # audit and file-level pruning; footer-only reads, Spark-parallel
@@ -2051,7 +2197,9 @@ class SnapshotParquetTable:
             return []
         ts_col = self.spec.ts_col
         stats_cols = tuple(self.spec.stats_cols)
-        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+        # registered-scheme paths stay driver-side (the fs registration is
+        # per-process; executors can't resolve them)
+        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX or "://" in pairs[0][1]:
             return _footer_stats(pairs, ts_col=ts_col, stats_cols=stats_cols)
         sc = self.spark.sparkContext
         n_slices = min(len(pairs), sc.defaultParallelism)
@@ -2525,7 +2673,11 @@ class SnapshotParquetTable:
         # delta files are short-lived (compaction folds them): honor the
         # spec's cheaper delta codec when set (see TableSpec.delta_codec)
         w_opts = {"compression": self.spec.delta_codec} if self.spec.delta_codec else {}
-        if flat:
+        if self._arrow_plane():
+            # registered-scheme root: driver-side Arrow writer (see
+            # _arrow_plane for the trade), same flat/hive layouts
+            self._arrow_write_dir(folded, out_dir, flat=flat)
+        elif flat:
             # one single-bucket file per task (bucket rides as a data column,
             # a run-length constant under the columnar codec; readers prune
             # it via their explicit schema) — recovered from footer stats in
@@ -2706,18 +2858,18 @@ class SnapshotParquetTable:
         if flat:
             entries: list[dict] = []
             pairs = []  # (index into entries, absolute path)
-            for fn in sorted(os.listdir(out_dir)):
+            for fn in fsio.listdir(out_dir):
                 if not fn.endswith(".parquet"):
                     continue
                 entries.append(
                     {"path": os.path.join(rel, fn), "schema_id": sid, "delta": True}
                 )
-                pairs.append((len(entries) - 1, os.path.join(out_dir, fn)))
+                pairs.append((len(entries) - 1, fsio.join(out_dir, fn)))
             if not pairs:
                 return files, []
             ts_col = self.spec.ts_col
             scols = tuple(self.spec.stats_cols)
-            if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+            if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX or "://" in pairs[0][1]:
                 fstats = _footer_stats(pairs, with_bucket=True, ts_col=ts_col,
                                        stats_cols=scols)
             else:
@@ -2742,24 +2894,22 @@ class SnapshotParquetTable:
             entries = []
             entry_bucket: list[int] = []
             pairs = []  # (index into entries, absolute path)
-            for dirpath, _dirnames, filenames in os.walk(out_dir):
-                base = os.path.basename(dirpath)
-                if not base.startswith(f"{BUCKET}="):
+            for full, _sz in fsio.walk_files(out_dir):
+                posix = full.replace(os.sep, "/")
+                base, fn = posix.split("/")[-2], posix.split("/")[-1]
+                if not base.startswith(f"{BUCKET}=") or not fn.endswith(".parquet"):
                     continue
                 b = int(base.split("=", 1)[1])
-                for fn in filenames:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    e = {"path": os.path.join(rel, base, fn), "schema_id": sid, "delta": True}
-                    files.setdefault(b, []).append(e)
-                    entries.append(e)
-                    entry_bucket.append(b)
-                    pairs.append((len(entries) - 1, os.path.join(dirpath, fn)))
+                e = {"path": os.path.join(rel, base, fn), "schema_id": sid, "delta": True}
+                files.setdefault(b, []).append(e)
+                entries.append(e)
+                entry_bucket.append(b)
+                pairs.append((len(entries) - 1, full))
             if not pairs:
                 return files, []
             ts_col = self.spec.ts_col
             scols = tuple(self.spec.stats_cols)
-            if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+            if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX or "://" in pairs[0][1]:
                 fstats = _footer_stats(pairs, ts_col=ts_col, stats_cols=scols)
             else:
                 sc = self.spark.sparkContext
@@ -3729,7 +3879,7 @@ class SnapshotParquetTable:
             (i, os.path.join(self.root, e["path"])) for i, (_b, e) in enumerate(cand)
         ]
         ts_col = self.spec.ts_col
-        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX:
+        if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX or "://" in pairs[0][1]:
             checks = _ts_nullfree(pairs, ts_col)
         else:
             sc = self.spark.sparkContext

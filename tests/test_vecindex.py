@@ -177,3 +177,65 @@ def test_vecindex_topk_probes_current_state(spark, tmp_path):
         "a": 0,
         "c": 1,
     }
+
+
+def test_vecindex_arrow_assign_engine_parity(spark, tmp_path):
+    """assign_engine='arrow' (the 3.8x numpy-matmul twin, round-3 verdict
+    item #3) must maintain the same index state as the JVM fold through the
+    full refresh loop — first build, cluster-moving update, delete, insert."""
+    src = SnapshotParquetTable(spark, str(tmp_path / "src"), SPEC)
+    src.create(
+        T.StructType(
+            [
+                T.StructField("vec_id", T.StringType(), False),
+                T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+                T.StructField("ts", T.TimestampType(), True),
+            ]
+        )
+    )
+    src.merge(
+        _batch(
+            spark,
+            [
+                (1, "I", "a", _near(C0, 0.01), TS),
+                (2, "I", "b", _near(C0, 0.02), TS),
+                (3, "I", "c", _near(C1, 0.01), TS),
+            ],
+        ),
+        batch_id=0,
+    )
+    cents = _centroids(spark)
+    jvm = IncrementalVectorIndex(spark, str(tmp_path / "ivx-jvm"), num_buckets=2)
+    arw = IncrementalVectorIndex(
+        spark, str(tmp_path / "ivx-arw"), num_buckets=2, assign_engine="arrow"
+    )
+    jvm.refresh(src, centroids=cents)
+    arw.refresh(src, centroids=cents)
+    assert _index_state(arw) == _index_state(jvm) == {"a": 0, "b": 0, "c": 1}
+
+    src.merge(
+        _batch(
+            spark,
+            [
+                (4, "U", "b", _near(C1, 0.03), TS),
+                (5, "D", "c", None, TS),
+                (6, "I", "d", _near(C1, 0.02), TS),
+            ],
+        ),
+        batch_id=1,
+    )
+    jvm.refresh(src)
+    arw.refresh(src)
+    assert _index_state(arw) == _index_state(jvm) == {"a": 0, "b": 1, "d": 1}
+    # cos_bp within the documented 1bp knife-edge tolerance, vectors equal
+    j = {r["vec_id"]: (r["centroid_cos_bp"], r["embedding"]) for r in jvm.read().collect()}
+    a = {r["vec_id"]: (r["centroid_cos_bp"], r["embedding"]) for r in arw.read().collect()}
+    assert set(j) == set(a)
+    for k in j:
+        assert abs(j[k][0] - a[k][0]) <= 1
+        assert j[k][1] == a[k][1]
+    # the probe path serves the arrow-maintained index identically
+    q = spark.createDataFrame([("q1", _near(C1, 0.001))], "vec_id string, embedding array<float>")
+    tj = [(r["neighbor_id"], r["rank"]) for r in jvm.topk(q, k=2).collect()]
+    ta = [(r["neighbor_id"], r["rank"]) for r in arw.topk(q, k=2).collect()]
+    assert tj == ta
