@@ -1160,6 +1160,223 @@ def bpe_token_budget(spark, sf_dir):
 
 
 @q(
+    "bpe_top_pairs",
+    r"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    chars AS (SELECT string_split(w, '') AS s FROM words),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, array_length(s)),
+                                   i -> [s[i], s[i+1]])) AS p
+      FROM chars WHERE array_length(s) >= 2
+    )
+    SELECT p[1] AS first, p[2] AS second, COUNT(*) AS n
+    FROM pairs GROUP BY first, second
+    ORDER BY n DESC, first, second
+    LIMIT 10
+    """,
+)
+def bpe_top_pairs(spark, sf_dir):
+    """The distributed BPE training round's inner statistic (round-3
+    verdict item #5), oracle-pinned: occurrence-weighted adjacent-symbol
+    pair counts over the unique-word state frame (functions/bpe.py
+    word_frame + pair_counts — ONE corpus shuffle to unique words, then an
+    all-JVM indexed-transform zip + map-side-combined groupBy; the full
+    trainer argmaxes exactly this frame per round). DuckDB replays the
+    same counts from every word OCCURRENCE — equality proves the
+    unique-word weighting. Top-10 with the trainer's deterministic
+    tie-break (count desc, pair lexicographic)."""
+    from .functions.bpe import pair_counts, word_frame
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_frame(d, "text", byte_level=False)
+    return (
+        pair_counts(words)
+        .select(F.col("a").alias("first"), F.col("b").alias("second"), F.col("n"))
+        .orderBy(F.desc("n"), "first", "second")
+        .limit(10)
+    )
+
+
+# Tokenizer-faithful oracle twins (round-3 verdict item #8): the budget
+# operators oracle-checked with a REAL merged vocabulary, not the
+# whitespace proxy. The vocab [("e","r"), ("o","n")] is chosen so the BPE
+# count is SQL-expressible EXACTLY: the two pairs share no characters and
+# neither's output can create the other's adjacency, so exhaustive
+# rank-ordered merging equals greedy non-overlapping substring collapse —
+# count = non-ws chars - occ("er") - occ("on"), with occurrences counted
+# on the raw text (the pairs contain no whitespace, so they never span
+# pre-tokens). tests/test_bpe.py pins formula == tokenizer on adversarial
+# strings; these rows pin the full operators through DuckDB.
+_BPE_ORACLE_MERGES = (("e", "r"), ("o", "n"))
+
+_BPE_COUNT_SQL = (
+    "(strlen(regexp_replace(COALESCE({t}, ''), '\\s', '', 'g'))"
+    " - CAST((strlen(COALESCE({t}, '')) - strlen(replace(COALESCE({t}, ''), 'er', ''))) / 2 AS INTEGER)"
+    " - CAST((strlen(COALESCE({t}, '')) - strlen(replace(COALESCE({t}, ''), 'on', ''))) / 2 AS INTEGER))"
+)
+
+
+def _bpe_oracle_tokenizer():
+    from .functions.bpe import BpeTokenizer
+
+    return BpeTokenizer(list(_BPE_ORACLE_MERGES), byte_level=False)
+
+
+@q(
+    "pack_sequences_bpe",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS INTEGER) AS shard,
+             CAST((strlen(regexp_replace(COALESCE(text, ''), '\s', '', 'g'))
+                   - CAST((strlen(COALESCE(text, '')) - strlen(replace(COALESCE(text, ''), 'er', ''))) / 2 AS INTEGER)
+                   - CAST((strlen(COALESCE(text, '')) - strlen(replace(COALESCE(text, ''), 'on', ''))) / 2 AS INTEGER)) AS INTEGER) AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INTEGER) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens, 0 AS pack_id, n_tokens AS acc
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > 256
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > 256
+                  THEN t.n_tokens ELSE p.acc + t.n_tokens END
+      FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, CAST(pack_id AS INTEGER) AS pack_id
+    FROM packed ORDER BY doc_id
+    """,
+)
+def pack_sequences_bpe(spark, sf_dir):
+    """pack_sequences with a MERGED BPE vocabulary driving the budget
+    (tokenizer= through the identical Arrow-cached UDF path): first-fit
+    packing at 256 merged tokens, the oracle replaying both the merge
+    arithmetic and the sequential fold."""
+    from .operators.packing import pack_greedy, with_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = with_token_count(d, "text", tokenizer=_bpe_oracle_tokenizer()).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    return (
+        pack_greedy(t, "doc_id", "n_tokens", "shard", budget=256)
+        .select("doc_id", "shard", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "context_budget_bpe",
+    r"""
+    WITH costed AS (
+      SELECT user_id, event_id, ts,
+             (strlen(regexp_replace(COALESCE(event_type, ''), '\s', '', 'g'))
+              - CAST((strlen(COALESCE(event_type, '')) - strlen(replace(COALESCE(event_type, ''), 'er', ''))) / 2 AS INTEGER)
+              - CAST((strlen(COALESCE(event_type, '')) - strlen(replace(COALESCE(event_type, ''), 'on', ''))) / 2 AS INTEGER)
+              + 1) AS cost,
+             SUM(strlen(regexp_replace(COALESCE(event_type, ''), '\s', '', 'g'))
+                 - CAST((strlen(COALESCE(event_type, '')) - strlen(replace(COALESCE(event_type, ''), 'er', ''))) / 2 AS INTEGER)
+                 - CAST((strlen(COALESCE(event_type, '')) - strlen(replace(COALESCE(event_type, ''), 'on', ''))) / 2 AS INTEGER)
+                 + 1)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cost) AS BIGINT) AS kept_cost,
+           CAST(MIN(event_id) AS BIGINT) AS oldest_kept
+    FROM costed WHERE cum <= 40
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def context_budget_bpe(spark, sf_dir):
+    """context_budget costed in MERGED BPE tokens (+1 separator per turn):
+    the newest-turns-that-fit window, budget 40, through the real
+    tokenizer UDF."""
+    from .functions.bpe import count_tokens_udf
+
+    ev = _t(spark, sf_dir, "events")
+    counter = count_tokens_udf(list(_BPE_ORACLE_MERGES), byte_level=False)
+    costed = ev.select(
+        "user_id", "event_id", "ts", (counter(F.col("event_type")) + F.lit(1)).alias("cost")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    costed = costed.withColumn("cum", F.sum("cost").over(w))
+    return (
+        costed.filter(F.col("cum") <= 40)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cost").cast("long").alias("kept_cost"),
+            F.min("event_id").cast("long").alias("oldest_kept"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "mix_token_share_bpe",
+    r"""
+    WITH kept AS (
+      SELECT source,
+             (strlen(regexp_replace(COALESCE(text, ''), '\s', '', 'g'))
+              - CAST((strlen(COALESCE(text, '')) - strlen(replace(COALESCE(text, ''), 'er', ''))) / 2 AS INTEGER)
+              - CAST((strlen(COALESCE(text, '')) - strlen(replace(COALESCE(text, ''), 'on', ''))) / 2 AS INTEGER)) AS toks
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
+            CASE source WHEN 'src0' THEN 'ffff' WHEN 'src1' THEN '7fff'
+                        WHEN 'src2' THEN '3fff' ELSE '1fff' END
+    ),
+    per AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS n_tokens
+            FROM kept GROUP BY source)
+    SELECT source,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(round(10000.0 * n_tokens / SUM(n_tokens) OVER ()) AS BIGINT)
+             AS share_bp
+    FROM per ORDER BY source
+    """,
+)
+def mix_token_share_bpe(spark, sf_dir):
+    """mix_token_share with the token budget counted by the MERGED BPE
+    vocabulary — the mix report a trainer actually reads is in tokenizer
+    tokens, and the sampled shares shift with merge compression."""
+    from pyspark.sql import Window
+
+    from .functions.bpe import count_tokens_udf
+    from .operators.sampling import dataset_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = dataset_mix(
+        d, "source", "doc_id", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.125,
+    )
+    counter = count_tokens_udf(list(_BPE_ORACLE_MERGES), byte_level=False)
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(counter(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(10000.0 * F.col("n_tokens") / total).cast("long").alias("share_bp"),
+    ).orderBy("source")
+
+
+@q(
     "distinct_quantiles",
     """
     SELECT event_type,

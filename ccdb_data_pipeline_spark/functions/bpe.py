@@ -144,6 +144,130 @@ def learn_merges(word_counts: dict[str, int], n_merges: int,
     return merges
 
 
+def word_frame(df, text_col: str = "text", byte_level: bool = False):
+    """Unique-word state frame for distributed BPE training: ONE corpus
+    shuffle (explode pre-tokens -> groupBy word), then a per-unique-word
+    base-symbol explosion (Arrow-batched; byte-level uses the GPT-2
+    latin-1 trick). Columns: (w, c, syms)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def base_syms(s):
+        if byte_level:
+            return s.map(lambda w: [chr(b) for b in w.encode("utf-8")])
+        return s.map(list)
+
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("syms", base_syms(F.col("w")))
+    )
+
+
+def pair_counts(words):
+    """Occurrence-weighted adjacent-pair counts over the word state frame —
+    the inner statistic of one BPE training round, all-JVM: an indexed
+    ``transform`` builds the (a, b) zip without a UDF, explode + groupBy
+    aggregates with map-side partial combine. O(total symbols) rows into
+    the shuffle, output is O(distinct pairs)."""
+    from pyspark.sql import functions as F
+
+    zipped = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, syms[i + 1] AS b))"
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(F.col("c"), F.explode(zipped).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def learn_merges_distributed(
+    df,
+    text_col: str = "text",
+    n_merges: int = 100,
+    byte_level: bool = False,
+    checkpoint_every: int = 10,
+) -> list[tuple[str, str]]:
+    """In-engine BPE merge training (round-3 verdict item #5): the same
+    Sennrich counting loop as :func:`learn_merges`, but the word state
+    lives as a DataFrame — the driver never collects a word-count dict,
+    only the k argmax rows and the O(n_merges) merge list.
+
+    Per round: one all-JVM pair-count aggregation (:func:`pair_counts`,
+    map-side combined) -> argmax to the driver with the SAME deterministic
+    tie-break as the reference trainer (highest count, then
+    lexicographically smallest pair) -> an Arrow-batched merge application
+    over the unique-word frame (per-word Python on the batch, the
+    documented BPE trade — it touches unique words, not corpus rows).
+    ``checkpoint_every`` localCheckpoints the state so plan lineage stays
+    bounded across hundreds of rounds. Byte-equal to ``learn_merges`` on
+    the same corpus (pytest-pinned)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _merge_applier(a: str, b: str):
+        # factory scope FREEZES (a, b) per round: the UDF closure is
+        # re-serialized on any later recompute of a cached partition, and a
+        # loop-variable capture would then apply the wrong merge
+        @pandas_udf("array<string>")
+        def apply_merge(col):
+            def run(syms):
+                if a not in syms:
+                    return syms
+                out, j = [], 0
+                n = len(syms)
+                while j < n:
+                    if j + 1 < n and syms[j] == a and syms[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                return out
+
+            return col.map(run)
+
+        return apply_merge
+
+    words = word_frame(df, text_col, byte_level).persist()
+    words.count()  # materialize before the loop
+    merges: list[tuple[str, str]] = []
+    try:
+        for i in range(n_merges):
+            top = (
+                pair_counts(words)
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = words.withColumn("syms", _merge_applier(a, b)(F.col("syms")))
+            if (i + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
 def _tokenizer_for(merges: tuple, byte_level: bool) -> BpeTokenizer:
     key = (merges, byte_level)
     tok = _TOKENIZER_CACHE.get(key)

@@ -689,6 +689,10 @@ class LakeWriter(DataSourceArrowWriter):
         self.batch_id = (
             int(options["batchid"]) if options.get("batchid") is not None else None
         )
+        # streaming resume-after-gap: a FRESH checkpoint restarts epoch ids
+        # at 0, which the exactly-once ledger would replay-skip; the offset
+        # lands them above the target's watermark (see resume_from_gap)
+        self.batch_offset = int(options.get("batchidoffset", 0))
         self.meta = _TableMeta.load(path)
         m = _manifest(path, self.meta.version)
         if not self.meta.has_engine_flag:
@@ -971,7 +975,7 @@ class LakeStreamWriter(LakeWriter, DataSourceStreamArrowWriter):
         super().__init__(options, overwrite, streaming=True)
 
     def commit(self, messages, batchId: int):  # noqa: N803 (Spark API name)
-        self.batch_id = int(batchId)
+        self.batch_id = self.batch_offset + int(batchId)
         super().commit(messages)
 
     def abort(self, messages, batchId: int):  # noqa: N803
@@ -990,7 +994,68 @@ class _ChangeFilePartition(InputPartition):
 
 class ChangeFeedGapError(RuntimeError):
     """The parent chain from `hi` back to `lo` crosses an expired snapshot:
-    serving the feed would silently drop the expired commits' changes."""
+    serving the feed would silently drop the expired commits' changes.
+    Recovery: :func:`resume_from_gap` (re-bootstrap from the oldest
+    retained snapshot, then continue the feed from there)."""
+
+
+def feed_floor(root: str) -> int:
+    """The OLDEST RETAINED version on the current ref's parent chain — the
+    change-feed recovery anchor: the snapshot a gapped consumer
+    re-bootstraps from, and the ``startingVersion`` it resumes the feed
+    with (``_main_chain(floor, head)`` then covers exactly the retained
+    commits; everything older is subsumed by the floor snapshot's state)."""
+    idx = _snapshot_index(root)
+    cur = _manifest(root, _head_version(root))
+    while True:
+        parent = cur.get("parent_snapshot_id")
+        if parent is None:
+            return cur["version"]  # full history retained
+        nxt = idx.get(parent)
+        if nxt is None:
+            return cur["version"]  # parent expired: cur is the floor
+        cur = nxt
+
+
+def resume_from_gap(
+    src, target_root: str, batch_id: int | None = None
+) -> int:
+    """Recover a lake->lake replication consumer that hit
+    :class:`ChangeFeedGapError` (its checkpointed feed position predates
+    what ``expire_snapshots`` retained on the source), EXACTLY-ONCE:
+
+    1. ``floor = feed_floor(src.root)`` — the oldest retained snapshot;
+    2. re-bootstrap: merge ``src.replay_events(floor)`` (the floor
+       snapshot's full resolved state, live rows + tombstones, original
+       dominance pairs) into the target through the facade writer's
+       ledger gate — state the target already applied is a dominance
+       no-op, state it missed (including deletes whose commits expired)
+       lands with its true ``(ts, lsn)``;
+    3. the caller restarts the stream with
+       ``.option("startingVersion", <returned floor>)``, a FRESH
+       checkpoint dir, and ``.option("batchIdOffset",
+       <target.last_batch_id + 1>)`` so the new stream's epoch ids land
+       above the ledger watermark instead of replay-skipping.
+
+    ``src`` is the source SnapshotParquetTable handle; ``batch_id``
+    defaults to the target's ``last_batch_id + 1``. Returns the floor
+    version. Tested end-to-end in tests/test_gap_recovery.py (expire past
+    a checkpoint -> gap -> recover -> state equals the replay oracle)."""
+    from .lake import SnapshotParquetTable
+
+    floor = feed_floor(src.root)
+    if batch_id is None:
+        batch_id = SnapshotParquetTable(None, target_root).last_batch_id + 1
+    (
+        src.replay_events(version=floor)
+        .write.format("transcript_lake")
+        .option("batchId", str(batch_id))
+        .option("tsColumn", TS_APPLIED)
+        .option("lsnColumn", LSN_APPLIED)
+        .mode("append")
+        .save(target_root)
+    )
+    return floor
 
 
 def _snapshot_index(root: str) -> dict:

@@ -3741,6 +3741,46 @@ class SnapshotParquetTable:
         m["committed_at"] = time.time()
         self._commit(m, expected_ref=m0["version"])
 
+    def replay_events(self, version: int | None = None) -> DataFrame:
+        """The snapshot's full resolved INTERNAL state — live rows AND
+        tombstones, each with its exact ``(_ts_applied, _lsn_applied)``
+        dominance pair — as a replayable change-event frame: user columns
+        + that pair + ``op`` ('D' for tombstones, else 'U').
+
+        This is the change-feed GAP-RECOVERY source
+        (plans/datasource.resume_from_gap): merging these events into any
+        LWW consumer converges it to this snapshot EXACTLY-ONCE — every
+        event carries its original dominance, so state the consumer
+        already applied re-merges as a no-op (equal pairs never dominate)
+        and later feed events still win. LWW/first-row tables only: the
+        patch/agg engines' internal rows are column partials, not
+        replayable whole-row events."""
+        if self.spec.partial_updates or self.spec.agg_spec:
+            raise ValueError(
+                "replay_events serves row-image engines (LWW/first-row); "
+                "patch/agg state is column partials — recover those via "
+                "clone() or a fresh bootstrap"
+            )
+        m = self.manifest(version)
+        entries = [e for fs in m["buckets"].values() for e in fs]
+        schema = T.StructType.fromJson(m["schema"])
+        user_cols = [f.name for f in schema.fields]
+        df = self._read_files(entries, m)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], self._internal_schema(schema)
+            ).select(
+                *user_cols, TS_APPLIED, LSN_APPLIED, F.lit("U").alias("op")
+            ).limit(0)
+        if any(e.get("delta") for e in entries):
+            df = self._resolve_versions(df)
+        return df.select(
+            *user_cols,
+            F.col(TS_APPLIED),
+            F.col(LSN_APPLIED),
+            F.when(F.col(DELETED), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed between two committed snapshots (the CDC-out twin of
         the CDC-in apply path — Delta CDF / Iceberg changelog analog; the

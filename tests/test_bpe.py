@@ -94,3 +94,86 @@ def test_bpe_budget_changes_packing(spark):
     n_bpe = bpe.select("pack_id").distinct().count()
     assert n_ws == 4   # 4 ws-tokens/doc -> 2 docs per 8-token pack
     assert n_bpe == 8  # 80 BPE tokens/doc -> every doc overflows alone
+
+
+@pytest.mark.parametrize("byte_level", [False, True])
+def test_distributed_training_equals_reference(spark, byte_level):
+    """learn_merges_distributed (round-3 verdict item #5: groupBy pair
+    counts per round, argmax to driver, O(vocab) driver state) must be
+    BYTE-EQUAL to the driver-side Sennrich trainer on the same corpus —
+    same merges, same order, same deterministic tie-break."""
+    from collections import Counter
+
+    from ccdb_data_pipeline_spark.functions.bpe import (
+        learn_merges,
+        learn_merges_distributed,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "low lower lowest slower slowest",
+        "ab ab ab abc abc abcd  unicode: héllo héllo",
+        None,
+        "  ",
+    ]
+    wc = Counter(w for t in texts if t for w in t.split())
+    want = learn_merges(dict(wc), n_merges=12, byte_level=byte_level)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = learn_merges_distributed(
+        df, "text", n_merges=12, byte_level=byte_level, checkpoint_every=5
+    )
+    assert got == want
+
+
+def test_engine_trained_vocab_counts_match_driver_vocab(spark):
+    """Counting through the Arrow UDF path with an ENGINE-trained vocab
+    equals counting with the driver-trained one (the bpe_token_budget
+    machinery, vocab swapped in)."""
+    from ccdb_data_pipeline_spark.functions.bpe import (
+        BpeTokenizer,
+        learn_merges,
+        learn_merges_distributed,
+    )
+    from collections import Counter
+
+    texts = ["aa ab aa ab ba", "aa aa ab", "banana bandana"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    eng = learn_merges_distributed(df, "text", n_merges=6)
+    drv = learn_merges(dict(Counter(w for t in texts for w in t.split())), n_merges=6)
+    assert eng == drv
+    out_e = with_token_count(df, "text", tokenizer=BpeTokenizer(eng)).collect()
+    out_d = with_token_count(df, "text", tokenizer=BpeTokenizer(drv)).collect()
+    assert sorted((r["doc_id"], r["n_tokens"]) for r in out_e) == sorted(
+        (r["doc_id"], r["n_tokens"]) for r in out_d
+    )
+    # merged vocab genuinely compresses vs the empty-table base case
+    base = with_token_count(df, "text", tokenizer=BpeTokenizer([])).collect()
+    assert sum(r["n_tokens"] for r in out_e) < sum(r["n_tokens"] for r in base)
+
+
+def test_oracle_vocab_formula_equals_tokenizer():
+    """The SQL-expressible count for the non-interacting oracle vocab
+    [("e","r"), ("o","n")] — non-ws chars minus greedy substring
+    occurrences — must equal the real rank-ordered exhaustive merge on
+    adversarial strings (overlaps, repeats, adjacency chains, unicode)."""
+    import re
+
+    from ccdb_data_pipeline_spark.functions.bpe import BpeTokenizer
+
+    tok = BpeTokenizer([("e", "r"), ("o", "n")], byte_level=False)
+
+    def formula(text):
+        t = text or ""
+        nonws = len(re.sub(r"\s", "", t))
+        occ = lambda p: (len(t) - len(t.replace(p, ""))) // 2  # noqa: E731
+        return nonws - occ("er") - occ("on")
+
+    cases = [
+        "", "   ", "er", "erer", "ererer", "rere", "eron", "noere",
+        "error on the western front", "onion", "neon", "phone owner",
+        "e r o n", "erroneous reasoning", "héllo wörld er", "xononx",
+        "eeerrr", "one more er on", "ron ero ner oer reo",
+    ]
+    for t in cases:
+        assert tok.count(t) == formula(t), t
