@@ -74,7 +74,34 @@ HEADLINE = [
     "ann_train_assign",
     "lake_dv_delete",
     "bpe_token_budget",
+    # round-4 additions
+    "bpe_top_pairs",
+    "facade_agg_stream",
+    "pack_sequences_bpe",
 ]
+
+
+def _wait_quiet(max_wait: float, idle_min: float = 90.0, steal_max: float = 2.0,
+                dt: float = 3.0) -> dict:
+    """Pre-sweep quiet-window gate (round-3 verdict: BENCH_r03's headline
+    numbers were noise-inflated — the scaling pairs were already gated by
+    bench/quietwindow.py, the query sweep was not). Polls host idle/steal
+    until the window is quiet or ``max_wait`` expires; the gate fields ride
+    the bench JSON so a loud window is EVIDENT in the record instead of
+    silently poisoning the trend."""
+    t0 = time.time()
+    m = None
+    while True:
+        a, b_ = _cpu_snap(), None
+        time.sleep(dt)
+        b_ = _cpu_snap()
+        m = _cpu_mix(a, b_) or {"idle": 0.0, "steal": 100.0}
+        if m["idle"] > idle_min and m["steal"] < steal_max:
+            return {"quiet": True, "idle": m["idle"], "steal": m["steal"],
+                    "waited_sec": round(time.time() - t0, 1)}
+        if time.time() - t0 >= max_wait:
+            return {"quiet": False, "idle": m["idle"], "steal": m["steal"],
+                    "waited_sec": round(time.time() - t0, 1)}
 
 
 def run_cdc_bench(spark, n_events: int, n_convs: int, n_batches: int, num_buckets: int,
@@ -253,6 +280,12 @@ def main() -> None:
     if not args.cdc_only:
         from ccdb_data_pipeline_spark.functions.normalize import normalize_ws
         from ccdb_data_pipeline_spark.operators.dedup_text import release_caches
+
+        # quiet-window gate BEFORE the sweep (same policy the scaling
+        # pairs use); fields recorded so a loud window is visible evidence
+        out["gate"] = _wait_quiet(
+            max_wait=float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "240"))
+        )
 
         # Warm the Python-worker pool + Arrow serde once before timing: a
         # long-lived service pays worker spawn per deploy, not per query.

@@ -510,6 +510,21 @@ def _stat_scalar(v):
     return None
 
 
+_SKIP_PRED = object()  # sentinel: predicate unusable for stats pruning
+
+
+def _encode_in_list(val):
+    """Encode an in-list for the stats prune tier. SQL-NULL members encode
+    to None (``_file_may_match`` skips them — a NULL matches no row); a
+    NON-null member that ``_stat_scalar`` cannot encode poisons the whole
+    predicate (returns ``_SKIP_PRED`` so the caller drops it from pruning
+    — it could match anything) rather than masquerading as NULL."""
+    enc = tuple(_stat_scalar(v) for v in val)
+    if any(e is None and v is not None for e, v in zip(enc, val)):
+        return _SKIP_PRED
+    return enc
+
+
 def _residual_lit(val, dtype=None):
     """Residual-filter literal sharing the prune tier's datetime encoding
     (``_stat_scalar``: naive = UTC), so manifest-level file skipping and
@@ -621,7 +636,11 @@ def _file_may_match(e: dict, preds: list) -> bool:
                 if mn > val:
                     return False
             elif op == "in":
-                if all(v is not None and (v < mn or v > mx) for v in val):
+                # a NULL member matches no row (SQL semantics), so it is
+                # SKIPPED, not conservative: prune when every non-null
+                # member misses the range (all-null member lists prove
+                # zero matches outright)
+                if all(v is None or v < mn or v > mx for v in val):
                     return False
         except TypeError:
             continue  # incomparable probe value: read conservatively
@@ -1435,11 +1454,10 @@ class SnapshotParquetTable:
                 if op not in ops:
                     raise ValueError(f"where op {op!r} not in {sorted(ops)}")
                 enc = (
-                    tuple(_stat_scalar(v) for v in val)
-                    if op == "in"
-                    else _stat_scalar(val)
+                    _encode_in_list(val) if op == "in" else _stat_scalar(val)
                 )
-                preds.append((col, op, enc))
+                if enc is not _SKIP_PRED:
+                    preds.append((col, op, enc))
         prune: list[str] | None = None
         if columns is not None:
             unknown = sorted(set(columns) - set(schema_fields))
@@ -1448,7 +1466,7 @@ class SnapshotParquetTable:
             want = set(columns)
             if tr_us is not None:
                 want.add(self.spec.ts_col)  # the window filter needs it
-            for col, _op, _v in preds:
+            for col, _op, _v in (where or ()):
                 want.add(col)  # the residual predicate needs it
             prune = list(dict.fromkeys(
                 [*self.spec.key_cols,
@@ -1608,11 +1626,10 @@ class SnapshotParquetTable:
                 if op not in ops:
                     raise ValueError(f"op {op!r} not in {sorted(ops)}")
                 enc = (
-                    tuple(_stat_scalar(v) for v in val)
-                    if op == "in"
-                    else _stat_scalar(val)
+                    _encode_in_list(val) if op == "in" else _stat_scalar(val)
                 )
-                preds.append((col, op, enc))
+                if enc is not _SKIP_PRED:
+                    preds.append((col, op, enc))
                 # datetime literals share the prune tier's encoding (see
                 # _residual_lit) — the stats tiers and the positional scan
                 # must agree under any session timezone

@@ -72,6 +72,11 @@ def test_file_may_match_ops():
     assert _file_may_match(e, [("y", "=", 5)])
     assert _file_may_match({}, [("x", "=", 5)])
     assert _file_may_match(e, [("x", "=", "not-a-number")])
+    # NULL in-list members match no row: skipped, not conservative —
+    # the non-null members alone decide, and all-null lists prune outright
+    assert not _file_may_match(e, [("x", "in", (None, 1, 30))])
+    assert _file_may_match(e, [("x", "in", (None, 12))])
+    assert not _file_may_match(e, [("x", "in", (None,))])
 
 
 def test_where_equals_plain_filter(spark, tmp_path):
