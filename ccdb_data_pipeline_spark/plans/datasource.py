@@ -334,19 +334,28 @@ def _align_arrow(tbl, target, defaults: dict):
     return pa.table(dict(zip([f.name for f in target], cols)))
 
 
-def _target_arrow_schema(meta: _TableMeta):
-    """Current user schema + LWW marker columns, as arrow types."""
+def _target_arrow_schema(meta: _TableMeta, user_schema=None):
+    """Current user schema (or an explicit one — the writer's evolved
+    union) + LWW marker columns, as arrow types."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_type
 
     fields = [
-        pa.field(f.name, to_arrow_type(f.dataType)) for f in meta.user_schema().fields
+        pa.field(f.name, to_arrow_type(f.dataType))
+        for f in (user_schema or meta.user_schema()).fields
     ]
     fields += [
         pa.field(TS_APPLIED, pa.timestamp("us", tz="UTC")),
         pa.field(LSN_APPLIED, pa.int64()),
         pa.field(DELETED, pa.bool_()),
     ]
+    if meta.engine.get("partial_updates"):
+        fields.append(pa.field(PATCH, pa.bool_()))
+    elif meta.engine.get("agg_spec"):
+        fields += [
+            pa.field(AGG_RESET, pa.bool_()),
+            pa.field(AGG_N, pa.int64()),
+        ]
     return pa.schema(fields)
 
 
@@ -382,7 +391,11 @@ def _fold_first_read_arrow(tbl, keys: list[str], sort_cols: list[str]):
 
 def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None = None):
     """Read one bucket's layers, align each file to the current schema,
-    LWW-resolve if delta layers exist, drop tombstones + internal cols.
+    resolve by the table's MERGE ENGINE if delta layers exist (LWW /
+    first-row row folds; patch per-column compose; agg partial merge —
+    params from the manifest engine block), drop tombstones + internal
+    cols. Patch tables additionally drop orphan-patch carrier rows on
+    EVERY path (they are not rows until an insert arrives).
 
     ``columns`` prunes the payload BEFORE the per-file read and the fold
     (key and marker columns always ride) — the facade twin of
@@ -391,8 +404,11 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .lake import _fold_lww_arrow
+    from .lake import _fold_lww_arrow, _fold_patches_arrow, _merge_agg_arrow
 
+    is_patch = bool(meta.engine.get("partial_updates"))
+    is_agg = bool(meta.engine.get("agg_spec"))
+    engine_cols = {PATCH} if is_patch else ({AGG_RESET, AGG_N} if is_agg else set())
     target = _target_arrow_schema(meta)
     user_cols = [f.name for f in meta.user_schema().fields]
     if columns:
@@ -405,18 +421,19 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
     for e in part.entries:
         pf = pq.ParquetFile(fsio.open_input(os.path.join(meta.root, e["path"])))
         phys = list(pf.schema_arrow.names)
-        if PATCH in phys or "_agg_reset" in phys:
+        if (PATCH in phys and not is_patch) or ("_agg_reset" in phys and not is_agg):
             raise ValueError(
-                "transcript_lake DataSource serves plain LWW tables only; "
-                "partial-update/aggregation/first-row tables read via "
-                "SnapshotParquetTable.read()"
+                "file carries merge-engine columns the manifest's engine "
+                "block does not declare — refusing a mis-resolved read; "
+                "commit once through SnapshotParquetTable with the true "
+                "TableSpec to repair the flags"
             )
         sid = int(e.get("schema_id", 0))
         if columns:
             # map each wanted current name back through renames NEWER than
             # this file's era to its stored physical name, so pruning
             # reaches the parquet read (column chunks never decoded)
-            wanted = {TS_APPLIED, LSN_APPLIED, DELETED}
+            wanted = {TS_APPLIED, LSN_APPLIED, DELETED, *engine_cols}
             newer = sorted(
                 (r for r in meta.renames if int(r["sid"]) > sid),
                 key=lambda r: -int(r["sid"]),
@@ -456,15 +473,44 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
     if not pieces:
         return
     out = pa.concat_tables(pieces)
+    payload_cols = [c for c in user_cols if c not in meta.key_cols]
     if part.has_delta and len(out):
         if meta.engine.get("first_row"):
             out = _fold_first_read_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
+        elif is_patch:
+            # the within-batch patch fold is CLOSED under composition
+            # (batch-boundary invariance, pytest-pinned), so folding the
+            # concatenated layers IS the cross-layer per-column resolve;
+            # seq groups come from the manifest engine params
+            seq_groups = {
+                s: tuple(m) for s, m in (meta.engine.get("seq_groups") or {}).items()
+                if s in set(user_cols)
+            } or None
+            out = _fold_patches_arrow(
+                out, list(meta.key_cols), payload_cols,
+                [TS_APPLIED, LSN_APPLIED], seq_groups,
+            )
+        elif is_agg:
+            fns = meta.engine.get("agg_fns")
+            if fns is None:
+                raise ValueError(
+                    "aggregation table's manifest predates engine params "
+                    "(no engine.agg_fns); commit once through "
+                    "SnapshotParquetTable to backfill, then retry"
+                )
+            out = _merge_agg_arrow(out, list(meta.key_cols), payload_cols, fns)
+            out = out.select([f.name for f in target])
         else:
             out = _fold_lww_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
     if len(out):
         import pyarrow.compute as pc
 
         live = pc.fill_null(pc.invert(out.column(DELETED)), True)
+        if is_patch and PATCH in out.column_names:
+            # orphan patch carriers are not rows (compaction carries them
+            # so a later insert recomposes) — hide on every path, like the
+            # engine's read()
+            live = pc.and_(live, pc.fill_null(pc.invert(out.column(PATCH)), True))
         out = out.filter(live)
     out = out.select(user_cols)
     for batch in out.to_batches(max_chunksize=65536):
@@ -492,14 +538,14 @@ class LakeReader(DataSourceReader):
                 "indistinguishable from LWW by file schema. Commit once through "
                 "SnapshotParquetTable (which backfills the flag) and retry."
             )
-        if self.meta.engine.get("partial_updates") or self.meta.engine.get("agg_spec"):
-            # flag-based refusal (file-schema sniffing in _read_bucket is
-            # only the fallback for pre-flag manifests): these engines'
-            # read resolves are column-level folds the facade doesn't carry
+        if self.meta.engine.get("agg_spec") and "agg_fns" not in self.meta.engine:
+            # round 4: every engine reads through the facade; an agg table
+            # additionally needs its PARAMS in the manifest (backfilled by
+            # any SnapshotParquetTable commit)
             raise ValueError(
-                "transcript_lake DataSource serves LWW and first-row tables; "
-                "partial-update/aggregation tables read via "
-                "SnapshotParquetTable.read()"
+                "transcript_lake cannot resolve this aggregation table: its "
+                "manifest predates engine params (no engine.agg_fns). Commit "
+                "once through SnapshotParquetTable (which backfills) and retry."
             )
         self.read_optimized = str(options.get("readoptimized", "false")).lower() == "true"
         cols = options.get("columns")
@@ -638,10 +684,10 @@ class TranscriptLakeDataSource(DataSource):
         return LakeReader(self.options)
 
     def writer(self, schema, overwrite):
-        return LakeWriter(self.options, overwrite)
+        return LakeWriter(self.options, overwrite, batch_schema=schema)
 
     def streamWriter(self, schema, overwrite):
-        return LakeStreamWriter(self.options, overwrite)
+        return LakeStreamWriter(self.options, overwrite, batch_schema=schema)
 
 
 # --------------------------------------------------------------- batch writer
@@ -672,7 +718,8 @@ class LakeWriter(DataSourceArrowWriter):
     a replayed batchId is a no-op — the same exactly-once contract as
     ``apply_changes`` (plans/apply.py)."""
 
-    def __init__(self, options: dict, overwrite: bool, streaming: bool = False):
+    def __init__(self, options: dict, overwrite: bool, streaming: bool = False,
+                 batch_schema=None):
         if overwrite:
             raise ValueError(
                 "transcript_lake write supports mode('append') only — rows are "
@@ -738,6 +785,36 @@ class LakeWriter(DataSourceArrowWriter):
         norm = m.get("normalize", {})
         self.norm_ws = tuple(norm.get("ws_cols", ("text",)))
         self.norm_exempt = tuple(norm.get("empty_to_null_exempt", ("text",)))
+        # schema evolution (column add / widen) from the batch schema — the
+        # merge_events rules (operators/evolve.py schema-union), so a
+        # replication pipeline whose SOURCE evolved doesn't silently drop
+        # the new columns at the sink. Files are written in the union
+        # schema; commit() allocates the schema era against the manifest
+        # it actually lands on (CAS-retry safe).
+        cur_schema = self.meta.user_schema()
+        self.write_schema = cur_schema
+        self.evolved = False
+        if batch_schema is not None:
+            from ..operators.evolve import evolve_schema
+
+            skip = {self.op_col, self.lsn_col}
+            cur_names = {f.name for f in cur_schema.fields}
+            if self.ts_col not in cur_names:
+                skip.add(self.ts_col)  # dominance rider (e.g. _ts_applied)
+            payload = T.StructType(
+                [f for f in batch_schema.fields if f.name not in skip]
+            )
+            union = evolve_schema(cur_schema, payload)
+            if union != cur_schema:
+                bcol = self.meta.bucket_col
+                if union[bcol].dataType != cur_schema[bcol].dataType:
+                    raise ValueError(
+                        f"cannot widen bucket column {bcol!r}: Spark's "
+                        "xxhash64 is width-dependent — existing keys would "
+                        "re-bucket (plans/lake._guard_bucket_widening)"
+                    )
+                self.write_schema = union
+                self.evolved = True
 
     def write(self, iterator):
         import pyarrow as pa
@@ -751,7 +828,7 @@ class LakeWriter(DataSourceArrowWriter):
         if not batches:  # empty shuffle partition (pre-bucketed input)
             return _WriteMessage([], 0, 0, 0, None, None)
         tbl = pa.Table.from_batches(batches)
-        user_fields = meta.user_schema().fields
+        user_fields = self.write_schema.fields
         user_cols = [f.name for f in user_fields]
         need = set(user_cols) | {self.lsn_col}
         have = set(tbl.column_names)
@@ -787,7 +864,7 @@ class LakeWriter(DataSourceArrowWriter):
 
         str_payload = [
             f.name
-            for f in meta.user_schema().fields
+            for f in self.write_schema.fields
             if f.name not in meta.key_cols and f.dataType.simpleString() == "string"
         ]
         norm_spec = TableSpec(
@@ -798,7 +875,7 @@ class LakeWriter(DataSourceArrowWriter):
         if self.engine_kind in ("lww", "first_row"):
             tbl = normalize_arrow_table(tbl, norm_spec, str_payload)
         is_del = pc.equal(op, pa.scalar("D"))
-        target = _target_arrow_schema(meta)
+        target = _target_arrow_schema(meta, self.write_schema)
         epoch = pa.scalar(0, pa.timestamp("us", tz="UTC"))
         null_of = {f.name: pa.scalar(None, f.type) for f in target}
         cols = {}
@@ -922,6 +999,31 @@ class LakeWriter(DataSourceArrowWriter):
             if self.batch_id <= m0.get("last_batch_id", -1):
                 return  # replay of a committed batch: exactly-once no-op
             m = dict(m0)
+            if self.evolved:
+                # allocate the schema era against the manifest this commit
+                # actually lands on (a CAS loser re-derives): files were
+                # written in the union schema, so their era must cover it —
+                # either a NEW era, or the current one when a concurrent
+                # writer already evolved to a superset (alignment null-fills
+                # and widens, so a wider era is always safe for these files)
+                from ..operators.evolve import evolve_schema
+
+                tgt = T.StructType.fromJson(m0["schema"])
+                union = evolve_schema(tgt, self.write_schema)
+                if union != tgt:
+                    new_sid = max(int(k) for k in m0.get("schemas", {"0": 0})) + 1
+                    m["schemas"] = {
+                        **m0.get("schemas", {"0": m0["schema"]}),
+                        str(new_sid): union.jsonValue(),
+                    }
+                    m["schema"] = union.jsonValue()
+                    m["current_schema_id"] = new_sid
+                    sid = new_sid
+                else:
+                    sid = int(m0.get("current_schema_id", 0))
+                for msg in msgs:
+                    for _b, e in msg.entries:
+                        e["schema_id"] = sid
             buckets = dict(m0["buckets"])
             for msg in msgs:
                 for b, e in msg.entries:
@@ -971,8 +1073,8 @@ class LakeStreamWriter(LakeWriter, DataSourceStreamArrowWriter):
     ``spark.readStream.format("transcript_changes")`` →
     ``writeStream.format("transcript_lake")``."""
 
-    def __init__(self, options: dict, overwrite: bool):
-        super().__init__(options, overwrite, streaming=True)
+    def __init__(self, options: dict, overwrite: bool, batch_schema=None):
+        super().__init__(options, overwrite, streaming=True, batch_schema=batch_schema)
 
     def commit(self, messages, batchId: int):  # noqa: N803 (Spark API name)
         self.batch_id = self.batch_offset + int(batchId)

@@ -441,6 +441,78 @@ def _fold_agg_arrow(tbl, keys: list[str], payload_cols: list[str], agg_spec: dic
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _merge_agg_arrow(tbl, keys: list[str], payload_cols: list[str], agg_spec: dict):
+    """Cross-LAYER aggregation-partial merge on a pyarrow Table — the
+    facade-read twin of :meth:`SnapshotParquetTable._resolve_agg`
+    (operators/aggmerge.py algebra), distinct from ``_fold_agg_arrow``
+    (which folds RAW single events within a batch). Per key: the newest
+    reset layer's LSN is the cutoff (its partial already excludes the
+    pre-delete events), older layers are discarded, survivors merge with
+    each column's aggregate function; liveness is sum(_n_contrib) > 0.
+    Closed over both stored forms (fused partials and raw rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    lsn = tbl.column(LSN_APPLIED).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(lsn, kind="stable")
+    tbl = tbl.take(pa.array(order))  # LSN order -> pyarrow 'last' = log order
+    lsn = lsn[order]
+
+    parts = [pc.cast(tbl.column(k), pa.string()).combine_chunks() for k in keys]
+    comb = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    kid = pc.dictionary_encode(comb).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_keys = int(kid.max()) + 1 if n else 0
+    reset = pc.fill_null(tbl.column(AGG_RESET), False).combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    cut = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
+    rows = np.flatnonzero(reset)
+    np.maximum.at(cut, kid[rows], lsn[rows])
+    keep = lsn >= cut[kid]
+    t2 = tbl.append_column("_kid", pa.array(kid)).filter(pa.array(keep))
+
+    fns = {c: agg_spec.get(c, "last") for c in payload_cols}
+    gb = t2.group_by("_kid", use_threads=False).aggregate(
+        [(c, fns[c]) for c in payload_cols]
+        + [
+            (TS_APPLIED, "max"),
+            (LSN_APPLIED, "max"),
+            (AGG_N, "sum"),
+            (AGG_RESET, "any"),
+        ]
+    )
+    gkid = gb.column("_kid").to_numpy(zero_copy_only=False).astype(np.int64)
+    rep = np.full(n_keys, n, dtype=np.int64)
+    pos = np.arange(len(kid), dtype=np.int64)
+    np.minimum.at(rep, kid, pos)
+    rep_take = pa.array(rep[gkid], type=pa.int64())
+
+    agg_n = pc.fill_null(pc.cast(gb.column(f"{AGG_N}_sum").combine_chunks(), pa.int64()), 0)
+    dead = pc.equal(agg_n, 0)
+    arrays, names = [], []
+    for k in keys:
+        arrays.append(pc.take(tbl.column(k).combine_chunks(), rep_take))
+        names.append(k)
+    for c in payload_cols:
+        col = pc.cast(
+            gb.column(f"{c}_{fns[c]}").combine_chunks(), tbl.schema.field(c).type
+        )
+        # tombstones carry no accumulator state
+        arrays.append(pc.if_else(dead, pa.scalar(None, tbl.schema.field(c).type), col))
+        names.append(c)
+    arrays += [
+        gb.column(f"{TS_APPLIED}_max").combine_chunks(),
+        gb.column(f"{LSN_APPLIED}_max").combine_chunks(),
+        dead,
+        gb.column(f"{AGG_RESET}_any").combine_chunks(),
+        agg_n,
+    ]
+    names += [TS_APPLIED, LSN_APPLIED, DELETED, AGG_RESET, AGG_N]
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 def _ts_micros(v):
     """Parquet timestamp statistic -> int epoch micros (naive = UTC)."""
     import datetime as _dt
@@ -523,6 +595,28 @@ def _encode_in_list(val):
     if any(e is None and v is not None for e, v in zip(enc, val)):
         return _SKIP_PRED
     return enc
+
+
+def _guard_bucket_widening(spec, old_schema: T.StructType, new_schema: T.StructType):
+    """Refuse schema evolution that changes the BUCKET column's type:
+    Spark's xxhash64 is width-dependent for integrals (xxhash64(int32 5)
+    != xxhash64(int64 5)), so widening the bucket key would silently hash
+    existing conversations into DIFFERENT storage buckets — the per-bucket
+    fold then misses their prior versions and the table corrupts without
+    an error. (Iceberg avoids this by SPEC: its bucket transform hashes
+    int and long identically; Spark's hash does not.) Widening any other
+    key/payload column is safe — folds group by aligned VALUES, not
+    hashes. Re-keying goes through rebucket()."""
+    old_t = old_schema[spec.bucket_col].dataType
+    new_t = new_schema[spec.bucket_col].dataType
+    if old_t != new_t:
+        raise ValueError(
+            f"schema evolution cannot widen bucket column {spec.bucket_col!r} "
+            f"({old_t.simpleString()} -> {new_t.simpleString()}): Spark's "
+            "xxhash64 is width-dependent, so existing keys would re-bucket "
+            "and their prior versions would be missed by the per-bucket "
+            "fold. Re-key through rebucket() instead."
+        )
 
 
 def _residual_lit(val, dtype=None):
@@ -1246,7 +1340,9 @@ class SnapshotParquetTable:
             # DataSource facade) know which pushed filters can prune files
             "stats_cols": list(self.spec.stats_cols),
             # merge-engine flags for engine-less readers/writers (the
-            # Python DataSource facade refuses non-LWW tables by these)
+            # Python DataSource facade routes its fold/projection by
+            # these; _commit backfills the full PARAMS — agg_fns,
+            # seq_groups — alongside)
             "engine": {
                 "partial_updates": bool(self.spec.partial_updates),
                 "agg_spec": bool(self.spec.agg_spec),
@@ -2263,6 +2359,8 @@ class SnapshotParquetTable:
         batch_payload = T.StructType([source.schema[c] for c in data_cols])
         new_schema = evolve_schema(tgt_schema, batch_payload)
         schema_changed = new_schema != tgt_schema
+        if schema_changed:
+            _guard_bucket_widening(spec, tgt_schema, new_schema)
 
         # lsn/op ride along as extra (non-schema) columns through alignment
         src = align_to_schema(
@@ -2472,6 +2570,8 @@ class SnapshotParquetTable:
         batch_payload = T.StructType([events.schema[c] for c in data_cols])
         new_schema = evolve_schema(tgt_schema, batch_payload)
         schema_changed = new_schema != tgt_schema
+        if schema_changed:
+            _guard_bucket_widening(spec, tgt_schema, new_schema)
 
         src = align_to_schema(
             events.select(*data_cols, spec.lsn_col, spec.op_col), new_schema

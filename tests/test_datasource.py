@@ -227,14 +227,21 @@ def test_first_row_table_resolves_min_pair(spark, tmp_path, seed_pdf, changes_pd
     )
 
 
-def test_patch_table_refused(spark, tmp_path, seed_pdf):
+def test_patch_table_served_by_facade(spark, tmp_path, seed_pdf):
+    """Round 4: the facade READ resolves partial-update tables too (the
+    per-column compose, params from the manifest engine block) — the old
+    refusal is gone; parity with the engine read on the transcript shape."""
     spec = TableSpec(num_buckets=4, merge_mode="mor", partial_updates=True)
     t = SnapshotParquetTable(spark, str(tmp_path / "ptable"), spec)
     t.create(TRANSCRIPT_SCHEMA)
     bootstrap_seed(t, seed_pdf.pipe(lambda p: t.spark.createDataFrame(p, TRANSCRIPT_SCHEMA)))
     register(spark)
-    with pytest.raises(Exception, match="SnapshotParquetTable.read"):
-        spark.read.format("transcript_lake").load(t.root).collect()
+    got = (
+        spark.read.format("transcript_lake").load(t.root)
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    want = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_writer_commit_conflict_rebases(spark, tmp_path, seed_pdf, changes_pdf):

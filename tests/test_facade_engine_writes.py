@@ -233,3 +233,170 @@ def test_facade_agg_refuses_paramless_manifest(spark, tmp_path):
     open(mpath, "w").write(json.dumps(m))
     with pytest.raises(ValueError, match="agg_fns"):
         LakeWriter({"path": t.root, "batchid": "0"}, overwrite=False)
+
+
+def test_facade_write_schema_evolution(spark, tmp_path):
+    """A replication sink whose SOURCE evolved must not silently drop the
+    new columns: the facade writer applies the engine's schema-union rules
+    (column add + widen) and allocates the schema era at commit. Twin
+    check against merge_events on the same batches."""
+    a = _mk(spark, tmp_path, "evo-a")
+    b = _mk(spark, tmp_path, "evo-b")
+    rows0 = [("a", 1, "a-one", 0, 1, "I"), ("b", 2, "b-one", 0, 2, "I")]
+    a.merge_events(_events_df(spark, rows0), batch_id=0)
+    _facade_apply(b.root, rows0, batch_id=0)
+
+    # batch 1 adds a column and widens v long->long (add only here)
+    evo_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [
+            T.StructField("tool", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    data = [
+        ("a", 10, "a-two", "bash", _ts(5), 3, "U"),
+        ("c", 3, "c-one", None, _ts(5), 4, "I"),
+    ]
+    df = spark.createDataFrame(
+        [(k, v, n, tool, ts, lsn, op) for (k, v, n, tool, ts, lsn, op) in data],
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]),
+    )
+    a.merge_events(df, batch_id=1)
+
+    batch = pa.record_batch({
+        "k": pa.array([d[0] for d in data], pa.string()),
+        "v": pa.array([d[1] for d in data], pa.int64()),
+        "note": pa.array([d[2] for d in data], pa.string()),
+        "tool": pa.array([d[3] for d in data], pa.string()),
+        "ts": pa.array([d[4] for d in data], pa.timestamp("us", tz="UTC")),
+        "lsn": pa.array([d[5] for d in data], pa.int64()),
+        "op": pa.array([d[6] for d in data], pa.string()),
+    })
+    w = LakeWriter({"path": b.root, "batchid": "1"}, overwrite=False,
+                   batch_schema=df.schema)
+    w.commit([w.write(iter([batch]))])
+
+    bt = SnapshotParquetTable(spark, b.root, TableSpec(**BASE_SPEC))
+    assert "tool" in [f.name for f in bt.schema.fields]
+    sa = sorted(map(tuple, a.read().select("k", "v", "note", "tool").collect()))
+    sb = sorted(map(tuple, bt.read().select("k", "v", "note", "tool").collect()))
+    assert sa == sb
+    assert ("a", 10, "a-two", "bash") in sb
+    assert ("b", 2, "b-one", None) in sb  # pre-evolution row null-fills
+    # the evolved commit allocated a new schema era
+    m = bt.manifest()
+    assert int(m["current_schema_id"]) >= 1
+    assert str(m["current_schema_id"]) in m["schemas"]
+
+
+def test_bucket_widening_refused_everywhere(spark, tmp_path):
+    """Widening the BUCKET column re-hashes keys (xxhash64 is
+    width-dependent) — both the engine and the facade must refuse."""
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    spec = TableSpec(
+        key_cols=("k",), bucket_col="k", ts_col="ts", lsn_col="lsn",
+        op_col="op", num_buckets=2, merge_mode="mor",
+        empty_to_null_exempt=(), normalize_ws_cols=(),
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / "bw"), spec)
+    t.create(schema)
+    seed = spark.createDataFrame(
+        [(1, 10, _ts(0))], schema
+    ).select("*", F.lit(1).cast("long").alias("lsn"), F.lit("I").alias("op"))
+    t.merge_events(seed, batch_id=0)
+    wide = spark.createDataFrame(
+        [(2, 20, _ts(1))],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]),
+    ).select("*", F.lit(2).cast("long").alias("lsn"), F.lit("U").alias("op"))
+    with pytest.raises(ValueError, match="bucket column"):
+        t.merge_events(wide, batch_id=1)
+    with pytest.raises(ValueError, match="bucket column"):
+        LakeWriter({"path": t.root, "batchid": "1"}, overwrite=False,
+                   batch_schema=wide.schema)
+    # widening a NON-bucket column stays allowed
+    ok = spark.createDataFrame(
+        [(3, 30, _ts(2))], schema
+    ).select("*", F.lit(3).cast("long").alias("lsn"), F.lit("I").alias("op"))
+    t.merge_events(ok, batch_id=1)
+    assert t.read().count() == 2
+
+
+@pytest.mark.parametrize("kind", list(ENGINES))
+def test_facade_read_serves_every_engine(spark, tmp_path, kind):
+    """Round 4: the facade READ resolves all four engines too (params from
+    the manifest engine block) — spark.read.format('transcript_lake') must
+    equal the engine read before AND after compaction, with and without
+    column pruning."""
+    register(spark)
+    t = _mk(spark, tmp_path, f"fr-{kind}", **ENGINES[kind])
+    for i, rows in enumerate(_batches_for(kind)):
+        t.merge_events(_events_df(spark, rows), batch_id=i)
+
+    def facade_state(**opts):
+        r = spark.read.format("transcript_lake").options(**opts).load(t.root)
+        return sorted(map(tuple, r.select("k", "v", "note").collect()))
+
+    want = sorted(map(tuple, t.read().select("k", "v", "note").collect()))
+    assert facade_state() == want, kind
+    # column pruning through the engine folds
+    pruned = spark.read.format("transcript_lake").option("columns", "v").load(t.root)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, t.read(columns=["k", "v"]).collect())
+    ), kind
+    # post-compaction (base files carry the folded state; patch orphans ride)
+    t.compact(only_dirty=False)
+    assert facade_state() == sorted(
+        map(tuple, t.refresh().read().select("k", "v", "note").collect())
+    ), kind
+
+
+def test_facade_streaming_write_evolves_schema(spark, tmp_path):
+    """writeStream.format('transcript_lake') with a source that carries a
+    NEW column: the stream writer (constructed once with the stream's
+    schema) evolves the target instead of silently dropping it."""
+    import numpy as np
+
+    register(spark)
+    t = _mk(spark, tmp_path, "sevo")
+    rows0 = [("a", 1, "a-one", 0, 1, "I")]
+    t.merge_events(_events_df(spark, rows0), batch_id=0)
+
+    src_dir = str(tmp_path / "src")
+    evo = spark.createDataFrame(
+        [("b", 2, "b-one", "t0", _ts(1), 2, "I"),
+         ("a", 9, "a-two", "t1", _ts(2), 3, "U")],
+        "k string, v long, note string, tool string, ts timestamp, lsn long, op string",
+    )
+    evo.repartition(2).write.parquet(src_dir)
+    stream = spark.readStream.schema(evo.schema).parquet(src_dir)
+    q = (
+        stream.writeStream.format("transcript_lake")
+        .option("path", t.root)
+        .option("batchIdOffset", "1")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t2 = SnapshotParquetTable(spark, t.root, TableSpec(**BASE_SPEC))
+    assert "tool" in [f.name for f in t2.schema.fields]
+    got = sorted(map(tuple, t2.read().select("k", "v", "tool").collect()))
+    assert got == [("a", 9, "t1"), ("b", 2, "t0")]
