@@ -150,6 +150,7 @@ class IncrementalVectorIndex:
                     id_col=self.key_cols[0],
                     vec_col=self.vec_col,
                     seed=train_seed,
+                    assign_engine=self.assign_engine,
                 )
             if centroids is None:
                 raise ValueError(

@@ -120,3 +120,94 @@ def test_any_first_row_stream_resolves_to_min_pair_oracle(
         if data.draw(st.booleans(), label=f"compact_{b}"):
             t.compact()  # first-row: tombstone reclaim auto-downgraded
     assert _fr_read(t) == _fr_replay(batches)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the SAME searches driven through the DataSource facade WRITER
+# instead of merge_events — arbitrary streams, batch boundaries, and
+# mid-stream compaction folding facade-written deltas must resolve to the
+# identical sequential oracles (the facade's per-engine delta projection +
+# within-task Arrow fold is a second implementation of the apply path; the
+# property search is the strongest equivalence evidence we can run).
+
+
+def _facade_apply_df(df, root, batch_id):
+    from ccdb_data_pipeline_spark.plans.datasource import LakeWriter
+
+    w = LakeWriter(
+        {"path": root, "batchid": str(batch_id)}, overwrite=False,
+        batch_schema=df.schema,
+    )
+    w.commit([w.write(iter(df.toArrow().to_batches()))])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_agg_stream, nb=st.integers(min_value=1, max_value=3), data=st.data())
+def test_any_agg_stream_through_facade_writer(
+    sess, tmp_path_factory, events, nb, data
+):
+    rows = [
+        _agg_ev(uid, i + 1, op, spend=spend, hi=hi, lo=lo, tag=tag)
+        for i, (uid, op, spend, hi, lo, tag) in enumerate(events)
+    ]
+    root = tmp_path_factory.mktemp("aggfac")
+    t = _agg_table(sess, root, name="t")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=1, max_value=len(rows)), max_size=nb - 1),
+            label="cuts",
+        )
+    ) + [len(rows)]
+    lo_i = 0
+    batches = []
+    for b, hi_i in enumerate(cuts):
+        if hi_i > lo_i:
+            batches.append(rows[lo_i:hi_i])
+            _facade_apply_df(_agg_batch(sess, rows[lo_i:hi_i]), t.root, batch_id=b)
+            lo_i = hi_i
+        if data.draw(st.booleans(), label=f"compact_{b}"):
+            t.refresh().compact(drop_tombstones=False)
+    t.refresh()
+    got = _agg_read(t)
+    exp = _agg_replay(batches)
+    assert set(got) == set(exp)
+    for k in exp:
+        for c, v in exp[k].items():
+            assert got[k][c] == v, (k, c, got[k], exp[k])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_fr_stream, nb=st.integers(min_value=1, max_value=3), data=st.data())
+def test_any_first_row_stream_through_facade_writer(
+    sess, tmp_path_factory, events, nb, data
+):
+    rows = [
+        (i + 1, op, conv, turn, None if op == "D" else text, m)
+        for i, (op, conv, turn, text, m) in enumerate(events)
+    ]
+    root = tmp_path_factory.mktemp("frfac")
+    t = _fr_table(sess, root, name="t")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=1, max_value=len(rows)), max_size=nb - 1),
+            label="cuts",
+        )
+    ) + [len(rows)]
+    lo_i = 0
+    batches = []
+    for b, hi_i in enumerate(cuts):
+        if hi_i > lo_i:
+            batches.append(rows[lo_i:hi_i])
+            _facade_apply_df(_fr_batch(sess, rows[lo_i:hi_i]), t.root, batch_id=b)
+            lo_i = hi_i
+        if data.draw(st.booleans(), label=f"compact_{b}"):
+            t.refresh().compact()
+    assert _fr_read(t.refresh()) == _fr_replay(batches)

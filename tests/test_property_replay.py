@@ -84,3 +84,42 @@ def test_any_stream_replays_to_oracle(sess, tmp_path_factory, events, mode, nb, 
     if mode == "mor" and data.draw(st.booleans(), label="compact"):
         t.compact(drop_tombstones=False)
     assert_tables_equal(table_to_pandas(t.read()), replay(seed, [changes]))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_stream, nb=_nbatches, data=st.data())
+def test_any_stream_through_facade_writer_replays_to_oracle(
+    sess, tmp_path_factory, events, nb, data
+):
+    """Round 4: the LWW search driven through the DataSource facade WRITER
+    (raw dominance rows, write-side normalization, malformed drop) — same
+    sequential pandas oracle, arbitrary boundaries, optional compaction."""
+    import numpy as np
+
+    from ccdb_data_pipeline_spark.plans.datasource import LakeWriter
+
+    changes = _frame(events)
+    root = tmp_path_factory.mktemp("facprop")
+    t = SnapshotParquetTable(
+        sess, str(root / "t"), TableSpec(num_buckets=4, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    seed = pd.DataFrame(
+        [{"conv_id": "a", "turn_idx": 0, "role": "user", "text": "seed",
+          "tool": None, "ts": BASE - timedelta(days=1)}]
+    )
+    bootstrap_seed(t, sess.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    for i, part in enumerate(np.array_split(changes, nb)):
+        df = sess.createDataFrame(part, CHANGE_SCHEMA)
+        w = LakeWriter(
+            {"path": t.root, "batchid": str(i)}, overwrite=False,
+            batch_schema=df.schema,
+        )
+        w.commit([w.write(iter(df.toArrow().to_batches()))])
+        if data.draw(st.booleans(), label=f"compact_{i}"):
+            t.refresh().compact(drop_tombstones=False)
+    assert_tables_equal(table_to_pandas(t.refresh().read()), replay(seed, [changes]))

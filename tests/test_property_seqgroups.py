@@ -83,3 +83,48 @@ def test_any_seqgroup_stream_resolves_to_argmax_oracle(
     for k in exp:
         for c in ("role", "text", "tool", "meta_seq", "ts"):
             assert got[k][c] == exp[k][c], (k, c, got[k], exp[k])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_stream, nb=st.integers(min_value=1, max_value=3), data=st.data())
+def test_any_seqgroup_stream_through_facade_writer(
+    sess, tmp_path_factory, events, nb, data
+):
+    """Round 4: the same argmax search driven through the DataSource facade
+    WRITER (per-engine patch projection + within-task _fold_patches_arrow,
+    seq groups from manifest engine params) instead of merge_events —
+    arbitrary streams, boundaries, and compaction folding facade deltas
+    must hit the identical oracle."""
+    from ccdb_data_pipeline_spark.plans.datasource import LakeWriter
+
+    rows = _rows(events)
+    root = tmp_path_factory.mktemp("sgfac")
+    t = _table(sess, root, name="t")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=1, max_value=len(rows)), max_size=nb - 1),
+            label="cuts",
+        )
+    ) + [len(rows)]
+    lo = 0
+    for b, hi in enumerate(cuts):
+        if hi > lo:
+            df = _batch(sess, rows[lo:hi])
+            w = LakeWriter(
+                {"path": t.root, "batchid": str(b)}, overwrite=False,
+                batch_schema=df.schema,
+            )
+            w.commit([w.write(iter(df.toArrow().to_batches()))])
+            lo = hi
+        if data.draw(st.booleans(), label=f"compact_{b}"):
+            t.refresh().compact(drop_tombstones=False)
+    got = _read_state(t.refresh())
+    exp = _replay(rows)
+    assert set(got) == set(exp)
+    for k in exp:
+        for c in ("role", "text", "tool", "meta_seq", "ts"):
+            assert got[k][c] == exp[k][c], (k, c, got[k], exp[k])

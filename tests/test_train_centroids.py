@@ -182,3 +182,39 @@ def test_vecindex_trains_in_engine(spark, tmp_path):
     assert cents.count() == 3
     assigned = ix.read().select("vec_id", "centroid_id").collect()
     assert _purity(assigned, labels, len(labels)) >= 0.95
+
+
+def test_arrow_lloyd_recovers_blobs(spark):
+    """assign_engine='arrow' (round-4: numpy-matmul Lloyd with per-task
+    local partials, zero shuffle) must recover planted clusters exactly
+    like the JVM path — same seeds, same init; only the Lloyd float
+    summation order differs, which cannot move a well-separated blob."""
+    import numpy as np
+
+    from ccdb_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    blobs = [rng.randn(3) * 5 for _ in range(4)]
+    rows = []
+    for i in range(400):
+        b = i % 4
+        rows.append((i, [float(x) for x in blobs[b] + rng.randn(3) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cj = train_centroids(df, k=4, iters=3, seed=11)
+    ca = train_centroids(df, k=4, iters=3, seed=11, assign_engine="arrow")
+    # purity: every point's nearest trained centroid groups its blob
+    for cents in (cj, ca):
+        assigned = ivf_assign(df, cents).collect()
+        by_blob = {}
+        for r in assigned:
+            by_blob.setdefault(r["vec_id"] % 4, set()).add(r["centroid_id"])
+        assert all(len(s) == 1 for s in by_blob.values()), cents
+        assert len({next(iter(s)) for s in by_blob.values()}) == 4
+    # the two engines land on the same centroids up to float noise
+    ja = sorted([r["embedding"] for r in cj.collect()])
+    aa = sorted([r["embedding"] for r in ca.collect()])
+    for u, v in zip(ja, aa):
+        assert max(abs(x - y) for x, y in zip(u, v)) < 1e-6
