@@ -34,12 +34,17 @@ Scale design, in DataSourceV2 terms:
   merge commits in ``(start, end]`` — O(new data) per trigger, and the
   version offset checkpoint makes restarts exactly-once downstream.
 
-Only plain last-writer-wins tables are served (the partial-update /
-aggregation / first-row merge engines need their own resolve kernels;
-``SnapshotParquetTable.read`` remains their surface). The streaming
-source additionally requires merge-on-read mode: CoW merge commits
-rewrite whole buckets, so "files added this commit" is not a change set
-there.
+Since round 4 the facade is ENGINE-COMPLETE in both directions: all four
+merge engines (last-writer-wins, first-row, partial-update, aggregation)
+read through per-engine Arrow resolves and write through per-engine
+delta projections, with the engine PARAMS (agg_fns, seq_groups) carried
+by the manifest so no TableSpec is needed. The change feed emits TYPED
+``patch`` rows for partial-update tables (the wire consumer maps them to
+op 'P'); aggregation tables are refused by the feed — their delta rows
+are accumulator partials, not replayable events — and use the engine's
+``table_changes()`` resolved-state diff instead. The streaming source
+additionally requires merge-on-read mode: CoW merge commits rewrite
+whole buckets, so "files added this commit" is not a change set there.
 """
 
 from __future__ import annotations
@@ -1253,6 +1258,16 @@ def _read_change_file(meta: _TableMeta, partition: _ChangeFilePartition):
     tbl = _align_arrow(tbl, target, _add_defaults(meta, sid))
     deleted = pc.fill_null(tbl.column(DELETED), False)
     ct = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
+    if meta.engine.get("partial_updates") and PATCH in tbl.column_names:
+        # typed patch rows: a column-partial event is NOT a full image —
+        # untyped it would replicate as an upsert whose nulls overwrite
+        # (the wire consumer maps patch -> op 'P', and the facade sink's
+        # patch projection keeps the partial semantics end-to-end)
+        ct = pc.if_else(
+            pc.and_(pc.fill_null(tbl.column(PATCH), False), pc.invert(deleted)),
+            pa.scalar("patch"),
+            ct,
+        )
     user_cols = [f.name for f in meta.user_schema().fields]
     out = tbl.select(user_cols + [TS_APPLIED, LSN_APPLIED])
     out = out.append_column("_change_type", ct)
@@ -1273,6 +1288,17 @@ class ChangesBatchReader(DataSourceReader):
         self.meta = _TableMeta.load(path)
         if self.meta.mode != "mor":
             raise ValueError("transcript_changes serves merge-on-read tables only")
+        if self.meta.engine.get("agg_spec"):
+            # an agg delta row is a PARTIAL (its _n_contrib may fold many
+            # events) — op codes cannot carry it, so a facade re-apply
+            # would mis-count; the engine's table_changes() diffs RESOLVED
+            # states and is the correct feed for aggregation tables
+            raise ValueError(
+                "transcript_changes cannot serve aggregation-engine tables: "
+                "delta rows are accumulator partials, not replayable "
+                "events; use SnapshotParquetTable.table_changes() (resolved "
+                "state diff) instead"
+            )
         self.lo = int(options.get("startingversion", 0))
         hi = options.get("endingversion")
         self.hi = int(hi) if hi is not None else _head_version(path)
@@ -1304,6 +1330,13 @@ class ChangesStreamReader(DataSourceStreamReader):
                 "transcript_changes streams merge-on-read tables only: a CoW "
                 "commit rewrites whole buckets, so its new files are not a "
                 "change set; use table.table_changes(a, b) for batch diffs"
+            )
+        if meta.engine.get("agg_spec"):
+            raise ValueError(
+                "transcript_changes cannot serve aggregation-engine tables: "
+                "delta rows are accumulator partials, not replayable events; "
+                "use SnapshotParquetTable.table_changes() (resolved state "
+                "diff) instead"
             )
         self.meta = meta
         sv = options.get("startingversion")

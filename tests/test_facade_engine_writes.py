@@ -400,3 +400,61 @@ def test_facade_streaming_write_evolves_schema(spark, tmp_path):
     assert "tool" in [f.name for f in t2.schema.fields]
     got = sorted(map(tuple, t2.read().select("k", "v", "tool").collect()))
     assert got == [("a", 9, "t1"), ("b", 2, "t0")]
+
+
+def test_patch_replication_through_typed_feed(spark, tmp_path):
+    """Patch-table lake->lake replication with ZERO engine imports on the
+    wire: the change feed emits TYPED 'patch' rows (a partial is not a full
+    image — untyped it would replicate as an upsert whose nulls overwrite),
+    the wire maps patch->'P', and the facade sink's patch projection keeps
+    the semantics. B must equal A, including a patch whose full image only
+    exists on A's side of the boundary."""
+    register(spark)
+    a = _mk(spark, tmp_path, "repl-a", partial_updates=True)
+    b = _mk(spark, tmp_path, "repl-b", partial_updates=True)
+    for i, rows in enumerate(BATCHES):
+        a.merge_events(_events_df(spark, rows), batch_id=i)
+
+    feed = (
+        spark.readStream.format("transcript_changes")
+        .option("startingVersion", 0)
+        .load(a.root)
+    )
+    user_cols = [f.name for f in SCHEMA.fields]
+    wire = feed.select(
+        *user_cols,
+        F.when(F.col("_change_type") == "delete", "D")
+        .when(F.col("_change_type") == "patch", "P")
+        .otherwise("U")
+        .alias("op"),
+        F.col("_lsn_applied").alias("lsn"),
+        F.col("_ts_applied"),
+    )
+    q = (
+        wire.writeStream.format("transcript_lake")
+        .option("path", b.root)
+        .option("tsColumn", "_ts_applied")
+        .option("checkpointLocation", str(tmp_path / "repl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _state(b.refresh()) == _state(a)
+
+
+def test_agg_feed_refused_with_pointer(spark, tmp_path):
+    """An agg table's delta rows are partials — the feed must refuse with
+    the table_changes() pointer, for both batch and streaming forms."""
+    register(spark)
+    t = _mk(spark, tmp_path, "aggfeed", **ENGINES["agg"])
+    t.merge_events(_events_df(spark, _batches_for("agg")[0]), batch_id=0)
+    with pytest.raises(Exception, match="table_changes"):
+        spark.read.format("transcript_changes").option(
+            "startingVersion", 0
+        ).load(t.root).collect()
+    from ccdb_data_pipeline_spark.plans.datasource import ChangesStreamReader
+
+    with pytest.raises(ValueError, match="table_changes"):
+        ChangesStreamReader({"path": t.root})
+    # the engine's resolved-state diff still serves it
+    assert t.table_changes(0).count() > 0
