@@ -211,3 +211,85 @@ def test_any_first_row_stream_through_facade_writer(
         if data.draw(st.booleans(), label=f"compact_{b}"):
             t.refresh().compact()
     assert _fr_read(t.refresh()) == _fr_replay(batches)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (read direction): engine-written streams read back through the
+# facade's per-engine Arrow resolvers (_fold_patches_arrow over layers;
+# _merge_agg_arrow — new code this round) must equal the engine read.
+
+
+def _facade_read_rows(root, cols):
+    from ccdb_data_pipeline_spark.plans.datasource import LakeReader, _read_bucket
+
+    r = LakeReader({"path": root})
+    out = []
+    for part in r.partitions():
+        if part.entries:
+            for b in _read_bucket(r.meta, part):
+                out.extend(b.to_pylist())
+    return sorted(tuple(x[c] for c in cols) for x in out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_agg_stream, nb=st.integers(min_value=1, max_value=3), data=st.data())
+def test_facade_read_equals_engine_read_agg(sess, tmp_path_factory, events, nb, data):
+    rows = [
+        _agg_ev(uid, i + 1, op, spend=spend, hi=hi, lo=lo, tag=tag)
+        for i, (uid, op, spend, hi, lo, tag) in enumerate(events)
+    ]
+    root = tmp_path_factory.mktemp("aggfr")
+    t = _agg_table(sess, root, name="t")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=1, max_value=len(rows)), max_size=nb - 1),
+            label="cuts",
+        )
+    ) + [len(rows)]
+    lo_i = 0
+    for b, hi_i in enumerate(cuts):
+        if hi_i > lo_i:
+            t.merge_events(_agg_batch(sess, rows[lo_i:hi_i]), batch_id=b)
+            lo_i = hi_i
+        if data.draw(st.booleans(), label=f"compact_{b}"):
+            t.compact(drop_tombstones=False)
+    cols = ["uid", "spend", "hi", "lo", "tag"]
+    want = sorted(tuple(r[c] for c in cols) for r in t.read().collect())
+    assert _facade_read_rows(t.root, cols) == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_fr_stream, nb=st.integers(min_value=1, max_value=3), data=st.data())
+def test_facade_read_equals_engine_read_first_row(
+    sess, tmp_path_factory, events, nb, data
+):
+    rows = [
+        (i + 1, op, conv, turn, None if op == "D" else text, m)
+        for i, (op, conv, turn, text, m) in enumerate(events)
+    ]
+    root = tmp_path_factory.mktemp("frfr")
+    t = _fr_table(sess, root, name="t")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=1, max_value=len(rows)), max_size=nb - 1),
+            label="cuts",
+        )
+    ) + [len(rows)]
+    lo_i = 0
+    for b, hi_i in enumerate(cuts):
+        if hi_i > lo_i:
+            t.merge_events(_fr_batch(sess, rows[lo_i:hi_i]), batch_id=b)
+            lo_i = hi_i
+        if data.draw(st.booleans(), label=f"compact_{b}"):
+            t.compact()
+    cols = ["conv_id", "turn_idx", "text"]
+    want = sorted(tuple(r[c] for c in cols) for r in t.read().collect())
+    assert _facade_read_rows(t.root, cols) == want

@@ -128,3 +128,44 @@ def test_any_seqgroup_stream_through_facade_writer(
     for k in exp:
         for c in ("role", "text", "tool", "meta_seq", "ts"):
             assert got[k][c] == exp[k][c], (k, c, got[k], exp[k])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_stream, nb=st.integers(min_value=1, max_value=3), data=st.data())
+def test_facade_read_equals_engine_read_seqgroups(
+    sess, tmp_path_factory, events, nb, data
+):
+    """Round 4 (read direction): engine-written seq-group streams read back
+    through the facade's layered _fold_patches_arrow must equal the engine
+    read — the composition-closure claim exercised at the READ boundary."""
+    from ccdb_data_pipeline_spark.plans.datasource import LakeReader, _read_bucket
+
+    rows = _rows(events)
+    root = tmp_path_factory.mktemp("sgfr")
+    t = _table(sess, root, name="t")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=1, max_value=len(rows)), max_size=nb - 1),
+            label="cuts",
+        )
+    ) + [len(rows)]
+    lo = 0
+    for b, hi in enumerate(cuts):
+        if hi > lo:
+            t.merge_events(_batch(sess, rows[lo:hi]), batch_id=b)
+            lo = hi
+        if data.draw(st.booleans(), label=f"compact_{b}"):
+            t.compact(drop_tombstones=False)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "meta_seq"]
+    want = sorted(tuple(r[c] for c in cols) for r in t.read().collect())
+    r = LakeReader({"path": t.root})
+    got = []
+    for part in r.partitions():
+        if part.entries:
+            for bch in _read_bucket(r.meta, part):
+                got.extend(bch.to_pylist())
+    assert sorted(tuple(x[c] for c in cols) for x in got) == want

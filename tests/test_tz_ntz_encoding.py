@@ -228,3 +228,29 @@ def test_residual_lit_shares_stat_encoding():
     # ntz literal embeds the exact wall-clock string
     assert str(us) in str(inst._jc)
     assert "2025-05-01" in str(wall._jc)
+
+
+def test_facade_write_on_ntz_table(spark, tmp_path):
+    """The facade WRITER serves TIMESTAMP_NTZ tables: the NTZ payload
+    column survives the Arrow round trip as wall clock and the engine
+    read equals a merge_events twin."""
+    from pyspark.sql import functions as F
+
+    from ccdb_data_pipeline_spark.plans.datasource import LakeWriter
+
+    a = SnapshotParquetTable(spark, str(tmp_path / "na"), TableSpec(**NTZ_SPEC))
+    b = SnapshotParquetTable(spark, str(tmp_path / "nb"), TableSpec(**NTZ_SPEC))
+    a.create(NTZ_SCHEMA)
+    b.create(NTZ_SCHEMA)
+    rows = [("k1", 1, dt.datetime(2025, 1, 1, 12)), ("k2", 2, dt.datetime(2025, 6, 1, 6))]
+    df = spark.createDataFrame(rows, NTZ_SCHEMA).select(
+        "*", F.col("v").alias("lsn"), F.lit("I").alias("op")
+    )
+    a.merge_events(df, batch_id=0)
+    w = LakeWriter({"path": b.root, "batchid": "0"}, overwrite=False,
+                   batch_schema=df.schema)
+    w.commit([w.write(iter(df.toArrow().to_batches()))])
+    sa = sorted(map(tuple, a.read().collect()))
+    sb = sorted(map(tuple, b.refresh().read().collect()))
+    assert sa == sb
+    assert sa[0][2] == dt.datetime(2025, 1, 1, 12)  # wall clock preserved
