@@ -27,6 +27,9 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   export  --table DIR --out DIR [--shards N] [--salt S]   render conversations -> deterministic training shards
   maintain --table DIR [--retain-last N] [--max-depth D] [--budget B] [--dry-run]
                                                    condition-driven table services (compact/expire/GC)
+  feed-floor --table DIR                           oldest retained change-feed startingVersion
+  resume-gap --table SRC --out TGT                 recover a gapped replication consumer
+                                                   (re-bootstrap target from the floor snapshot)
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
                                     "txn-recover", "vacuum", "history", "stats",
                                     "tag", "untag", "rate", "lag", "rename", "drop-column",
                                     "add-column", "fsck", "purge", "export",
-                                    "maintain"])
+                                    "maintain", "feed-floor", "resume-gap"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -193,6 +196,35 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = render_docs(table.read())
         print(json.dumps(export_shards(docs, a.out, "conv_id", a.shards, salt=a.salt)))
+    elif a.cmd == "feed-floor":
+        from .plans.datasource import feed_floor
+
+        print(json.dumps({
+            "feed_floor": feed_floor(a.table),
+            "head": table.current_version(),
+        }))
+    elif a.cmd == "resume-gap":
+        # recover a replication consumer that hit ChangeFeedGapError:
+        # re-bootstrap TARGET (--out) from this source's retained floor
+        # snapshot, then restart the feed with the printed startingVersion
+        # and batchIdOffset (fresh checkpoint)
+        from .plans.datasource import register, resume_from_gap
+
+        if not a.out:
+            ap.error("resume-gap requires --out (the target table root)")
+        register(spark)
+        tgt = SnapshotParquetTable(None, a.out)
+        offset = tgt.last_batch_id + 1
+        floor = resume_from_gap(table, a.out, batch_id=offset)
+        print(json.dumps({
+            "resumed_from_floor": floor,
+            "target_last_batch_id": offset,
+            "restart_with": {
+                "startingVersion": floor,
+                "batchIdOffset": offset + 1,
+                "checkpointLocation": "<a FRESH directory>",
+            },
+        }))
     elif a.cmd == "maintain":
         from .plans.maintenance import MaintenancePolicy, auto_maintain
 

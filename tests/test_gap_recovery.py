@@ -125,3 +125,42 @@ def test_feed_floor_full_history(spark, tmp_path):
         t, spark.createDataFrame(gen_seed_pandas(n_convs=5, seed=3), TRANSCRIPT_SCHEMA)
     )
     assert feed_floor(t.root) == 0
+
+
+def test_cli_feed_floor_and_resume_gap(spark, tmp_path):
+    """The operator-facing CLI surface: feed-floor reports the recovery
+    anchor; resume-gap re-bootstraps a target through the facade writer
+    and prints the restart recipe."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    spec = TableSpec(num_buckets=2, merge_mode="mor")
+    src = SnapshotParquetTable(spark, str(tmp_path / "clisrc"), spec)
+    src.create(TRANSCRIPT_SCHEMA)
+    seed = gen_seed_pandas(n_convs=8, seed=5)
+    bootstrap_seed(src, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    ch = gen_changes_pandas(120, n_convs=8, seed=5)
+    for i, h in enumerate(np.array_split(ch, 3)):
+        apply_changes(src, spark.createDataFrame(h, CHANGE_SCHEMA), batch_id=i)
+    src.compact(only_dirty=False)
+    src.expire_snapshots(retain_last=1)
+
+    tgt = SnapshotParquetTable(spark, str(tmp_path / "clitgt"), spec)
+    tgt.create(TRANSCRIPT_SCHEMA)
+
+    def cli(*args):
+        r = subprocess.run(
+            [_sys.executable, "-m", "ccdb_data_pipeline_spark.cli", *args,
+             "--master", "local[2]"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [_json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+
+    floor = cli("feed-floor", "--table", src.root)[0]
+    assert floor["feed_floor"] == feed_floor(src.root)
+    out = cli("resume-gap", "--table", src.root, "--out", tgt.root)[0]
+    assert out["resumed_from_floor"] == floor["feed_floor"]
+    assert out["restart_with"]["startingVersion"] == floor["feed_floor"]
+    assert_tables_equal(table_to_pandas(tgt.refresh().read()), replay(seed, [ch]))
