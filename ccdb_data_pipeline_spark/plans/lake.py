@@ -4265,17 +4265,45 @@ class SnapshotParquetTable:
 
         if mode not in ("hardlink", "copy"):
             raise ValueError(f"unknown clone mode: {mode!r}")
+        remote = "://" in self.root or "://" in dst_root
+        if remote and mode == "hardlink":
+            raise ValueError(
+                "hardlink clone requires local POSIX roots on both sides; "
+                "use mode='copy' for scheme-routed filesystems"
+            )
         src_m = self.manifest(version)
-        if os.path.exists(os.path.join(dst_root, "HEAD")):
+        if fsio.exists(fsio.join(dst_root, "HEAD")):
             raise ValueError(f"table already exists at {dst_root}")
-        os.makedirs(dst_root, exist_ok=True)
-        xfer = os.link if mode == "hardlink" else shutil.copy2
+        fsio.makedirs(dst_root)
+
+        def xfer(src, dst):
+            if remote:
+                fsio.makedirs(dst.rsplit("/", 1)[0])
+                fsio.write_atomic(dst, fsio.read_bytes(src))
+            else:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                (os.link if mode == "hardlink" else shutil.copy2)(src, dst)
+
+        dv_dirs: set[str] = set()
         for fs in src_m["buckets"].values():
             for e in fs:
-                src = os.path.join(self.root, e["path"])
-                dst = os.path.join(dst_root, e["path"])
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                xfer(src, dst)
+                xfer(
+                    fsio.join(self.root, e["path"]),
+                    fsio.join(dst_root, e["path"].replace(os.sep, "/")),
+                )
+                if e.get("dv"):
+                    dv_dirs.add(e["dv"]["path"].replace(os.sep, "/"))
+        # deletion-vector sidecars ride with the files that reference them —
+        # without this a cloned table's DV'd reads referenced missing
+        # sidecars (crash) or, post-repair, resurrected deleted rows
+        prefix = self.root.rstrip("/") + "/"
+        for d in sorted(dv_dirs):
+            for full, _sz in fsio.walk_files(fsio.join(self.root, d)):
+                rel = (
+                    full[len(prefix):] if full.startswith(prefix)
+                    else os.path.relpath(full, self.root)
+                ).replace(os.sep, "/")
+                xfer(full, fsio.join(dst_root, rel))
         m = json.loads(json.dumps(src_m))  # deep copy
         m["version"] = 0
         m["parent_snapshot_id"] = None

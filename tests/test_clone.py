@@ -79,3 +79,62 @@ def test_clone_refuses_existing_target(spark, tmp_path):
     src.clone_to(str(tmp_path / "dup"))
     with pytest.raises(ValueError, match="already exists"):
         src.clone_to(str(tmp_path / "dup"))
+
+
+def test_clone_carries_dv_sidecars(spark, tmp_path):
+    """A table with deletion vectors clones WITH its referenced sidecars
+    (round-4 fix: they were skipped — the clone's DV'd reads referenced
+    missing files). Both modes; clone state == source state."""
+    import os as _os
+
+    from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+    from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "dvsrc"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(
+        t, spark.createDataFrame(gen_seed_pandas(n_convs=10, seed=4), TRANSCRIPT_SCHEMA)
+    )
+    t.compact(only_dirty=False)
+    rep = t.delete_where_dv("turn_idx % 3 = 0")
+    assert rep["n_dv_positions"] > 0
+    want = sorted(map(tuple, t.read().select("conv_id", "turn_idx", "text").collect()))
+    for mode in ("hardlink", "copy"):
+        c = t.clone_to(str(tmp_path / f"dvclone-{mode}"), mode=mode)
+        assert _os.path.isdir(_os.path.join(c.root, "dv"))
+        got = sorted(map(tuple, c.read().select("conv_id", "turn_idx", "text").collect()))
+        assert got == want, mode
+
+
+def test_clone_copy_on_mock_scheme(spark, tmp_path):
+    """mode='copy' routes through the scheme layer: a local table clones
+    onto an in-memory mock:// root and reads back identically (hardlink is
+    refused with a clear error on remote roots)."""
+    import pyarrow.fs as pafs
+    import pytest as _pt
+
+    from ccdb_data_pipeline_spark.plans import fsio
+    from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+    from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+    fs = pafs._MockFileSystem()
+    fsio.register_filesystem("mock", fs, conditional_put=True)
+    try:
+        t = SnapshotParquetTable(
+            spark, str(tmp_path / "locsrc"), TableSpec(num_buckets=2, merge_mode="mor")
+        )
+        t.create(TRANSCRIPT_SCHEMA)
+        bootstrap_seed(
+            t, spark.createDataFrame(gen_seed_pandas(n_convs=6, seed=2), TRANSCRIPT_SCHEMA)
+        )
+        with _pt.raises(ValueError, match="hardlink"):
+            t.clone_to("mock://clone1", mode="hardlink")
+        c = t.clone_to("mock://clone1", mode="copy")
+        got = sorted(map(tuple, c.read().select("conv_id", "turn_idx", "text").collect()))
+        want = sorted(map(tuple, t.read().select("conv_id", "turn_idx", "text").collect()))
+        assert got == want
+    finally:
+        fsio._REGISTERED.pop("mock", None)
+        fsio._CONDITIONAL_PUT.pop("mock", None)
