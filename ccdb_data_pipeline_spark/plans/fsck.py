@@ -32,7 +32,8 @@ from __future__ import annotations
 import json
 import os
 
-from .lake import SnapshotParquetTable
+from . import fsio
+from .lake import SnapshotParquetTable, _dv_key
 from .lineage import lineage_rows
 
 
@@ -48,20 +49,20 @@ def fsck(table: SnapshotParquetTable, verify_footers: bool = True) -> dict:
     refs.update({f"branch:{n}": ver for n, ver in table.branches().items()})
     refs.update({f"tag:{n}": ver for n, ver in table.tags().items()})
     for name, ver in refs.items():
-        if not os.path.exists(table._manifest_path(ver)):
+        if not fsio.exists(table._manifest_path(ver)):
             bad("dangling_ref", ref=name, version=ver)
 
     # 2+3. every retained manifest's files exist, schema eras resolve
     mdir = os.path.join(root, "manifests")
     manifests: list[dict] = []
     seen_paths: set[str] = set()
+    seen_dv: set[str] = set()
     n_files = 0
-    for fn in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+    for fn in fsio.listdir(mdir):
         if not (fn.startswith("m-") and fn.endswith(".json")):
             continue
         try:
-            with open(os.path.join(mdir, fn)) as f:
-                m = json.load(f)
+            m = json.loads(fsio.read_text(os.path.join(mdir, fn)))
         except (OSError, json.JSONDecodeError) as ex:
             bad("unreadable_manifest", manifest=fn, error=str(ex))
             continue
@@ -71,17 +72,26 @@ def fsck(table: SnapshotParquetTable, verify_footers: bool = True) -> dict:
                 if e["path"] not in seen_paths:
                     seen_paths.add(e["path"])
                     n_files += 1
-                    if not os.path.exists(os.path.join(root, e["path"])):
+                    if not fsio.exists(fsio.join(root, e["path"])):
                         bad("missing_file", version=m["version"],
                             bucket=int(b), path=e["path"])
                 if str(e["schema_id"]) not in m.get("schemas", {}):
                     bad("unknown_schema_era", version=m["version"],
                         path=e["path"], schema_id=e["schema_id"])
+                # deletion-vector sidecars are part of the file's readable
+                # state: a missing sidecar dir crashes reads (or, repaired
+                # naively, resurrects deleted rows)
+                dvp = e.get("dv", {}).get("path")
+                if dvp and dvp not in seen_dv:
+                    seen_dv.add(dvp)
+                    if not fsio.isdir(fsio.join(root, dvp)):
+                        bad("missing_dv_sidecar", version=m["version"],
+                            path=e["path"], dv=dvp)
 
     # 4. footer agreement on the manifests refs actually serve
     if verify_footers:
         head_versions = {ver for ver in refs.values()
-                         if os.path.exists(table._manifest_path(ver))}
+                         if fsio.exists(table._manifest_path(ver))}
         checked: set[str] = set()
         for ver in sorted(head_versions):
             m = table.manifest(ver)
@@ -89,7 +99,7 @@ def fsck(table: SnapshotParquetTable, verify_footers: bool = True) -> dict:
                 e for fs in m["buckets"].values() for e in fs
                 if e["path"] not in checked
                 and e.get("n_rows") is not None
-                and os.path.exists(os.path.join(root, e["path"]))
+                and fsio.exists(fsio.join(root, e["path"]))
             ]
             checked.update(e["path"] for e in entries)
             pairs = [(i, os.path.join(root, e["path"]))
@@ -104,6 +114,41 @@ def fsck(table: SnapshotParquetTable, verify_footers: bool = True) -> dict:
                     bad("lsn_range_drift", version=ver, path=e["path"],
                         manifest=(e["lsn_min"], e["lsn_max"]),
                         footer=(lo, hi))
+
+    # 4b. DV count agreement on the manifests refs actually serve: the
+    # sidecar's per-file position counts must match each entry's recorded
+    # n_deleted (a truncated/wrong-file sidecar silently under- or
+    # over-deletes). Sidecars are tiny (16 bytes/position).
+    if verify_footers:
+        import pyarrow.parquet as _pq
+
+        head_versions = {ver for ver in refs.values()
+                         if fsio.exists(table._manifest_path(ver))}
+        dv_counts_cache: dict[str, dict] = {}
+        for ver in sorted(head_versions):
+            m = table.manifest(ver)
+            for fs in m["buckets"].values():
+                for e in fs:
+                    dv = e.get("dv")
+                    if not dv:
+                        continue
+                    dvp = dv["path"]
+                    if dvp not in dv_counts_cache:
+                        counts: dict[str, int] = {}
+                        dv_dir = fsio.join(root, dvp)
+                        if fsio.isdir(dv_dir):
+                            for full, _sz in fsio.walk_files(dv_dir):
+                                if not full.endswith(".parquet"):
+                                    continue
+                                with fsio.open_input(full) as f:
+                                    t = _pq.read_table(f, columns=["path"])
+                                for k in t.column("path").to_pylist():
+                                    counts[k] = counts.get(k, 0) + 1
+                        dv_counts_cache[dvp] = counts
+                    got = dv_counts_cache[dvp].get(_dv_key(e["path"]), 0)
+                    if got != dv["n_deleted"]:
+                        bad("dv_count_drift", version=ver, path=e["path"],
+                            manifest_deleted=dv["n_deleted"], sidecar_rows=got)
 
     # 5. ledger sanity (duplicate batch ids only: the ledger's LSN ranges
     # count SOURCE events, which legitimately exceed what the files show —

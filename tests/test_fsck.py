@@ -98,3 +98,46 @@ def test_dangling_ref_detected(spark, tmp_path):
         x["kind"] == "dangling_ref" and x["ref"] == "tag:ghost"
         for x in rep["violations"]
     )
+
+
+def test_fsck_catches_dv_sidecar_damage(spark, tmp_path):
+    """Round 4: fsck audits deletion-vector sidecars — a missing sidecar
+    dir and a count-drifted sidecar are both violations (either crashes
+    reads or resurrects deleted rows)."""
+    import shutil as _sh
+
+    from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+    from ccdb_data_pipeline_spark.plans.fsck import fsck
+    from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "dvf"), TableSpec(num_buckets=2, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(
+        t, spark.createDataFrame(gen_seed_pandas(n_convs=10, seed=6), TRANSCRIPT_SCHEMA)
+    )
+    t.compact(only_dirty=False)
+    rep = t.delete_where_dv("turn_idx % 2 = 0")
+    assert rep["n_dv_positions"] > 0
+    assert fsck(t)["ok"]
+
+    # drift: tamper the manifest's recorded n_deleted
+    import json as _json
+    mpath = t._manifest_path(t.current_version())
+    m = _json.loads(open(mpath).read())
+    for fs in m["buckets"].values():
+        for e in fs:
+            if e.get("dv"):
+                e["dv"]["n_deleted"] += 1
+    open(mpath, "w").write(_json.dumps(m))
+    t._manifest = None
+    rep1 = fsck(t)
+    assert not rep1["ok"]
+    assert any(v["kind"] == "dv_count_drift" for v in rep1["violations"])
+
+    # damage: remove the sidecar dir entirely
+    import os as _os
+    _sh.rmtree(_os.path.join(t.root, "dv"))
+    rep2 = fsck(t)
+    assert any(v["kind"] == "missing_dv_sidecar" for v in rep2["violations"])
