@@ -1850,6 +1850,10 @@ class SnapshotParquetTable:
                 "n_new_positions": report["n_dv_positions"],
                 "n_files": len(counts),
                 "n_files_dropped": report["n_files_dropped"],
+                # whole-file drops REMOVE n_rows from the manifest floor
+                # (positions do not — n_rows is physical); the WAP publish
+                # audit credits this so a DV-deleting branch can publish
+                "n_rows_dropped": report["n_rows_dropped"],
             }
             m["committed_at"] = time.time()
             self._commit(m, expected_ref=m0["version"])
@@ -3510,6 +3514,10 @@ class SnapshotParquetTable:
                 # contract (test_compaction_preserves_state)
                 return
             n_delete += int(m.get("summary", {}).get("n_delete", 0) or 0)
+            # DV metadata-only whole-file drops remove n_rows from the
+            # physical floor without an "n_delete" merge stat — credit them
+            # or a legitimately DV-deleting branch false-positives the audit
+            n_delete += int(m.get("summary", {}).get("n_rows_dropped", 0) or 0)
             sid = m["parent_snapshot_id"]
         rows_branch = self._live_row_floor(branch_m)
         rows_main = self._live_row_floor(main_m)

@@ -150,3 +150,31 @@ def test_publish_after_main_noop_and_row_floor_passes(
     v = t.publish_branch("deletes")
     assert t.current_version() == v
     assert_tables_equal(table_to_pandas(t.read()), replay(seed_pdf, [changes_pdf]))
+
+
+def test_publish_after_branch_dv_whole_file_drop(spark, tmp_path):
+    """A branch that runs a METADATA-ONLY DV whole-file delete must still
+    publish: the dropped files' rows are credited against the row floor
+    (round 4 — the audit previously false-positived because dv_delete has
+    no 'n_delete' merge stat)."""
+    from ccdb_data_pipeline_spark.plans.apply import bootstrap_seed
+    from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "wapdv"),
+        TableSpec(num_buckets=2, merge_mode="mor", stats_cols=("role",)),
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    import pandas as pd
+
+    seed = gen_seed_pandas(n_convs=12, seed=8)
+    seed["role"] = "user"  # homogeneous: files provably all-match
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    t.compact(only_dirty=False, sort_within_bucket=True)
+
+    br = t.create_branch("dvwork")
+    rep = br.delete_where_dv([("role", "=", "user")], ts=__import__("datetime").datetime(2030, 1, 1))
+    assert rep["n_files_dropped"] > 0 and rep["n_rows_dropped"] > 0
+    published = t.publish_branch("dvwork")
+    assert t.current_version() == published
+    assert t.refresh().read().count() == 0
