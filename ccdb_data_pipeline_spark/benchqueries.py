@@ -7097,6 +7097,98 @@ def cdc_seqgroup_apply(spark, sf_dir):
     ).orderBy("user_id", "event_type")
 
 
+_FACADE_PATCH_CACHE: dict[str, str] = {}
+
+
+@q(
+    "facade_patch_read",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_type, event_id AS lsn,
+        CASE WHEN event_id % 11 = 0 THEN 'D' WHEN event_id % 3 = 0 THEN 'P' ELSE 'U' END AS op,
+        CASE WHEN event_id % 11 <> 0 AND (event_id % 3 <> 0 OR event_id % 2 = 0) THEN CAST(event_id % 97 AS BIGINT) END AS seq,
+        CASE WHEN event_id % 11 <> 0 AND (event_id % 3 <> 0 OR event_id % 2 = 0) THEN value END AS value,
+        CASE WHEN event_id % 11 <> 0 AND (event_id % 3 <> 0 OR event_id % 2 = 1) THEN props END AS props
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, event_type,
+        arg_max(op, lsn) FILTER (WHERE op <> 'P') AS last_full_op,
+        arg_max(props, lsn) FILTER (WHERE op <> 'P' OR props IS NOT NULL) AS props,
+        arg_max(seq,   coalesce(seq,-1)*10000000000 + lsn) FILTER (WHERE op <> 'P' OR seq IS NOT NULL) AS seq,
+        arg_max(value, coalesce(seq,-1)*10000000000 + lsn) FILTER (WHERE op <> 'P' OR seq IS NOT NULL) AS value
+      FROM tagged GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_c, props,
+           CAST(seq AS BIGINT) AS seq
+    FROM agg WHERE last_full_op IS NOT NULL AND last_full_op <> 'D'
+    ORDER BY user_id, event_type
+    """,
+)
+def facade_patch_read(spark, sf_dir):
+    """The facade's PARTIAL-UPDATE read resolve, driver-green (round 4:
+    the facade serves every merge engine): the cdc_seqgroup_apply event
+    tagging applied into a REAL patch-engine lake table (seq-group
+    ``seq -> value``, one merge_events batch, null event times so
+    dominance is pure LSN order), then read back through plain
+    ``spark.read.format("transcript_lake")`` — the layered
+    ``_fold_patches_arrow`` resolve with seq groups from the manifest
+    engine params. The DuckDB oracle replays the documented argmax
+    semantics directly from the raw events."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.datasource import register
+    from .plans.lake import SnapshotParquetTable
+
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=8,
+        merge_mode="mor",
+        partial_updates=True,
+        sequence_groups={"seq": ("value",)},
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    root = _FACADE_PATCH_CACHE.get(str(sf_dir))
+    if root is None or not os.path.exists(os.path.join(root, "HEAD")):
+        ev = _t(spark, sf_dir, "events")
+        eid = F.col("event_id")
+        is_del = eid % 11 == 0
+        is_patch = (~is_del) & (eid % 3 == 0)
+        is_full = (~is_del) & (eid % 3 != 0)
+        carries_group = is_full | (is_patch & (eid % 2 == 0))
+        tagged = ev.select(
+            "user_id",
+            "event_type",
+            F.when(carries_group, F.col("value")).alias("value"),
+            F.when(is_full | (is_patch & (eid % 2 == 1)), F.col("props")).alias("props"),
+            F.when(carries_group, eid % 97).cast("long").alias("seq"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            eid.alias("lsn"),
+            F.when(is_del, "D").when(is_patch, "P").otherwise("U").alias("op"),
+        )
+        root = os.path.join(tempfile.gettempdir(), f"cdc-fpatch-{uuid.uuid4().hex}")
+        t = SnapshotParquetTable(spark, root, spec)
+        t.create(tagged.drop("lsn", "op").schema)
+        t.merge_events(tagged, batch_id=0)
+        _FACADE_PATCH_CACHE[str(sf_dir)] = root
+    register(spark)
+    out = spark.read.format("transcript_lake").load(root)
+    return out.select(
+        "user_id",
+        "event_type",
+        _cents(F.col("value")).alias("value_c"),
+        "props",
+        F.col("seq").cast("long").alias("seq"),
+    ).orderBy("user_id", "event_type")
+
+
 @q(
     "regression_value_by_hour",
     """
