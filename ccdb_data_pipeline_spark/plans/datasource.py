@@ -409,7 +409,7 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .lake import _fold_lww_arrow, _fold_patches_arrow, _merge_agg_arrow
+    from .lake import _fold_lww_arrow, _merge_agg_arrow, _resolve_patches_arrow
 
     is_patch = bool(meta.engine.get("partial_updates"))
     is_agg = bool(meta.engine.get("agg_spec"))
@@ -483,15 +483,15 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
         if meta.engine.get("first_row"):
             out = _fold_first_read_arrow(out, meta.key_cols, [TS_APPLIED, LSN_APPLIED])
         elif is_patch:
-            # the within-batch patch fold is CLOSED under composition
-            # (batch-boundary invariance, pytest-pinned), so folding the
-            # concatenated layers IS the cross-layer per-column resolve;
-            # seq groups come from the manifest engine params
+            # one-shot whole-set materializer: every layer of the bucket is
+            # present in `out`, so per-column provenance cannot be lost —
+            # the composition caveat that split resolve from fold (round 4)
+            # does not apply here; seq groups come from the manifest params
             seq_groups = {
                 s: tuple(m) for s, m in (meta.engine.get("seq_groups") or {}).items()
                 if s in set(user_cols)
             } or None
-            out = _fold_patches_arrow(
+            out = _resolve_patches_arrow(
                 out, list(meta.key_cols), payload_cols,
                 [TS_APPLIED, LSN_APPLIED], seq_groups,
             )
@@ -635,11 +635,16 @@ class LakeReader(DataSourceReader):
 
     def partitions(self):
         parts = []
+        is_patch = bool(self.meta.engine.get("partial_updates"))
         for b, files in self.meta.buckets.items():
             bi = int(b)
             if self._key_buckets is not None and bi not in self._key_buckets:
                 continue
-            has_delta = any(e.get("delta") for e in files)
+            has_delta = any(e.get("delta") for e in files) or (
+                # patch tables: compacted base files keep the survivor set;
+                # any file that may hold patch rows needs the resolve
+                is_patch and any(not e.get("all_live") for e in files)
+            )
             if self.read_optimized:
                 keep = [e for e in files if not e.get("delta") and self._overlaps(e)]
                 has_delta = False
@@ -1262,11 +1267,18 @@ def _read_change_file(meta: _TableMeta, partition: _ChangeFilePartition):
         # typed patch rows: a column-partial event is NOT a full image —
         # untyped it would replicate as an upsert whose nulls overwrite
         # (the wire consumer maps patch -> op 'P', and the facade sink's
-        # patch projection keeps the partial semantics end-to-end)
+        # patch projection keeps the partial semantics end-to-end).
+        # (patch AND deleted) is a GROUP CARRIER — a re-flagged original
+        # full image the survivor fold kept for its group write; replaying
+        # it as a plain upsert with its original (ts, lsn) is exactly the
+        # original event (argmax-idempotent).
+        p = pc.fill_null(tbl.column(PATCH), False)
         ct = pc.if_else(
-            pc.and_(pc.fill_null(tbl.column(PATCH), False), pc.invert(deleted)),
+            pc.and_(p, pc.invert(deleted)),
             pa.scalar("patch"),
-            ct,
+            pc.if_else(
+                pc.and_(p, deleted), pa.scalar("upsert"), ct
+            ),
         )
     user_cols = [f.name for f in meta.user_schema().fields]
     out = tbl.select(user_cols + [TS_APPLIED, LSN_APPLIED])

@@ -71,75 +71,124 @@ class MergeStats:
     expectations: dict | None = None
 
 
+def _patch_survivor_mask(kid, rank, grank_list, patch, deleted):
+    """Shared numpy core of the SURVIVOR-SET patch fold (see
+    _fold_patches_pandas): boolean keep-mask over the rows.
+
+    ``kid``: dense per-row key ids; ``rank``: row rank under the global
+    (ts, lsn) order; ``grank_list``: [(writer_mask, grank)] per sequence
+    group, grank ranking (coalesce(seq, MIN), lsn); ``patch``/``deleted``:
+    row flags. Keeps: the key's LAST full image (existence + its columns,
+    at its ORIGINAL version), every sequence-group winner, and every patch
+    not provably dead — i.e. patches above the image's (ts, lsn), all
+    patches of image-less (orphan) keys, and all patches of tombstoned
+    keys (recomposition with a later insert, the round-3 R3-10 contract).
+    Dropping is safe exactly when dominated: the per-column/per-group
+    argmax is monotone under adding events, so an event beaten by a kept
+    in-batch writer for everything it writes can never win in any
+    superset of the event stream.
+
+    Returns ``(keep, promote)``: ``promote`` marks kept NON-last-image
+    full rows (old images surviving only as group winners) that must be
+    re-flagged ``_patch`` — they are hidden carrier rows, preserving the
+    invariant that a file has at most ONE visible (non-patch) row per
+    key, which the plain-scan path, ``count_fast`` and the ``all_live``
+    routing all rely on. Sound because a non-last image can never win an
+    ungrouped column (the last image writes every column at a higher
+    (ts, lsn)), so losing its image-writer status changes no outcome."""
+    import numpy as np
+
+    n = kid.size
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep, keep.copy()
+    nk = int(kid.max()) + 1
+    inv = np.empty(n, dtype=np.int64)
+    inv[rank] = np.arange(n, dtype=np.int64)  # rank -> row index
+    img_rank = np.full(nk, -1, dtype=np.int64)
+    base_rows = np.flatnonzero(~patch)
+    np.maximum.at(img_rank, kid[base_rows], rank[base_rows])
+    has_img = img_rank >= 0
+    img_row = np.where(has_img, inv[np.maximum(img_rank, 0)], -1)
+    is_last_img = np.zeros(n, dtype=bool)
+    is_last_img[img_row[has_img]] = True
+    keep[img_row[has_img]] = True
+    img_dead = np.zeros(nk, dtype=bool)
+    img_dead[has_img] = deleted[img_row[has_img]]
+    p_rows = np.flatnonzero(patch)
+    if p_rows.size:
+        k = kid[p_rows]
+        alive_cond = (~has_img[k]) | (rank[p_rows] > img_rank[k]) | img_dead[k]
+        keep[p_rows[alive_cond]] = True
+    for writers, grank in grank_list:
+        gmax = np.full(nk, -1, dtype=np.int64)
+        w_rows = np.flatnonzero(writers)
+        if not w_rows.size:
+            continue
+        np.maximum.at(gmax, kid[w_rows], grank[w_rows])
+        win = w_rows[grank[w_rows] == gmax[kid[w_rows]]]
+        keep[win] = True
+    promote = keep & (~patch) & (~is_last_img)
+    return keep, promote
+
+
 def _fold_patches_pandas(pdf, keys: list[str], payload_cols: list[str],
                          sort_cols: list[str], seq_groups: dict | None = None):
-    """Within-batch collapse for a partial-update table (one Arrow batch =
-    one bucket partition): per key, the latest full image overlaid with every
-    later patch column — ONE output row per key, a full image whenever the
-    batch contains one (its version is the key's max event version, so it
-    dominates all earlier delta rows for every column), else a folded patch
-    row (per-column latest non-NULL) that overlays at read time.
+    """SURVIVOR-SET compression for a partial-update batch (one Arrow batch
+    = one bucket partition) — round 4 replaced the old single-row overlay
+    fold, which was WRONG under out-of-order event times across fold
+    boundaries: collapsing a key to one row stamps every column with the
+    row's max (ts, lsn) even when a column's true writer was older, so a
+    cross-layer resolve misorders that column against writers from other
+    batches (found by the seqgroup hypothesis search, like R3-10).
 
-    Sequence-group columns (operators/patch.py seq_group_aggs semantics)
-    fold by their OWN (seq, lsn) order instead, atomically per group: the
-    in-batch group winner's seq + member values are carried together, so the
-    folded row composes exactly like the raw events under the read-side
-    argmax (batch-boundary invariance, pytest-pinned).
+    Instead the fold keeps a SUBSET of the original event rows, verbatim —
+    per-column provenance intact, so composition under the read-side
+    argmax (plans/lake._resolve_versions, operators/patch.py) is exact by
+    construction: (1) the key's last full image by (ts, lsn) — existence +
+    all its columns; (2) each sequence group's winner by (coalesce(seq,
+    MIN), lsn); (3) every patch above the image (or all patches when the
+    key has no image / a tombstoned image — the orphan and R3-10
+    recomposition carries). Everything else is DOMINATED: beaten by a
+    kept in-batch writer for every column/group it writes, and argmax is
+    monotone under adding events, so it can never win in any extension of
+    the stream. Compression: the common CDC shape (full images, few
+    trailing patches) still folds to ~1 row per key; patch-heavy orphan
+    keys stay raw — correctness over compression."""
+    import numpy as np
 
-    Vectorized per column: a boolean writer mask + drop_duplicates(last) —
-    no per-row python."""
-    pdf = pdf.sort_values(sort_cols, kind="stable")
-    last_all = pdf.drop_duplicates(keys, keep="last").set_index(keys)
-    base = pdf[~pdf[PATCH]].drop_duplicates(keys, keep="last").set_index(keys)
-    out = last_all.copy()
-    deleted = base[DELETED].reindex(out.index)
-    out[PATCH] = deleted.isna().to_numpy()  # no full image in batch -> patch row
-    out[DELETED] = deleted.fillna(False).astype(bool).to_numpy()
-    grouped: set[str] = set()
-    if seq_groups:
-        for s, members in seq_groups.items():
-            grouped.update((s, *members))
-    for c in payload_cols:
-        if c in grouped:
-            continue
-        writers = (~pdf[PATCH]) | pdf[c].notna()
-        lw = pdf.loc[writers].drop_duplicates(keys, keep="last").set_index(keys)[c]
-        out[c] = lw.reindex(out.index)
-    if seq_groups:
-        for s, members in seq_groups.items():
-            writers = (~pdf[PATCH]) | pdf[s].notna()
-            gw = pdf.loc[writers].copy()
-            # null seq ranks below every real seq (same coalesce the
-            # read-side resolve applies); ties fall back to arrival order
-            gw["_sfill"] = gw[s].astype("Int64").fillna(-(2**63))
-            gw = gw.sort_values(["_sfill", LSN_APPLIED], kind="stable")
-            lw = gw.drop_duplicates(keys, keep="last").set_index(keys)
-            for c in (s, *members):
-                out[c] = lw[c].reindex(out.index)
-    extra = None
-    if out[DELETED].any() and pdf[PATCH].any():
-        # a key whose batch outcome is a TOMBSTONE may still carry patch
-        # contributions (patch -> delete -> later-batch insert): the
-        # documented argmax semantics make group/column state a function of
-        # the whole event set, so a later insert must recompose with these
-        # patches. Emit them as an ADDITIONAL folded patch row alongside
-        # the tombstone (the recursive call sees a patch-only frame, which
-        # is exactly the orphan-patch fold). Found by the hypothesis
-        # property search (test_property_seqgroups), present since round 2.
-        dead = out.index[out[DELETED]]
-        pidx = pdf.set_index(keys).index
-        sel = pdf[PATCH].to_numpy() & pidx.isin(dead)
-        if sel.any():
-            extra = _fold_patches_pandas(
-                pdf[sel], keys, payload_cols, sort_cols, seq_groups
-            )
-    if out[DELETED].any():
-        out.loc[out[DELETED], payload_cols] = None
-    out = out.reset_index()
-    if extra is not None:
-        import pandas as _pd
+    n = len(pdf)
+    if n == 0:
+        return pdf
+    import pandas as _pd
 
-        out = _pd.concat([out, extra], ignore_index=True)
+    kid = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+    # asi8 handles naive AND tz-aware timestamps (TS_APPLIED is coalesced
+    # non-null upstream, so no NaT ambiguity)
+    ts = _pd.DatetimeIndex(pdf[sort_cols[0]]).asi8
+    lsn = pdf[sort_cols[1]].to_numpy(dtype=np.int64)
+    order = np.lexsort((lsn, ts))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    patch = pdf[PATCH].to_numpy().astype(bool)
+    deleted = pdf[DELETED].to_numpy().astype(bool)
+    eff_patch = patch & ~deleted  # carriers (patch & deleted) are writers
+    grank_list = []
+    for s, _members in (seq_groups or {}).items():
+        s_valid = pdf[s].notna().to_numpy()
+        s_fill = pdf[s].astype("Int64").fillna(-(2 ** 63)).to_numpy(dtype=np.int64)
+        gorder = np.lexsort((lsn, s_fill))
+        grank = np.empty(n, dtype=np.int64)
+        grank[gorder] = np.arange(n, dtype=np.int64)
+        grank_list.append(((~eff_patch) | s_valid, grank))
+    keep, promote = _patch_survivor_mask(kid, rank, grank_list, patch, deleted)
+    out = pdf[keep].copy()
+    if promote.any():
+        # GROUP-CARRIER flag (round 4): (_patch AND _deleted) — hidden from
+        # every visibility path, full writer under the effective-patch
+        # resolve predicates (see _resolve_versions)
+        out.loc[promote[keep], PATCH] = True
+        out.loc[promote[keep], DELETED] = True
     return out
 
 
@@ -233,12 +282,73 @@ def _fold_lww_arrow(tbl, keys: list[str], sort_cols: list[str]):
 
 def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
                         sort_cols: list[str], seq_groups: dict | None = None):
-    """Zero-pandas within-batch collapse for a partial-update table — the
-    Arrow twin of ``_fold_patches_pandas`` (byte-parity pytest-pinned in
-    test_arrow_fold.py). Per key, one output row: existence/tombstone from
-    the last full image, each payload column from its last writer (full
-    images write every column, patches their non-NULL columns), sequence
-    groups atomically from their own (seq, lsn) argmax.
+    """Arrow twin of the SURVIVOR-SET patch fold (see
+    ``_fold_patches_pandas`` for the semantics and the round-4 provenance
+    rationale): keeps a subset of the original event rows verbatim — the
+    last full image, each sequence group's winner, and every
+    non-dominated patch — via one boolean mask over numpy rank arrays;
+    a single ``tbl.filter`` gathers the survivors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    parts = [pc.cast(tbl.column(k), pa.string()).combine_chunks() for k in keys]
+    comb = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    kid = pc.dictionary_encode(comb).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = pc.cast(tbl.column(sort_cols[0]), pa.int64()).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    lsn = tbl.column(sort_cols[1]).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((lsn, ts))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    patch = pc.fill_null(tbl.column(PATCH), False).combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    deleted = pc.fill_null(tbl.column(DELETED), False).combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+    eff_patch = patch & ~deleted  # carriers (patch & deleted) are writers
+    grank_list = []
+    for s, _members in (seq_groups or {}).items():
+        s_col = tbl.column(s).combine_chunks()
+        s_valid = pc.is_valid(s_col).to_numpy(zero_copy_only=False)
+        s_fill = pc.fill_null(pc.cast(s_col, pa.int64()), -(2 ** 63)).to_numpy(
+            zero_copy_only=False
+        )
+        gorder = np.lexsort((lsn, s_fill))
+        grank = np.empty(n, dtype=np.int64)
+        grank[gorder] = np.arange(n, dtype=np.int64)
+        grank_list.append(((~eff_patch) | s_valid, grank))
+    keep, promote = _patch_survivor_mask(kid, rank, grank_list, patch, deleted)
+    if promote.any():
+        # GROUP-CARRIER flag (round 4): (_patch AND _deleted)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(PATCH), PATCH,
+            pa.array((patch | promote), type=pa.bool_()),
+        )
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(DELETED), DELETED,
+            pa.array((deleted | promote), type=pa.bool_()),
+        )
+    return tbl.filter(pa.array(keep))
+
+
+def _resolve_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
+                           sort_cols: list[str], seq_groups: dict | None = None):
+    """ONE-SHOT whole-set patch resolve on a pyarrow Table — the facade
+    read's materializer over a key's CONCATENATED layers (exact there:
+    with every event present, per-column provenance cannot be lost). Per
+    key, one output row: existence/tombstone from the last full image,
+    each payload column from its last writer (full images write every
+    column, patches their non-NULL columns), sequence groups atomically
+    from their own (seq, lsn) argmax. NOT a layer fold — round 4 split
+    this from ``_fold_patches_arrow`` (survivor compression) because the
+    collapsed row stamps every column with the row's max version, which
+    only composes when nothing else will ever be compared against it.
 
     All selection runs on int64 rank arrays (numpy); each payload column's
     (large) values are gathered ONCE, for winner rows only — the same
@@ -278,6 +388,10 @@ def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
 
     patch = np_bool(PATCH)
     deleted = np_bool(DELETED)
+    # GROUP CARRIERS (round 4: patch & deleted — old images the survivor
+    # fold kept for their group writes) are FULL writers for the resolve
+    # but never existence candidates or visible rows
+    eff_patch = patch & ~deleted
     w_all = last_rows(np.ones(n, dtype=bool), ranks)
     w_base = last_rows(~patch, ranks)
     has_base = w_base >= 0
@@ -301,7 +415,7 @@ def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
             order_g = np.lexsort((lsn, s_fill))  # primary s, tie-break lsn
             ranks_g = np.empty(n, dtype=np.int64)
             ranks_g[order_g] = np.arange(n, dtype=np.int64)
-            w_g = last_rows((~patch) | s_valid, ranks_g)
+            w_g = last_rows((~eff_patch) | s_valid, ranks_g)
             for c in (s, *members):
                 grouped[c] = w_g
 
@@ -317,20 +431,20 @@ def _fold_patches_arrow(tbl, keys: list[str], payload_cols: list[str],
             valid = pc.is_valid(tbl.column(c).combine_chunks()).to_numpy(
                 zero_copy_only=False
             )
-            arrays.append(gather(c, last_rows((~patch) | valid, ranks),
+            arrays.append(gather(c, last_rows((~eff_patch) | valid, ranks),
                                  null_on_delete=True))
         else:
             # keys, dominance pair, bucket, op rider: from the last event
             arrays.append(gather(c, w_all))
     res = pa.Table.from_arrays(arrays, names=names)
-    # tombstoned keys' patch rows fold into an EXTRA orphan patch row so a
-    # later-batch insert recomposes (see _fold_patches_pandas; the
-    # recursive call sees a patch-only subset = the orphan fold)
+    # tombstoned keys' patch rows resolve into an EXTRA orphan patch row
+    # (hidden by the ~_patch read filter) so a later-batch insert
+    # recomposes; the recursive call sees a patch-only subset
     dead_rows = patch & out_deleted[kid] if n else patch
     if dead_rows.any():
         sub = tbl.filter(pa.array(dead_rows))
         res = pa.concat_tables(
-            [res, _fold_patches_arrow(sub, keys, payload_cols, sort_cols, seq_groups)]
+            [res, _resolve_patches_arrow(sub, keys, payload_cols, sort_cols, seq_groups)]
         )
     return res
 
@@ -1589,8 +1703,15 @@ class SnapshotParquetTable:
                     e for e in files if not e.get("delta") and _ts_overlaps(e)
                 )
                 continue
-            if any(e.get("delta") for e in files):
-                # all-or-nothing: resolving winners needs every layer
+            if any(e.get("delta") for e in files) or (
+                self.spec.partial_updates
+                and any(not e.get("all_live") for e in files)
+            ):
+                # all-or-nothing: resolving winners needs every layer.
+                # Patch tables additionally resolve any bucket whose BASE
+                # files may still hold patch rows (all_live is False when a
+                # file carries patches or tombstones — round 4: compaction
+                # keeps the survivor set, so overlays materialize at read)
                 if any(_ts_overlaps(e) for e in files):
                     dirty.extend(files)
             else:
@@ -1937,6 +2058,53 @@ class SnapshotParquetTable:
         )
         return out.select(*columns)
 
+    def _patch_survivors_df(self, df: DataFrame) -> DataFrame:
+        """DataFrame form of the survivor-set patch fold (see
+        _fold_patches_pandas): keep the key's last full image, each
+        sequence group's winner, and every non-dominated patch — original
+        rows, original versions. One hash exchange on the key (window
+        aggregates, no ordering), acceptable for a maintenance job."""
+        from pyspark.sql import Window
+
+        keys = list(self.spec.key_cols)
+        w = Window.partitionBy(*keys)
+        ord_ = F.struct(F.col(TS_APPLIED), F.col(LSN_APPLIED))
+        img_ord = F.max(F.when(~F.col(PATCH), ord_)).over(w)
+        is_img = (~F.col(PATCH)) & ord_.eqNullSafe(img_ord)
+        img_dead = F.max(F.when(is_img, F.col(DELETED))).over(w)
+        keep = is_img | (
+            F.col(PATCH)
+            & (
+                img_ord.isNull()
+                | (ord_ > img_ord)
+                | F.coalesce(img_dead, F.lit(False))
+            )
+        )
+        eff_patch = F.col(PATCH) & ~F.col(DELETED)
+        for s, _members in (self.spec.sequence_groups or {}).items():
+            writer = (~eff_patch) | F.col(s).isNotNull()
+            gord = F.struct(
+                F.coalesce(F.col(s).cast("long"), F.lit(-(2 ** 63))),
+                F.col(LSN_APPLIED),
+            )
+            gmax = F.max(F.when(writer, gord)).over(w)
+            keep = keep | (writer & gord.eqNullSafe(gmax))
+        # non-last-image survivors (old images kept only as group winners)
+        # become GROUP CARRIERS — (_patch AND _deleted), hidden from every
+        # visibility path, full writers under the effective-patch resolve
+        # predicates — so a file keeps at most one VISIBLE row per key
+        # (see _patch_survivor_mask)
+        promote = keep & (~F.col(PATCH)) & (~is_img)
+        # window expressions may not appear in WHERE: materialize the mask
+        return (
+            df.withColumn("_keep", keep)
+            .withColumn("_promote", promote)
+            .withColumn(PATCH, F.col(PATCH) | F.col("_promote"))
+            .withColumn(DELETED, F.col(DELETED) | F.col("_promote"))
+            .filter(F.col("_keep"))
+            .drop("_keep", "_promote")
+        )
+
     def _resolve_versions(self, df: DataFrame) -> DataFrame:
         """Collapse multi-version rows (base + delta layers) to the LWW winner
         per key: greatest ``(_ts_applied, _lsn_applied)`` — the read-side twin
@@ -1970,13 +2138,19 @@ class SnapshotParquetTable:
                     f"FILTER (WHERE NOT {PATCH}), true)"
                 ).alias(DELETED),
             ]
+            # GROUP-CARRIER rows (round 4): (_patch AND _deleted) marks an
+            # old full image the survivor fold kept only for its sequence-
+            # group write — hidden from every visibility path, but a FULL
+            # writer for the resolve (its original semantics). The
+            # effective-patch predicate reads real patches only.
+            eff_patch = f"({PATCH} AND NOT {DELETED})"
             for c in payload:
                 if c in grouped:
                     continue
                 aggs.append(
                     F.expr(
                         f"max_by(`{c}`, {ord_sql}) "
-                        f"FILTER (WHERE NOT {PATCH} OR `{c}` IS NOT NULL)"
+                        f"FILTER (WHERE NOT {eff_patch} OR `{c}` IS NOT NULL)"
                     ).alias(c)
                 )
             if seqg:
@@ -1985,7 +2159,7 @@ class SnapshotParquetTable:
                 from ..operators.patch import seq_group_aggs
 
                 aggs.extend(
-                    seq_group_aggs(seqg, LSN_APPLIED, patch_pred=f"`{PATCH}`")
+                    seq_group_aggs(seqg, LSN_APPLIED, patch_pred=eff_patch)
                 )
             out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
             sel = list(keys)
@@ -3668,36 +3842,24 @@ class SnapshotParquetTable:
             return
         version = self._alloc_version()
         m = dict(m0)
-        if any(e.get("delta") for e in entries):
+        if any(e.get("delta") for e in entries) or (
+            self.spec.partial_updates and PATCH in df.columns
+        ):
             # fold merge-on-read layers to one winner per key BEFORE any
             # tombstone filtering (a tombstone must first beat older versions)
             if PATCH in df.columns:
-                # partial-update: a key with ONLY patch rows (out-of-order
-                # patch-before-insert) must NOT materialize — folding it
-                # would either drop the patch data or mint a tombstone
-                # whose dominance pair wrongly outranks the insert still in
-                # flight. Carry the raw patch rows through unchanged (read
-                # paths hide them via the ~_patch filter); the eventual
-                # full image resolves against them with original per-column
-                # (seq, ts, lsn) versions intact.
-                keys = list(self.spec.key_cols)
-                full_keys = df.filter(~F.col(PATCH)).select(*keys).distinct()
-                orphans = df.join(full_keys, keys, "left_anti")
-                resolved = self._resolve_versions(
-                    df.join(full_keys, keys, "left_semi")
-                )
-                # TOMBSTONED keys' patch rows also carry raw: the resolve
-                # nulls a tombstone's payload, but a later insert must
-                # recompose with those patches (same whole-event-set argmax
-                # contract as the patch-before-insert carry above; found by
-                # the seqgroup hypothesis search)
-                dead_keys = resolved.filter(F.col(DELETED)).select(*keys).distinct()
-                dead_patches = (
-                    df.filter(F.col(PATCH))
-                    .join(full_keys, keys, "left_semi")
-                    .join(dead_keys, keys, "left_semi")
-                )
-                df = resolved.unionByName(orphans).unionByName(dead_patches)
+                # partial-update: compacted base files keep the SURVIVOR SET
+                # (last image + group winners + non-dominated patches,
+                # VERBATIM — round 4), never a collapsed row: collapsing
+                # stamps every column with the row's max (ts, lsn), so a
+                # LATE event with a version between a column's true writer
+                # and that max would mis-resolve against the compacted row.
+                # Survivors subsume the old orphan-patch and tombstoned-key
+                # patch carries. Buckets whose files still hold patch rows
+                # stay on the resolve-at-read path (all_live gate) until a
+                # newer image dominates them and a later compaction drops
+                # them — convergent.
+                df = self._patch_survivors_df(df)
             else:
                 df = self._resolve_versions(df)
             if m0.get("write_path", "fused") == "raw":
@@ -3706,7 +3868,11 @@ class SnapshotParquetTable:
 
                 df = normalize_payload(df, self.spec)
         if drop_tombstones:
-            df = df.filter(~F.col(DELETED))
+            dead = F.col(DELETED)
+            if PATCH in df.columns:
+                # (patch & deleted) rows are GROUP CARRIERS, not tombstones
+                dead = dead & ~F.col(PATCH)
+            df = df.filter(~dead)
         df = df.withColumn(BUCKET, self._bucket_expr())
         if zorder_by:
             # multi-dimensional clustering: interleave-bit key over the
@@ -3844,8 +4010,15 @@ class SnapshotParquetTable:
         version = self._alloc_version()
         m = dict(m0)
         if df is not None:
-            if any(e.get("delta") for e in entries):
-                df = self._resolve_versions(df)
+            if any(e.get("delta") for e in entries) or (
+                self.spec.partial_updates and PATCH in df.columns
+            ):
+                # patch tables fold to SURVIVORS, not collapsed rows —
+                # per-column provenance must outlive the rewrite (round 4)
+                if PATCH in df.columns:
+                    df = self._patch_survivors_df(df)
+                else:
+                    df = self._resolve_versions(df)
                 if m0.get("write_path", "fused") == "raw":
                     from ..functions.normalize import normalize_payload
 

@@ -392,3 +392,44 @@ def test_patch_survives_same_batch_delete_then_later_insert(spark, tmp_path):
         t2 = _table(spark, tmp_path, name=f"pd2-{eng}-{compact_mid}", fold_engine=eng)
         t2.merge_events(_batch(spark, batch0), batch_id=0)
         assert ("b", 1) not in _read_state(t2)
+
+
+def test_out_of_order_ts_across_batches_regression(spark, tmp_path):
+    """Round-4 hypothesis find (R3-10's sibling, pre-existing since round
+    2): the old single-row overlay fold stamped every column with the
+    row's max (ts, lsn), so an UNGROUPED column whose true writer was
+    older mis-resolved against writers from other batches when event
+    times arrived out of order across batch boundaries. Shrunk falsifying
+    example: text's whole-set winner is U@lsn3 (ts=5); the second batch's
+    last event is a higher-(ts,lsn) PATCH that does not write text, so
+    the folded row presented I@lsn13's text at the patch's version and
+    wrongly beat U@3. The survivor-set fold keeps original rows, so the
+    read argmax sees true per-column versions — across every batch split
+    and through compaction."""
+    rows = [
+        (2, "U", "a", 1, "assistant", None, "calc", 2, 4),
+        (3, "U", "a", 1, "user", None, None, None, 5),
+        (7, "D", "a", 1, None, None, None, None, 4),
+        (8, "P", "a", 1, None, None, None, 2, 5),
+        (9, "U", "a", 1, None, None, None, None, 4),
+        (13, "I", "a", 1, None, "x", "calc", 1, 4),
+    ]
+    exp = _replay(rows)
+    for cut in (None, 1, 2, 3, 4, 5):
+        t = _table(spark, tmp_path, name=f"oo-{cut}")
+        if cut is None:
+            t.merge_events(_batch(spark, rows), batch_id=0)
+        else:
+            t.merge_events(_batch(spark, rows[:cut]), batch_id=0)
+            t.merge_events(_batch(spark, rows[cut:]), batch_id=1)
+        assert _read_state(t) == exp, ("pre-compact", cut)
+        t.compact(drop_tombstones=False)
+        assert _read_state(t) == exp, ("post-compact", cut)
+        # a LATE patch older than the stored text writer must still lose,
+        # and one newer must win — per-column provenance survives compaction
+        late_lose = [(20, "P", "a", 1, None, "stale", None, None, 4)]
+        late_win = [(21, "P", "a", 1, None, "fresh", None, None, 6)]
+        t.merge_events(_batch(spark, late_lose), batch_id=2)
+        assert _read_state(t)[("a", 1)]["text"] == exp[("a", 1)]["text"], cut
+        t.merge_events(_batch(spark, late_win), batch_id=3)
+        assert _read_state(t)[("a", 1)]["text"] == "fresh", cut
