@@ -28,14 +28,20 @@ Object-store caveats, explicit by design:
   contract (multi-writer object-store deployments without conditional
   put must route commits through a catalog CAS).
 * The SPARK data plane (bootstrap / merge / compaction / DV writes)
-  routes by scheme too: REGISTERED filesystems take a driver-side Arrow
-  writer/reader (``plans.lake._arrow_plane`` — correct and
-  scheme-complete, sized for tests/small stores since the registration
-  is per-process), while Hadoop-conf schemes (s3a:// etc.) keep Spark's
-  fully distributed writers.
+  routes by scheme too. A scheme registered with a picklable
+  ``factory`` is EXECUTOR-SHIPPABLE: the parquet jobs run as
+  ``mapInArrow`` tasks that re-register the filesystem per worker
+  process (:func:`ensure_registered`) and write/read through it —
+  fully distributed, no driver ``toArrow()`` collect on the data
+  path. A scheme registered with only an in-process ``fs`` instance
+  keeps the driver-side Arrow plane (``plans.lake._arrow_write_dir``
+  — correct and scheme-complete, sized for tests/small stores).
+  Hadoop-conf schemes (s3a:// etc.) keep Spark's native writers.
 
 tests/test_fsio_scheme.py runs the metadata plane + the full facade data
-plane on the in-memory ``mock://`` filesystem end-to-end.
+plane on the in-memory ``mock://`` filesystem end-to-end, and the full
+engine lifecycle on a factory-registered scheme with a multi-task write
+guard and ``DataFrame.toArrow`` forbidden for the whole run.
 """
 
 from __future__ import annotations
@@ -46,6 +52,7 @@ from typing import Iterator
 
 _REGISTERED: dict = {}
 _CONDITIONAL_PUT: dict = {}
+_FACTORY: dict = {}
 
 
 class ExclusiveCreateError(FileExistsError):
@@ -61,7 +68,7 @@ class UnsupportedCommitSchemeError(RuntimeError):
     CAS for multi-writer deployments."""
 
 
-def register_filesystem(scheme: str, fs, conditional_put=None) -> None:
+def register_filesystem(scheme: str, fs, conditional_put=None, factory=None) -> None:
     """Register a pyarrow.fs.FileSystem to serve ``scheme://`` paths
     (tests use pyarrow.fs._MockFileSystem; production schemes usually
     resolve via FileSystem.from_uri instead).
@@ -78,12 +85,46 @@ def register_filesystem(scheme: str, fs, conditional_put=None) -> None:
       documented race);
     * ``None`` (default) — the scheme cannot serve commit writes:
       write_exclusive raises :class:`UnsupportedCommitSchemeError` rather
-      than silently weakening the single-commit-per-slot contract."""
+      than silently weakening the single-commit-per-slot contract.
+
+    ``factory`` makes the scheme EXECUTOR-SHIPPABLE: a picklable zero-arg
+    callable that, invoked inside a Spark task's Python worker, returns a
+    FileSystem viewing the SAME backing store (e.g. an S3FileSystem built
+    from credentials captured in the closure, or a SubTreeFileSystem over
+    a shared mount in tests). With a factory, the lake's data plane runs
+    the parquet jobs as distributed ``mapInArrow`` tasks through
+    :func:`shippable` / :func:`ensure_registered`; without one, the
+    driver-side Arrow plane serves the scheme (registration is
+    per-process, so workers could not resolve it)."""
     _REGISTERED[scheme] = fs
     if conditional_put is not None:
         _CONDITIONAL_PUT[scheme] = conditional_put
     else:
         _CONDITIONAL_PUT.pop(scheme, None)
+    if factory is not None:
+        _FACTORY[scheme] = factory
+    else:
+        _FACTORY.pop(scheme, None)
+
+
+def shippable(scheme: str):
+    """An opaque picklable token for re-registering ``scheme`` inside
+    executor worker processes, or None when the scheme has no ``factory``
+    (driver-only registration). Ship the token into the task closure and
+    call :func:`ensure_registered` there before touching fsio paths."""
+    fac = _FACTORY.get(scheme)
+    return (scheme, fac) if fac is not None else None
+
+
+def ensure_registered(token) -> None:
+    """Worker-side: make the token's scheme resolvable in THIS process.
+    Idempotent and memoized — the factory runs once per worker process
+    (Spark reuses Python workers across tasks), so per-task filesystem
+    construction cost amortizes away. Commit-plane conditional-put stays
+    driver-only by design: tasks write data files, never manifests."""
+    scheme, fac = token
+    if scheme not in _REGISTERED:
+        _REGISTERED[scheme] = fac()
 
 
 def resolve(path: str):
