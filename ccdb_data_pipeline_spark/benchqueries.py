@@ -878,6 +878,113 @@ def facade_agg_stream(spark, sf_dir):
     ).orderBy("user_id", "event_type")
 
 
+_FACADE_AGG_FEED_CACHE: dict[str, str] = {}
+
+
+@q(
+    "facade_agg_resolved_feed",
+    """
+    WITH cut AS (
+      SELECT max(event_id) // 3 AS c1, 2 * (max(event_id) // 3) AS c2 FROM events
+    ),
+    b AS (
+      SELECT e.*, CASE WHEN event_id <= (SELECT c1 FROM cut) THEN 1
+                       WHEN event_id <= (SELECT c2 FROM cut) THEN 2
+                       ELSE 3 END AS bno
+      FROM events e
+    ),
+    nums AS (SELECT 1 AS bno UNION ALL SELECT 2 UNION ALL SELECT 3),
+    pref AS (
+      SELECT n.bno, b.user_id, b.event_type,
+             CAST(SUM(CAST(round(b.value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+             COUNT(*) AS n_events,
+             MAX(b.event_id) AS last_lsn,
+             MAX(b.ts) AS max_ts
+      FROM nums n JOIN b ON b.bno <= n.bno
+      GROUP BY n.bno, b.user_id, b.event_type
+    ),
+    touched AS (SELECT DISTINCT bno, user_id, event_type FROM b)
+    SELECT CAST(p.bno AS BIGINT) AS batch_no, p.user_id, p.event_type,
+           p.value_c, p.n_events, p.last_lsn, p.max_ts
+    FROM pref p JOIN touched t USING (bno, user_id, event_type)
+    ORDER BY batch_no, p.user_id, p.event_type
+    """,
+)
+def facade_agg_resolved_feed(spark, sf_dir):
+    """The RESOLVED facade change feed for aggregation tables (round-4
+    verdict item #2): the event stream merges into an agg-engine lake
+    table in three batches, then ``spark.read.format("transcript_changes")``
+    (mode auto -> resolved for agg) replays the feed — one resolved image
+    per (commit, key-with-new-contributions). The oracle replays the SAME
+    semantics unrolled in SQL: for each batch prefix, the full GROUP BY
+    restricted to keys touched in that batch (any contribution strictly
+    raises the key's max-lsn marker, so touched == changed). This pins
+    every INTERMEDIATE diff the feed emits, not just the final state."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.datasource import register
+    from .plans.lake import SnapshotParquetTable
+
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="max_ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="mor",
+        agg_spec={"value_c": "sum", "n_events": "sum", "last_lsn": "max", "max_ts": "max"},
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    root = _FACADE_AGG_FEED_CACHE.get(str(sf_dir))
+    if root is None or not os.path.exists(os.path.join(root, "HEAD")):
+        register(spark)
+        ev = _t(spark, sf_dir, "events")
+        mx = ev.agg(F.max("event_id")).first()[0]
+        c1, c2 = mx // 3, 2 * (mx // 3)
+        proj = ev.select(
+            F.col("user_id"),
+            F.col("event_type"),
+            _cents(F.col("value")).alias("value_c"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("event_id").alias("last_lsn"),
+            F.col("ts").alias("max_ts"),
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        root = os.path.join(
+            tempfile.gettempdir(), f"cdc-faggfeed-{uuid.uuid4().hex}", "table"
+        )
+        t = SnapshotParquetTable(spark, root, spec)
+        t.create(proj.drop("lsn", "op").schema)
+        t.merge_events(proj.filter(F.col("last_lsn") <= c1), batch_id=0)
+        t.merge_events(
+            proj.filter((F.col("last_lsn") > c1) & (F.col("last_lsn") <= c2)),
+            batch_id=1,
+        )
+        t.merge_events(proj.filter(F.col("last_lsn") > c2), batch_id=2)
+        _FACADE_AGG_FEED_CACHE[str(sf_dir)] = root
+    register(spark)
+    feed = spark.read.format("transcript_changes").option(
+        "startingVersion", 0
+    ).load(root)
+    return (
+        feed.filter(F.col("_change_type") == "upsert")
+        .withColumn(
+            "batch_no",
+            F.dense_rank().over(W.orderBy("_commit_version")).cast("long"),
+        )
+        .select(
+            "batch_no", "user_id", "event_type",
+            "value_c", "n_events", "last_lsn", "max_ts",
+        )
+        .orderBy("batch_no", "user_id", "event_type")
+    )
+
+
 @q(
     "lake_time_travel",
     """

@@ -40,11 +40,14 @@ read through per-engine Arrow resolves and write through per-engine
 delta projections, with the engine PARAMS (agg_fns, seq_groups) carried
 by the manifest so no TableSpec is needed. The change feed emits TYPED
 ``patch`` rows for partial-update tables (the wire consumer maps them to
-op 'P'); aggregation tables are refused by the feed — their delta rows
-are accumulator partials, not replayable events — and use the engine's
-``table_changes()`` resolved-state diff instead. The streaming source
-additionally requires merge-on-read mode: CoW merge commits rewrite
-whole buckets, so "files added this commit" is not a change set there.
+op 'P'); aggregation tables are served in RESOLVED mode (round-4 verdict
+item #2) — their delta rows are accumulator partials the event feed
+cannot carry, so the feed emits per-commit resolved-state U/D diffs (the
+facade twin of the engine's ``table_changes()``), making agg tables
+replicable through public APIs like every other engine (``mode`` option:
+auto | events | resolved). The streaming source additionally requires
+merge-on-read mode: CoW merge commits rewrite whole buckets, so "files
+added this commit" is not a change set there.
 """
 
 from __future__ import annotations
@@ -259,6 +262,7 @@ class _TableMeta:
     engine: dict
     has_engine_flag: bool = True
     stats_cols: tuple = ()
+    current_schema_id: int = 0
 
     @classmethod
     def load(cls, root: str, version: int | None = None) -> "_TableMeta":
@@ -280,6 +284,7 @@ class _TableMeta:
             engine=m.get("engine", {}),
             has_engine_flag="engine" in m,
             stats_cols=tuple(m.get("stats_cols", ())),
+            current_schema_id=int(m.get("current_schema_id", 0)),
         )
 
     def user_schema(self) -> T.StructType:
@@ -394,7 +399,8 @@ def _fold_first_read_arrow(tbl, keys: list[str], sort_cols: list[str]):
     return tbl.take(pa.array(np.sort(order[winners])))
 
 
-def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None = None):
+def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None = None,
+                 internal: bool = False):
     """Read one bucket's layers, align each file to the current schema,
     resolve by the table's MERGE ENGINE if delta layers exist (LWW /
     first-row row folds; patch per-column compose; agg partial merge —
@@ -405,7 +411,13 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
     ``columns`` prunes the payload BEFORE the per-file read and the fold
     (key and marker columns always ride) — the facade twin of
     ``table.read(columns=...)``; the Python DataSource API has no
-    projection-pushdown hook, so this is surfaced as a read option."""
+    projection-pushdown hook, so this is surfaced as a read option.
+
+    ``internal=True`` keeps resolved TOMBSTONES and the dominance markers
+    (``_ts_applied``, ``_lsn_applied``, ``_deleted``) in the output — the
+    resolved change feed diffs two such states and needs a dead key's
+    dominating markers to emit a replayable delete. Patch orphan carriers
+    stay hidden (they are not rows on any path)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -515,9 +527,15 @@ def _read_bucket(meta: _TableMeta, part: _BucketPartition, columns: list | None 
             # orphan patch carriers are not rows (compaction carries them
             # so a later insert recomposes) — hide on every path, like the
             # engine's read()
-            live = pc.and_(live, pc.fill_null(pc.invert(out.column(PATCH)), True))
-        out = out.filter(live)
-    out = out.select(user_cols)
+            carrier_free = pc.fill_null(pc.invert(out.column(PATCH)), True)
+            live = pc.and_(live, carrier_free)
+            if internal:
+                out = out.filter(carrier_free)
+        if not internal:
+            out = out.filter(live)
+    out = out.select(
+        user_cols + ([TS_APPLIED, LSN_APPLIED, DELETED] if internal else [])
+    )
     for batch in out.to_batches(max_chunksize=65536):
         yield batch
 
@@ -1290,39 +1308,239 @@ def _read_change_file(meta: _TableMeta, partition: _ChangeFilePartition):
         yield batch
 
 
+def _feed_mode(options: dict, meta: _TableMeta) -> str:
+    """Resolve the change feed's ``mode`` option: ``events`` | ``resolved``
+    | ``auto`` (default — aggregation tables take ``resolved``, everything
+    else ``events``). Explicit ``events`` on an agg table refuses with the
+    resolved-mode pointer: an agg delta row is a PARTIAL (its
+    ``_n_contrib`` may fold many events) — op codes cannot carry it, so a
+    facade re-apply would mis-count."""
+    mode = str(options.get("mode", "auto")).lower()
+    if mode not in ("auto", "events", "resolved"):
+        raise ValueError(
+            f"transcript_changes mode must be auto|events|resolved, got {mode!r}"
+        )
+    is_agg = bool(meta.engine.get("agg_spec"))
+    if mode == "auto":
+        return "resolved" if is_agg else "events"
+    if mode == "events" and is_agg:
+        raise ValueError(
+            "transcript_changes mode=events cannot serve aggregation-engine "
+            "tables: delta rows are accumulator partials, not replayable "
+            "events; use mode=resolved (the default for agg tables — the "
+            "facade twin of SnapshotParquetTable.table_changes()) instead"
+        )
+    return mode
+
+
+class _ResolvedDiffPartition(InputPartition):
+    """(commit, touched bucket) — the resolved feed's unit of work."""
+
+    def __init__(self, version: int, parent_version: int, bucket: int):
+        self.version = version
+        self.parent_version = parent_version
+        self.bucket = bucket
+        self.path = "resolved"  # non-empty: the shared empty-sentinel check
+
+
+def _resolved_change_partitions(root: str, lo: int, hi: int):
+    """One partition per (commit in (lo, hi] on the current ref's
+    ancestry, bucket whose file list changed vs the parent) — only
+    touched buckets resolve, so a commit's feed cost is O(touched bucket
+    data), the same class as the engine's ``table_changes()``.
+    State-preserving rewrites are skipped outright: compaction folds
+    layers bit-stably and rebucket changes the bucket GRID itself (a
+    per-bucket diff across grids would be meaningless). Raises
+    :class:`ChangeFeedGapError` when a needed parent manifest was
+    expired (same contract as the event feed — resume via
+    ``resume_from_gap``)."""
+    parts: list[_ResolvedDiffPartition] = []
+    idx = _snapshot_index(root)
+    by_ver = {m["version"]: m for m in idx.values()}
+    for v in _main_chain(root, lo, hi, idx=idx):
+        m = by_ver[v]
+        if m.get("summary", {}).get("op") in ("compact", "rebucket"):
+            continue
+        pv = m.get("parent_version")
+        if pv is None:
+            pm = {"buckets": {}}
+        else:
+            pm = by_ver.get(int(pv))
+            if pm is None:
+                try:
+                    pm = _manifest(root, int(pv))
+                except FileNotFoundError:
+                    raise ChangeFeedGapError(
+                        f"resolved change feed cannot diff version {v}: its "
+                        f"parent manifest m-{int(pv):010d} was removed by "
+                        "expire_snapshots; restart the feed from a retained "
+                        "startingVersion (see feed_floor/resume_from_gap)"
+                    )
+        for b in sorted(set(m["buckets"]) | set(pm["buckets"]), key=int):
+            if m["buckets"].get(b) != pm["buckets"].get(b):
+                parts.append(_ResolvedDiffPartition(v, int(pv or 0), int(b)))
+    return parts
+
+
+def _internal_arrow_schema(meta: _TableMeta):
+    """user columns + the dominance/tombstone markers, as arrow types —
+    the shape ``_read_bucket(internal=True)`` emits."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in meta.user_schema().fields]
+        + [
+            pa.field(TS_APPLIED, pa.timestamp("us", tz="UTC")),
+            pa.field(LSN_APPLIED, pa.int64()),
+            pa.field(DELETED, pa.bool_()),
+        ]
+    )
+
+
+def _resolved_diff_batches(root: str, partition: _ResolvedDiffPartition):
+    """``table_changes()``-equivalent resolved U/D rows for one bucket of
+    one commit (round-4 verdict item #2): resolve the bucket's state at
+    the commit and at its parent through the per-engine facade resolve,
+    then diff on the dominance markers — a key whose ``(_ts_applied,
+    _lsn_applied, _deleted)`` triple is unchanged is a carry-over and
+    emits nothing. Emitted rows are FULL RESOLVED IMAGES (upsert) or
+    tombstones (delete) carrying the resolving fold's markers, so an LWW
+    mirror applying the feed converges to the source's resolved state —
+    this is what makes aggregation tables replicable through the public
+    facade (their delta rows are accumulator partials the event feed
+    cannot carry). Rows that vanish WITHOUT a tombstone (DV/purge
+    physical erasure) emit a delete with the OLD image's markers — the
+    same best-effort the engine's ``table_changes()`` gives; exactly-once
+    mirrors of purge-heavy tables should re-sync from a snapshot."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    meta_new = _TableMeta.load(root, partition.version)
+    meta_old = _TableMeta.load(root, partition.parent_version)
+    keys = list(meta_new.key_cols)
+    user_cols = [f.name for f in meta_new.user_schema().fields]
+
+    def state(meta):
+        files = meta.buckets.get(str(partition.bucket), [])
+        if not files:
+            return None
+        part = _BucketPartition(
+            partition.bucket, files, any(e.get("delta") for e in files)
+        )
+        batches = list(_read_bucket(meta, part, internal=True))
+        return pa.Table.from_batches(batches) if batches else None
+
+    new_t, old_t = state(meta_new), state(meta_old)
+    if old_t is not None:
+        # align the parent state to the commit's schema (adds / renames /
+        # drops between the two versions must not break the diff)
+        old_t = _apply_schema_events_arrow(
+            old_t, meta_new, after_sid=meta_old.current_schema_id
+        )
+        old_t = _align_arrow(
+            old_t, _internal_arrow_schema(meta_new),
+            _add_defaults(meta_new, meta_old.current_schema_id),
+        )
+
+    def key_frame(tbl):
+        import pandas as pd
+
+        return pd.DataFrame({k: tbl.column(k).to_pandas() for k in keys})
+
+    def emit(tbl, positions, force_delete: bool):
+        if positions.size == 0:
+            return
+        sel = tbl.take(pa.array(positions))
+        deleted = pc.fill_null(sel.column(DELETED), False)
+        ct = (
+            pa.array(["delete"] * len(sel))
+            if force_delete
+            else pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
+        )
+        out = sel.select(user_cols + [TS_APPLIED, LSN_APPLIED])
+        out = out.append_column("_change_type", ct)
+        out = out.append_column(
+            "_commit_version", pa.array([partition.version] * len(sel), pa.int64())
+        )
+        yield from out.to_batches(max_chunksize=65536)
+
+    if new_t is None and old_t is None:
+        return
+    if old_t is None:
+        yield from emit(new_t, np.arange(len(new_t)), force_delete=False)
+        return
+    markers = [TS_APPLIED, LSN_APPLIED, DELETED]
+    if new_t is None:
+        # bucket vanished: every previously-live key is a delete
+        old_alive = np.flatnonzero(
+            ~pc.fill_null(old_t.column(DELETED), False).to_numpy(zero_copy_only=False)
+        )
+        yield from emit(old_t, old_alive, force_delete=True)
+        return
+    import pandas as pd
+
+    def marker_np(tbl, mcol):
+        # epoch-int / int8 encodings dodge tz-aware pandas equality quirks
+        col = tbl.column(mcol)
+        if mcol == TS_APPLIED:
+            col = pc.cast(col, pa.int64())
+        elif mcol == DELETED:
+            col = pc.cast(pc.fill_null(col, False), pa.int8())
+        return col.to_pandas()
+
+    newk, oldk = key_frame(new_t), key_frame(old_t)
+    for i, mcol in enumerate(markers):
+        oldk[f"_m{i}"] = marker_np(old_t, mcol)
+    j = newk.merge(oldk, on=keys, how="left")
+    same = pd.Series(True, index=j.index)
+    for i, mcol in enumerate(markers):
+        a = pd.Series(marker_np(new_t, mcol).values, index=j.index)
+        b = j[f"_m{i}"]
+        same &= (a == b) | (a.isna() & b.isna())
+    yield from emit(new_t, np.flatnonzero(~same.to_numpy()), force_delete=False)
+    gone = oldk.merge(newk.assign(_in_new=1), on=keys, how="left")
+    dead_old = pc.fill_null(old_t.column(DELETED), False).to_numpy(zero_copy_only=False)
+    gone_pos = np.flatnonzero(gone["_in_new"].isna().to_numpy() & ~dead_old)
+    yield from emit(old_t, gone_pos, force_delete=True)
+
+
 class ChangesBatchReader(DataSourceReader):
     """Batch CDF read (Delta `table_changes` analog through plain
     ``spark.read``): every change committed in
-    (startingVersion, endingVersion]."""
+    (startingVersion, endingVersion]. ``mode`` option: ``events``
+    (default for row-event engines — files added by merge commits),
+    ``resolved`` (per-commit resolved-state diff, the
+    ``table_changes()`` twin), or ``auto`` (the default: aggregation
+    tables take ``resolved`` — their delta rows are accumulator
+    partials the event feed cannot carry — everything else
+    ``events``)."""
 
     def __init__(self, options: dict):
         path = options.get("path")
         self.meta = _TableMeta.load(path)
         if self.meta.mode != "mor":
             raise ValueError("transcript_changes serves merge-on-read tables only")
-        if self.meta.engine.get("agg_spec"):
-            # an agg delta row is a PARTIAL (its _n_contrib may fold many
-            # events) — op codes cannot carry it, so a facade re-apply
-            # would mis-count; the engine's table_changes() diffs RESOLVED
-            # states and is the correct feed for aggregation tables
-            raise ValueError(
-                "transcript_changes cannot serve aggregation-engine tables: "
-                "delta rows are accumulator partials, not replayable "
-                "events; use SnapshotParquetTable.table_changes() (resolved "
-                "state diff) instead"
-            )
+        self.feed_mode = _feed_mode(options, self.meta)
         self.lo = int(options.get("startingversion", 0))
         hi = options.get("endingversion")
         self.hi = int(hi) if hi is not None else _head_version(path)
 
     def partitions(self):
+        if self.feed_mode == "resolved":
+            return _resolved_change_partitions(self.meta.root, self.lo, self.hi) or [
+                _ChangeFilePartition(-1, "")
+            ]
         return _change_file_partitions(self.meta.root, self.lo, self.hi) or [
             _ChangeFilePartition(-1, "")
         ]
 
-    def read(self, partition: _ChangeFilePartition):
+    def read(self, partition):
         if not partition.path:
             return iter(())
+        if isinstance(partition, _ResolvedDiffPartition):
+            return _resolved_diff_batches(self.meta.root, partition)
         return _read_change_file(self.meta, partition)
 
 
@@ -1343,13 +1561,7 @@ class ChangesStreamReader(DataSourceStreamReader):
                 "commit rewrites whole buckets, so its new files are not a "
                 "change set; use table.table_changes(a, b) for batch diffs"
             )
-        if meta.engine.get("agg_spec"):
-            raise ValueError(
-                "transcript_changes cannot serve aggregation-engine tables: "
-                "delta rows are accumulator partials, not replayable events; "
-                "use SnapshotParquetTable.table_changes() (resolved state "
-                "diff) instead"
-            )
+        self.feed_mode = _feed_mode(options, meta)
         self.meta = meta
         sv = options.get("startingversion")
         self._start = int(sv) if sv is not None else _head_version(path)
@@ -1362,13 +1574,19 @@ class ChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        if self.feed_mode == "resolved":
+            return _resolved_change_partitions(self.root, lo, hi) or [
+                _ChangeFilePartition(-1, "")
+            ]
         return _change_file_partitions(self.root, lo, hi) or [
             _ChangeFilePartition(-1, "")
         ]
 
-    def read(self, partition: _ChangeFilePartition):
+    def read(self, partition):
         if not partition.path:
             return iter(())
+        if isinstance(partition, _ResolvedDiffPartition):
+            return _resolved_diff_batches(self.root, partition)
         return _read_change_file(self.meta, partition)
 
     def commit(self, end):
@@ -1387,10 +1605,14 @@ class TranscriptChangesDataSource(DataSource):
 
     Options: ``startingVersion`` (streaming: replay from an old snapshot;
     default = tail from the current version. batch: default 0),
-    ``endingVersion`` (batch only; default = current). Output = user
-    columns + the applied LWW dominance pair (``_ts_applied``,
-    ``_lsn_applied`` — fold the feed on it to rebuild state),
-    ``_change_type`` (upsert|delete), ``_commit_version``."""
+    ``endingVersion`` (batch only; default = current), ``mode``
+    (``auto`` default — aggregation tables serve per-commit RESOLVED
+    state diffs, everything else raw change events; ``resolved`` opts
+    any MoR table into the diff form; ``events`` refuses agg tables).
+    Output = user columns + the applied LWW dominance pair
+    (``_ts_applied``, ``_lsn_applied`` — fold the feed on it to rebuild
+    state), ``_change_type`` (upsert|delete, plus patch in events mode),
+    ``_commit_version``."""
 
     @classmethod
     def name(cls):

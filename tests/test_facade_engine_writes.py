@@ -442,19 +442,80 @@ def test_patch_replication_through_typed_feed(spark, tmp_path):
     assert _state(b.refresh()) == _state(a)
 
 
-def test_agg_feed_refused_with_pointer(spark, tmp_path):
-    """An agg table's delta rows are partials — the feed must refuse with
-    the table_changes() pointer, for both batch and streaming forms."""
+def test_agg_feed_events_mode_refused_resolved_serves(spark, tmp_path):
+    """An agg table's delta rows are partials — explicit ``mode=events``
+    must refuse with the resolved-mode pointer, for both batch and
+    streaming forms. The DEFAULT (auto) now serves agg tables in RESOLVED
+    mode (round-4 verdict item #2): per-commit resolved-state U/D diffs
+    whose fold-by-latest-commit equals the engine read."""
     register(spark)
     t = _mk(spark, tmp_path, "aggfeed", **ENGINES["agg"])
-    t.merge_events(_events_df(spark, _batches_for("agg")[0]), batch_id=0)
-    with pytest.raises(Exception, match="table_changes"):
-        spark.read.format("transcript_changes").option(
-            "startingVersion", 0
+    for i, rows in enumerate(_batches_for("agg")):
+        t.merge_events(_events_df(spark, rows), batch_id=i)
+    with pytest.raises(Exception, match="resolved"):
+        spark.read.format("transcript_changes").options(
+            startingVersion=0, mode="events"
         ).load(t.root).collect()
     from ccdb_data_pipeline_spark.plans.datasource import ChangesStreamReader
 
-    with pytest.raises(ValueError, match="table_changes"):
-        ChangesStreamReader({"path": t.root})
+    with pytest.raises(ValueError, match="resolved"):
+        ChangesStreamReader({"path": t.root, "mode": "events"})
     # the engine's resolved-state diff still serves it
     assert t.table_changes(0).count() > 0
+    # default (auto) feed: fold to the latest commit's image per key,
+    # drop deletes -> must equal the engine read exactly
+    feed = spark.read.format("transcript_changes").option(
+        "startingVersion", 0
+    ).load(t.root)
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.col("_commit_version").desc())
+    )
+    latest = feed.withColumn("_rn", w).filter("_rn = 1 AND _change_type = 'upsert'")
+    got = sorted(map(tuple, latest.select("k", "v", "note").collect()))
+    assert got == _state(t)
+    # every resolved upsert carries dominance markers
+    assert feed.filter(
+        (F.col("_change_type") == "upsert")
+        & (F.col("_lsn_applied").isNull() | F.col("_ts_applied").isNull())
+    ).count() == 0
+
+
+def test_agg_replication_through_resolved_feed(spark, tmp_path):
+    """Round-4 verdict item #2 done-criterion: lake->lake replication of
+    an AGGREGATION table with zero engine imports on the wire. The
+    resolved feed emits full resolved images whose markers (max ts, max
+    lsn over contributions) are strictly increasing per key, so an LWW
+    mirror applying upsert/delete ops converges to the source's resolved
+    state — including a key deleted mid-stream (reset tombstone carries
+    the dominating markers)."""
+    register(spark)
+    a = _mk(spark, tmp_path, "aggrepl-a", **ENGINES["agg"])
+    for i, rows in enumerate(_batches_for("agg")):
+        a.merge_events(_events_df(spark, rows), batch_id=i)
+    # LWW mirror with the same user schema/keys
+    b = _mk(spark, tmp_path, "aggrepl-b")
+
+    feed = (
+        spark.readStream.format("transcript_changes")
+        .option("startingVersion", 0)
+        .load(a.root)
+    )
+    user_cols = [f.name for f in SCHEMA.fields]
+    wire = feed.select(
+        *user_cols,
+        F.when(F.col("_change_type") == "delete", "D").otherwise("U").alias("op"),
+        F.col("_lsn_applied").alias("lsn"),
+        F.col("_ts_applied"),
+    )
+    q = (
+        wire.writeStream.format("transcript_lake")
+        .option("path", b.root)
+        .option("tsColumn", "_ts_applied")
+        .option("checkpointLocation", str(tmp_path / "aggrepl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _state(b.refresh()) == _state(a)
