@@ -277,18 +277,115 @@ def _tokenizer_for(merges: tuple, byte_level: bool) -> BpeTokenizer:
     return tok
 
 
-def count_tokens_udf(merges: Iterable[tuple[str, str]], byte_level: bool = False):
+# ------------------------------------------------ native encode backend
+
+def native_backend_available() -> bool:
+    """True when the HuggingFace ``tokenizers`` Rust library is importable.
+    Probe-import only — this sandbox ships without it, so every native
+    path falls back (or skips, in tests) cleanly."""
+    try:
+        import tokenizers  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _native_tokenizer(merges: tuple):
+    """HF-``tokenizers`` twin of :class:`BpeTokenizer` for BYTE-LEVEL
+    vocabularies (round-4 verdict item #3): the base alphabet is the
+    closed 256-symbol latin-1 set (our ``chr(byte)`` proxy), so an exact
+    vocab = 256 bases + one entry per merge product can be enumerated up
+    front and the Rust merge loop is byte-for-byte the same greedy
+    lowest-rank-first algorithm (merges.txt convention both sides).
+    Char-level vocabularies have an open alphabet (any unicode char is a
+    base symbol) and stay on the pure-Python path."""
+    from tokenizers import Tokenizer, models
+
+    vocab = {chr(i): i for i in range(256)}
+    for a, b in merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    model = models.BPE(
+        vocab=vocab, merges=[(a, b) for a, b in merges],
+        unk_token=None, fuse_unk=False,
+    )
+    return Tokenizer(model)
+
+
+def _native_word_counter(merges: tuple):
+    """word -> token count through the native backend, memoized per
+    executor process. Pre-tokenization (the ``\\S+`` split) happens on the
+    ORIGINAL unicode text before the utf-8->latin-1 byte proxy — proxying
+    first would let multi-byte sequences alias latin-1 whitespace (0xA0 =
+    NBSP) and split inside a character. The per-batch unique word list
+    goes to Rust in ONE ``encode_batch`` call."""
+    key = ("native", merges)
+    st = _TOKENIZER_CACHE.get(key)
+    if st is None:
+        st = {"tk": _native_tokenizer(merges), "cache": {}}
+        _TOKENIZER_CACHE[key] = st
+    tk, cache = st["tk"], st["cache"]
+
+    def count_words(words: list[str]) -> None:
+        fresh = [w for w in words if w not in cache]
+        if fresh:
+            encs = tk.encode_batch([w.encode("utf-8").decode("latin-1") for w in fresh])
+            for w, e in zip(fresh, encs):
+                cache[w] = len(e.ids)
+
+    return cache, count_words
+
+
+def count_tokens_udf(merges: Iterable[tuple[str, str]], byte_level: bool = False,
+                     backend: str = "auto"):
     """Arrow-batched token-count column: a pandas UDF that encodes each
     UNIQUE pre-token once per batch (word-level cache persists across
-    batches via the executor tokenizer cache). NULL text counts 0."""
+    batches via the executor tokenizer cache). NULL text counts 0.
+
+    ``backend``: ``python`` (the pure :class:`BpeTokenizer`), ``native``
+    (HF ``tokenizers`` Rust encode — byte-level vocabs only; raises when
+    the library is absent), or ``auto`` (default: native when importable
+    AND ``byte_level``, else python). Both backends are pinned
+    byte-for-byte equal on the same merge table by
+    tests/test_bpe.py::test_native_backend_parity (self-skipping where
+    the library is absent, as in this sandbox)."""
     from pyspark.sql.functions import pandas_udf
 
     frozen = tuple(tuple(m) for m in merges)
+    if backend not in ("auto", "python", "native"):
+        raise ValueError(f"backend must be auto|python|native, got {backend!r}")
+    if backend == "native":
+        if not byte_level:
+            raise ValueError(
+                "the native BPE backend serves byte-level vocabularies only "
+                "(closed 256-symbol base alphabet); char-level merges use "
+                "backend='python'"
+            )
+        if not native_backend_available():
+            raise ValueError(
+                "backend='native' but the 'tokenizers' library is not "
+                "importable; install it or use backend='auto'/'python'"
+            )
+    use_native = backend == "native" or (
+        backend == "auto" and byte_level and native_backend_available()
+    )
+
+    if use_native:
+        @pandas_udf("int")
+        def _count(s):
+            cache, count_words = _native_word_counter(frozen)
+            uniq_texts = set(s.dropna())
+            per_text = {t: _PRETOKEN.findall(t) for t in uniq_texts}
+            count_words(sorted({w for ws in per_text.values() for w in ws}))
+            uniq = {t: sum(cache[w] for w in ws) for t, ws in per_text.items()}
+            return s.map(lambda t: uniq.get(t, 0)).fillna(0).astype("int32")
+
+        return _count
 
     @pandas_udf("int")
     def _count(s):
-        import pandas as pd
-
         tok = _tokenizer_for(frozen, byte_level)
         # batch-level unique-text memo on top of the word cache: repeated
         # documents (dedup inputs!) tokenize once
