@@ -3984,10 +3984,12 @@ class SnapshotParquetTable:
         n_files = n_delta = 0
         for b, fs in m["buckets"].items():
             depth = sum(1 for e in fs if e.get("delta"))
-            per_bucket[b] = {"files": len(fs), "delta_depth": depth}
+            rows = sum(int(e.get("n_rows", 0) or 0) for e in fs)
+            per_bucket[b] = {"files": len(fs), "delta_depth": depth, "rows": rows}
             n_files += len(fs)
             n_delta += depth
         depths = [v["delta_depth"] for v in per_bucket.values()] or [0]
+        bucket_rows = [v["rows"] for v in per_bucket.values()] or [0]
         max_depth = max(depths)
         return {
             "version": m["version"],
@@ -4008,6 +4010,11 @@ class SnapshotParquetTable:
             "delta_depth_max": max_depth,
             "delta_depth_mean": round(sum(depths) / len(depths), 2),
             "dirty_buckets": sum(1 for d in depths if d),
+            # recorded-row floors per bucket (same semantics as
+            # base_rows_recorded, bucket-resolved) — the bucket-count
+            # advisor's manifest-only inputs (plans/maintenance.py)
+            "bucket_rows_max": max(bucket_rows),
+            "bucket_rows_mean": round(sum(bucket_rows) / max(1, len(bucket_rows)), 1),
             "compact_recommended": max_depth >= 8,
         }
 

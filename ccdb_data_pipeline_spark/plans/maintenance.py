@@ -51,6 +51,29 @@ class MaintenancePolicy:
       (orphans appear from crashed writes; tying GC to expiry keeps the
       no-op path free of a storage walk).
     - ``zorder_by``: clustering columns forwarded to compaction.
+    - ``target_rows_per_bucket``: the bucket-count advisor (round-4
+      verdict item #5). None (default) disables it. When the
+      manifest-recorded mean rows/bucket exceeds this target, the
+      advisor computes the next-power-of-two bucket count that restores
+      the target and either executes ``rebucket`` online or records the
+      recommendation, always with the triggering numbers as the reason.
+      Hot-bucket skew at a healthy mean is surfaced as an observation
+      (a single hot key keeps its bucket hot at any grid size — that is
+      write-salt's job), never a grid escalation. At 10^10 rows a fixed
+      ``num_buckets`` eventually makes per-bucket folds and point-lookup
+      files too large; this is the decision layer that notices.
+    - ``rebucket_min_factor``: hysteresis — only act when the needed
+      bucket count is at least this multiple of the current one (a
+      rebucket is a full-table rewrite; thrashing on marginal overage
+      would dwarf the read-amp it saves).
+    - ``rebucket_execute``: False = recommend-only (record the target
+      count and reason, touch nothing) — for deployments that take full
+      rewrites in an operator-staged window.
+    - ``rebucket_max_rows``: execution IO budget. A table whose recorded
+      row floor exceeds this still gets the RECOMMENDATION, but the
+      rewrite is refused as over-budget (reason recorded) — the
+      full-table one-shuffle cost of ``rebucket`` must be an explicit
+      decision at that scale. None = no cap.
     """
 
     max_delta_depth: int = 8
@@ -60,6 +83,10 @@ class MaintenancePolicy:
     expire_slack: int = 2
     orphan_gc: bool = True
     zorder_by: tuple[str, ...] = field(default_factory=tuple)
+    target_rows_per_bucket: int | None = None
+    rebucket_min_factor: float = 2.0
+    rebucket_execute: bool = True
+    rebucket_max_rows: int | None = None
 
 
 def _n_manifests(table: SnapshotParquetTable) -> int:
@@ -110,6 +137,58 @@ def auto_maintain(
                "reason": f"depth {s['delta_depth_max']} and dirty "
                          f"{s['dirty_buckets']} under policy thresholds"}
     report["actions"]["compact"] = act
+
+    # ---- bucket-count advisor (round-4 verdict item #5) ---------------
+    if policy.target_rows_per_bucket:
+        import math
+
+        s_b = table.stats() if (act.get("run") and not dry_run) else s
+        total = int(s_b["base_rows_recorded"])
+        nb = int(s_b["num_buckets"])
+        mean = total / max(1, nb)
+        tgt = int(policy.target_rows_per_bucket)
+        if mean > tgt:
+            needed = max(1, math.ceil(total / tgt))
+            new_nb = 1 << (needed - 1).bit_length()
+            why = (
+                f"rows_recorded {total} over {nb} buckets: mean {mean:.0f}"
+                f" vs target {tgt}/bucket -> {new_nb} buckets"
+            )
+            # hysteresis on the PRE-rounding count: a marginal overage that
+            # power-of-two rounding would inflate past the factor must not
+            # trigger a full rewrite
+            if needed < nb * policy.rebucket_min_factor:
+                r_act = {"run": False, "recommended_num_buckets": None,
+                         "reason": f"hysteresis: needed {needed} < "
+                                   f"{policy.rebucket_min_factor}x current {nb} ({why})"}
+            elif policy.rebucket_max_rows is not None and total > policy.rebucket_max_rows:
+                r_act = {"run": False, "recommended_num_buckets": new_nb,
+                         "reason": f"over budget: {total} rows > rebucket_max_rows "
+                                   f"{policy.rebucket_max_rows}; full rewrite needs an "
+                                   f"operator window ({why})"}
+            elif not policy.rebucket_execute or dry_run:
+                r_act = {"run": False, "recommended_num_buckets": new_nb,
+                         "reason": why + (" (dry run)" if dry_run
+                                          else " (rebucket_execute=False)")}
+            else:
+                r_act = {"run": True, "recommended_num_buckets": new_nb, "reason": why}
+                table.rebucket(new_nb)
+                r_act["num_buckets_after"] = table.stats()["num_buckets"]
+        else:
+            # growing the grid splits COLLIDING keys; a single hot key
+            # keeps its bucket hot at any count — that is write-salt's job
+            # (TableSpec salt="auto"), so skew at a healthy mean is
+            # surfaced as an observation, never an escalation loop
+            note = (
+                f"; note: max bucket {s_b['bucket_rows_max']} rows > 4x "
+                "target at healthy mean — hot-key skew (salt's job, not "
+                "the grid's)"
+                if int(s_b["bucket_rows_max"]) > 4 * tgt else ""
+            )
+            r_act = {"run": False, "recommended_num_buckets": None,
+                     "reason": f"mean {mean:.0f} rows/bucket within target "
+                               f"{tgt}" + note}
+        report["actions"]["rebucket"] = r_act
 
     # ---- snapshot expiry ---------------------------------------------
     n_manifests = _n_manifests(table)
