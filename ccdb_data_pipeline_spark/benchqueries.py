@@ -985,6 +985,114 @@ def facade_agg_resolved_feed(spark, sf_dir):
     )
 
 
+_COW_FEED_CACHE: dict[str, str] = {}
+
+
+@q(
+    "cow_resolved_feed",
+    """
+    WITH cut AS (
+      SELECT max(event_id) // 3 AS c1, 2 * (max(event_id) // 3) AS c2 FROM events
+    ),
+    b AS (
+      SELECT e.*, CASE WHEN event_id <= (SELECT c1 FROM cut) THEN 1
+                       WHEN event_id <= (SELECT c2 FROM cut) THEN 2
+                       ELSE 3 END AS bno
+      FROM events e
+    ),
+    nums AS (SELECT 1 AS bno UNION ALL SELECT 2 UNION ALL SELECT 3),
+    pref AS (
+      SELECT n.bno, e.user_id, e.event_type, e.value, e.ts, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY n.bno, e.user_id, e.event_type
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM nums n JOIN b e ON e.bno <= n.bno
+    ),
+    w AS (
+      SELECT bno, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             ts AS last_ts, event_id AS last_lsn
+      FROM pref WHERE rn = 1
+    ),
+    d AS (
+      SELECT w.*,
+             LAG(last_lsn) OVER (PARTITION BY user_id, event_type ORDER BY bno) AS prev_lsn
+      FROM w
+    )
+    SELECT CAST(bno AS BIGINT) AS batch_no, user_id, event_type,
+           value_c, last_ts, last_lsn
+    FROM d WHERE prev_lsn IS NULL OR prev_lsn <> last_lsn
+    ORDER BY batch_no, user_id, event_type
+    """,
+)
+def cow_resolved_feed(spark, sf_dir):
+    """The RESOLVED change feed on a COPY-ON-WRITE table (round-5: the
+    event feed cannot serve CoW at all — its commits rewrite whole
+    buckets). Three LWW merge batches into a CoW table, then
+    ``mode=resolved`` diffs each commit's resolved state against its
+    parent ON THE DOMINANCE MARKERS: a key whose batch events all LOSE
+    the LWW race emits nothing (marker unchanged), so the oracle is the
+    per-prefix window winner emitted only when the winning lsn moved —
+    pinning both the diff semantics and the carry-over suppression."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.datasource import register
+    from .plans.lake import SnapshotParquetTable
+
+    spec = TableSpec(
+        key_cols=("user_id", "event_type"),
+        bucket_col="user_id",
+        ts_col="last_ts",
+        lsn_col="lsn",
+        op_col="op",
+        num_buckets=16,
+        merge_mode="cow",
+        empty_to_null_exempt=(),
+        normalize_ws_cols=(),
+    )
+    root = _COW_FEED_CACHE.get(str(sf_dir))
+    if root is None or not os.path.exists(os.path.join(root, "HEAD")):
+        ev = _t(spark, sf_dir, "events")
+        mx = ev.agg(F.max("event_id")).first()[0]
+        c1, c2 = mx // 3, 2 * (mx // 3)
+        proj = ev.select(
+            F.col("user_id"),
+            F.col("event_type"),
+            _cents(F.col("value")).alias("value_c"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_lsn"),
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        root = os.path.join(
+            tempfile.gettempdir(), f"cdc-cowfeed-{uuid.uuid4().hex}", "table"
+        )
+        t = SnapshotParquetTable(spark, root, spec)
+        t.create(proj.drop("lsn", "op").schema)
+        for i, (lo, hi) in enumerate([(None, c1), (c1, c2), (c2, None)]):
+            part = proj
+            if lo is not None:
+                part = part.filter(F.col("last_lsn") > lo)
+            if hi is not None:
+                part = part.filter(F.col("last_lsn") <= hi)
+            t.merge(lww_latest(part, spec), batch_id=i)
+        _COW_FEED_CACHE[str(sf_dir)] = root
+    register(spark)
+    feed = spark.read.format("transcript_changes").options(
+        startingVersion=0, mode="resolved"
+    ).load(root)
+    return (
+        feed.filter(F.col("_change_type") == "upsert")
+        .withColumn(
+            "batch_no",
+            F.dense_rank().over(W.orderBy("_commit_version")).cast("long"),
+        )
+        .select("batch_no", "user_id", "event_type", "value_c", "last_ts", "last_lsn")
+        .orderBy("batch_no", "user_id", "event_type")
+    )
+
+
 @q(
     "lake_time_travel",
     """

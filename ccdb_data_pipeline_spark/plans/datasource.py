@@ -1520,9 +1520,16 @@ class ChangesBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
         self.meta = _TableMeta.load(path)
-        if self.meta.mode != "mor":
-            raise ValueError("transcript_changes serves merge-on-read tables only")
         self.feed_mode = _feed_mode(options, self.meta)
+        if self.meta.mode != "mor" and self.feed_mode != "resolved":
+            # a CoW commit rewrites whole buckets, so "files added this
+            # commit" is not a change set — but the RESOLVED diff works
+            # off manifests + resolved states on any mode
+            raise ValueError(
+                "transcript_changes mode=events serves merge-on-read tables "
+                "only; use mode=resolved for copy-on-write tables (per-commit "
+                "resolved-state diff)"
+            )
         self.lo = int(options.get("startingversion", 0))
         hi = options.get("endingversion")
         self.hi = int(hi) if hi is not None else _head_version(path)
@@ -1555,13 +1562,14 @@ class ChangesStreamReader(DataSourceStreamReader):
             raise ValueError("transcript_changes requires .load(<table root>)")
         self.root = path
         meta = _TableMeta.load(path)
-        if meta.mode != "mor":
-            raise ValueError(
-                "transcript_changes streams merge-on-read tables only: a CoW "
-                "commit rewrites whole buckets, so its new files are not a "
-                "change set; use table.table_changes(a, b) for batch diffs"
-            )
         self.feed_mode = _feed_mode(options, meta)
+        if meta.mode != "mor" and self.feed_mode != "resolved":
+            raise ValueError(
+                "transcript_changes mode=events streams merge-on-read tables "
+                "only: a CoW commit rewrites whole buckets, so its new files "
+                "are not a change set; use mode=resolved (per-commit "
+                "resolved-state diff) for copy-on-write tables"
+            )
         self.meta = meta
         sv = options.get("startingversion")
         self._start = int(sv) if sv is not None else _head_version(path)
@@ -1608,7 +1616,9 @@ class TranscriptChangesDataSource(DataSource):
     ``endingVersion`` (batch only; default = current), ``mode``
     (``auto`` default — aggregation tables serve per-commit RESOLVED
     state diffs, everything else raw change events; ``resolved`` opts
-    any MoR table into the diff form; ``events`` refuses agg tables).
+    ANY table into the diff form — including copy-on-write tables,
+    which the event feed cannot serve at all; ``events`` refuses agg
+    and CoW tables).
     Output = user columns + the applied LWW dominance pair
     (``_ts_applied``, ``_lsn_applied`` — fold the feed on it to rebuild
     state), ``_change_type`` (upsert|delete, plus patch in events mode),
@@ -1623,11 +1633,13 @@ class TranscriptChangesDataSource(DataSource):
         if not path:
             raise ValueError("transcript_changes requires .load(<table root>)")
         meta = _TableMeta.load(path)
-        if meta.mode != "mor":
+        mode = _feed_mode(self.options, meta)
+        if meta.mode != "mor" and mode != "resolved":
             raise ValueError(
-                "transcript_changes streams merge-on-read tables only: a CoW "
-                "commit rewrites whole buckets, so its new files are not a "
-                "change set; use table.table_changes(a, b) for batch diffs"
+                "transcript_changes mode=events streams merge-on-read tables "
+                "only: a CoW commit rewrites whole buckets, so its new files "
+                "are not a change set; use mode=resolved (per-commit "
+                "resolved-state diff) for copy-on-write tables"
             )
         return T.StructType(
             meta.user_schema().fields

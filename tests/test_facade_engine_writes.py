@@ -482,6 +482,44 @@ def test_agg_feed_events_mode_refused_resolved_serves(spark, tmp_path):
     ).count() == 0
 
 
+def test_cow_table_served_by_resolved_feed(spark, tmp_path):
+    """mode=resolved extends the change feed to COPY-ON-WRITE tables —
+    previously unservable (a CoW commit's new files are a whole-bucket
+    rewrite, not a change set). The resolved diff works off manifests and
+    resolved states, so per-commit U/D rows come out exactly like the
+    engine's table_changes: folding to the latest commit per key equals
+    the table read, and deletes surface as tombstone rows."""
+    register(spark)
+    spec_kw = dict(BASE_SPEC)
+    spec_kw["merge_mode"] = "cow"
+    t = SnapshotParquetTable(spark, str(tmp_path / "cowfeed"), TableSpec(**spec_kw))
+    t.create(SCHEMA)
+    from ccdb_data_pipeline_spark.operators.dedupe import lww_latest
+
+    for i, rows in enumerate(_batches_for("lww")):
+        t.merge(lww_latest(_events_df(spark, rows), TableSpec(**spec_kw)), batch_id=i)
+    # events mode still refuses CoW, with the resolved-mode pointer
+    with pytest.raises(Exception, match="resolved"):
+        spark.read.format("transcript_changes").options(
+            startingVersion=0, mode="events"
+        ).load(t.root).collect()
+    feed = spark.read.format("transcript_changes").options(
+        startingVersion=0, mode="resolved"
+    ).load(t.root)
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.col("_commit_version").desc())
+    )
+    latest = feed.withColumn("_rn", w).filter("_rn = 1 AND _change_type = 'upsert'")
+    got = sorted(map(tuple, latest.select("k", "v", "note").collect()))
+    assert got == _state(t)
+    # the mid-stream delete of 'd' surfaced as a delete row
+    assert feed.filter(
+        (F.col("k") == "d") & (F.col("_change_type") == "delete")
+    ).count() == 1
+
+
 def test_agg_replication_through_resolved_feed(spark, tmp_path):
     """Round-4 verdict item #2 done-criterion: lake->lake replication of
     an AGGREGATION table with zero engine imports on the wire. The
