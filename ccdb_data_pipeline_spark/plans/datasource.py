@@ -245,6 +245,20 @@ class _BucketPartition(InputPartition):
         self.has_delta = has_delta
 
 
+def _ship_token(path: str | None):
+    """Worker-registration token for factory-registered filesystem schemes
+    (plans/fsio). DataSource reader/writer INSTANCES are pickled into
+    Python worker processes, where the driver's fsio registrations do not
+    exist — capturing the token at driver-side __init__ and re-registering
+    at read()/write() entry makes the whole facade (lake read, lake write,
+    change feed, resolved feed) work on factory schemes through REAL
+    Spark jobs. Factory-less registrations still serve driver-side
+    consumers (the facade classes called directly)."""
+    if path and "://" in path:
+        return fsio.shippable(path.split("://", 1)[0])
+    return None
+
+
 @dataclass
 class _TableMeta:
     root: str
@@ -548,6 +562,7 @@ class LakeReader(DataSourceReader):
         if not path:
             raise ValueError("transcript_lake requires .load(<table root>)")
         version = options.get("version")
+        self._fs_token = _ship_token(path)
         self.meta = _TableMeta.load(path, int(version) if version is not None else None)
         if not self.meta.has_engine_flag:
             # a flag-less manifest predates the engine block; first-row
@@ -678,6 +693,8 @@ class LakeReader(DataSourceReader):
     def read(self, partition: _BucketPartition):
         if not partition.entries:
             return iter(())
+        if self._fs_token:
+            fsio.ensure_registered(self._fs_token)
         return _read_bucket(self.meta, partition, columns=self.columns)
 
 
@@ -768,6 +785,7 @@ class LakeWriter(DataSourceArrowWriter):
         # at 0, which the exactly-once ledger would replay-skip; the offset
         # lands them above the target's watermark (see resume_from_gap)
         self.batch_offset = int(options.get("batchidoffset", 0))
+        self._fs_token = _ship_token(path)
         self.meta = _TableMeta.load(path)
         m = _manifest(path, self.meta.version)
         if not self.meta.has_engine_flag:
@@ -851,6 +869,8 @@ class LakeWriter(DataSourceArrowWriter):
 
         from ..functions.xxh import bucket_of
 
+        if self._fs_token:
+            fsio.ensure_registered(self._fs_token)
         meta = self.meta
         batches = list(iterator)
         if not batches:  # empty shuffle partition (pre-bucketed input)
@@ -1019,6 +1039,8 @@ class LakeWriter(DataSourceArrowWriter):
     def commit(self, messages):
         from .lake import CommitConflictError, SnapshotParquetTable
 
+        if self._fs_token:
+            fsio.ensure_registered(self._fs_token)
         msgs = [m for m in messages if m is not None and m.entries]
         t = SnapshotParquetTable(None, self.meta.root)
         for _attempt in range(5):
@@ -1082,6 +1104,8 @@ class LakeWriter(DataSourceArrowWriter):
         raise RuntimeError("transcript_lake write: commit lost the CAS 5 times")
 
     def abort(self, messages):
+        if self._fs_token:
+            fsio.ensure_registered(self._fs_token)
         for msg in messages:
             if msg is None:
                 continue
@@ -1519,6 +1543,7 @@ class ChangesBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         path = options.get("path")
+        self._fs_token = _ship_token(path)
         self.meta = _TableMeta.load(path)
         self.feed_mode = _feed_mode(options, self.meta)
         if self.meta.mode != "mor" and self.feed_mode != "resolved":
@@ -1546,6 +1571,8 @@ class ChangesBatchReader(DataSourceReader):
     def read(self, partition):
         if not partition.path:
             return iter(())
+        if self._fs_token:
+            fsio.ensure_registered(self._fs_token)
         if isinstance(partition, _ResolvedDiffPartition):
             return _resolved_diff_batches(self.meta.root, partition)
         return _read_change_file(self.meta, partition)
@@ -1561,6 +1588,7 @@ class ChangesStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("transcript_changes requires .load(<table root>)")
         self.root = path
+        self._fs_token = _ship_token(path)
         meta = _TableMeta.load(path)
         self.feed_mode = _feed_mode(options, meta)
         if meta.mode != "mor" and self.feed_mode != "resolved":
@@ -1593,6 +1621,8 @@ class ChangesStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if not partition.path:
             return iter(())
+        if self._fs_token:
+            fsio.ensure_registered(self._fs_token)
         if isinstance(partition, _ResolvedDiffPartition):
             return _resolved_diff_batches(self.root, partition)
         return _read_change_file(self.meta, partition)
@@ -1675,7 +1705,71 @@ def bucket_partitioned(df, root: str):
 
 
 def register(spark) -> None:
-    """Register both formats and enable Python-source filter pushdown."""
+    """Register both formats and enable Python-source filter pushdown.
+
+    Factory-registered filesystem schemes (plans/fsio
+    ``register_filesystem(..., factory=...)``) are captured HERE, by
+    value: Spark pickles the DataSource class eagerly at registration,
+    and every facade stage — including ``schema()`` and reader/writer
+    CONSTRUCTION — runs in fresh Python worker processes where the
+    driver's fsio registrations do not exist. The dynamic subclasses
+    below are pickled by value (cloudpickle serializes non-importable
+    classes wholesale), carrying a snapshot of the current factory
+    tokens; each worker entry point re-registers them before touching
+    any path. Consequence, stated plainly: register filesystems BEFORE
+    ``register(spark)``, and re-call it after adding a scheme — a
+    re-registration by the same format name replaces the old one."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(TranscriptLakeDataSource)
-    spark.dataSource.register(TranscriptChangesDataSource)
+    tokens = [fsio.shippable(s) for s in fsio._FACTORY]
+
+    # the DataSource INSTANCE is pickled between worker processes (schema
+    # in one, reader construction possibly in another), so __init__ alone
+    # cannot carry the registration — every entry method bootstraps
+    def _boot(self):
+        for t in type(self)._fsio_tokens:
+            fsio.ensure_registered(t)
+
+    class _Lake(TranscriptLakeDataSource):
+        _fsio_tokens = tokens
+
+        def __init__(self, options):
+            _boot(self)
+            super().__init__(options)
+
+        def schema(self):
+            _boot(self)
+            return super().schema()
+
+        def reader(self, schema):
+            _boot(self)
+            return super().reader(schema)
+
+        def writer(self, schema, overwrite):
+            _boot(self)
+            return super().writer(schema, overwrite)
+
+        def streamWriter(self, schema, overwrite):
+            _boot(self)
+            return super().streamWriter(schema, overwrite)
+
+    class _Changes(TranscriptChangesDataSource):
+        _fsio_tokens = tokens
+
+        def __init__(self, options):
+            _boot(self)
+            super().__init__(options)
+
+        def schema(self):
+            _boot(self)
+            return super().schema()
+
+        def reader(self, schema):
+            _boot(self)
+            return super().reader(schema)
+
+        def streamReader(self, schema):
+            _boot(self)
+            return super().streamReader(schema)
+
+    spark.dataSource.register(_Lake)
+    spark.dataSource.register(_Changes)

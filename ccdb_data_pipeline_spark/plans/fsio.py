@@ -53,6 +53,7 @@ from typing import Iterator
 _REGISTERED: dict = {}
 _CONDITIONAL_PUT: dict = {}
 _FACTORY: dict = {}
+_REG_EPOCH: dict = {}  # scheme -> unique id per register_filesystem call
 
 
 class ExclusiveCreateError(FileExistsError):
@@ -96,7 +97,10 @@ def register_filesystem(scheme: str, fs, conditional_put=None, factory=None) -> 
     :func:`shippable` / :func:`ensure_registered`; without one, the
     driver-side Arrow plane serves the scheme (registration is
     per-process, so workers could not resolve it)."""
+    import uuid as _uuid
+
     _REGISTERED[scheme] = fs
+    _REG_EPOCH[scheme] = _uuid.uuid4().hex
     if conditional_put is not None:
         _CONDITIONAL_PUT[scheme] = conditional_put
     else:
@@ -111,20 +115,41 @@ def shippable(scheme: str):
     """An opaque picklable token for re-registering ``scheme`` inside
     executor worker processes, or None when the scheme has no ``factory``
     (driver-only registration). Ship the token into the task closure and
-    call :func:`ensure_registered` there before touching fsio paths."""
+    call :func:`ensure_registered` there before touching fsio paths.
+    The scheme's ``conditional_put`` rides along (when picklable —
+    closures are, via cloudpickle) because the facade writer's COMMIT
+    also runs in a Python worker, and the version-slot CAS needs it
+    there."""
     fac = _FACTORY.get(scheme)
-    return (scheme, fac) if fac is not None else None
+    if fac is None:
+        return None
+    return (scheme, fac, _CONDITIONAL_PUT.get(scheme), _REG_EPOCH.get(scheme))
 
 
 def ensure_registered(token) -> None:
     """Worker-side: make the token's scheme resolvable in THIS process.
     Idempotent and memoized — the factory runs once per worker process
     (Spark reuses Python workers across tasks), so per-task filesystem
-    construction cost amortizes away. Commit-plane conditional-put stays
-    driver-only by design: tasks write data files, never manifests."""
-    scheme, fac = token
-    if scheme not in _REGISTERED:
-        _REGISTERED[scheme] = fac()
+    construction cost amortizes away. The factory and conditional-put
+    are recorded too, so a process that was bootstrapped by a token can
+    itself re-ship it (the DataSource PLANNING worker constructs
+    reader/writer instances whose tokens must reach the TASK workers)
+    and the facade writer's worker-side commit keeps the CAS
+    contract."""
+    scheme, fac, cput, epoch = token
+    if _REG_EPOCH.get(scheme) == epoch:
+        return  # this process already serves THIS registration
+    # first sight of this registration epoch: (re)build — a long-lived
+    # worker may hold a PREVIOUS registration of the same scheme name
+    # (tests re-rooting a store; a prod credential rotation), and serving
+    # the stale filesystem silently reads/writes the wrong store
+    _REGISTERED[scheme] = fac()
+    _FACTORY[scheme] = fac
+    _REG_EPOCH[scheme] = epoch
+    if cput is not None:
+        _CONDITIONAL_PUT[scheme] = cput
+    else:
+        _CONDITIONAL_PUT.pop(scheme, None)
 
 
 def resolve(path: str):

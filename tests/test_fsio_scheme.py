@@ -339,6 +339,65 @@ def test_full_engine_lifecycle_on_mock(spark, mock_root):
     assert state(mock) == state(local)
 
 
+def test_facade_through_real_spark_jobs_on_factory_scheme(spark, dist_root):
+    """The facade reader/writer instances ship the factory-registration
+    token into Python workers (`_ship_token`), so the WHOLE facade works
+    on a factory scheme through REAL Spark jobs — not just driver-side
+    class calls: ``df.write.format("transcript_lake")`` (write() runs in
+    workers), ``spark.read.format("transcript_lake")`` (read() runs in
+    workers), and the change feed, all against the dmock:// store."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from ccdb_data_pipeline_spark.plans.datasource import register
+
+    register(spark)
+    root = dist_root + "/sparkfacade"
+    _mk_table(spark, root)
+    sch = T.StructType(list(TRANSCRIPT_SCHEMA.fields) + [
+        T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())
+    ])
+
+    def _write(rows, batch_id):
+        (
+            spark.createDataFrame(rows, sch)
+            .repartition(2)  # multiple tasks -> write() runs in >1 worker
+            .write.format("transcript_lake")
+            .option("batchId", str(batch_id))
+            .mode("append")
+            .save(root)
+        )
+
+    _write([
+        ("c1", 0, "user", "hello", None, T0, 1, "I"),
+        ("c1", 1, "assistant", "hi", None, T0, 2, "I"),
+        ("c2", 0, "user", "yo", "bash", T0, 3, "I"),
+    ], 0)
+    import datetime as _dt
+
+    _write([
+        ("c1", 1, "assistant", "hi there", None, T0 + _dt.timedelta(minutes=1), 4, "U"),
+        ("c2", 0, None, None, None, T0 + _dt.timedelta(minutes=1), 5, "D"),
+    ], 1)
+
+    got = sorted(
+        map(tuple,
+            spark.read.format("transcript_lake").load(root)
+            .select("conv_id", "turn_idx", "text").collect())
+    )
+    assert got == [("c1", 0, "hello"), ("c1", 1, "hi there")]
+    # spark-job read equals the driver-side facade read
+    assert got == [
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in _facade_read(root)
+    ]
+    # the change feed serves through a real spark job too
+    feed = spark.read.format("transcript_changes").option(
+        "startingVersion", 0
+    ).load(root)
+    assert feed.filter(F.col("_change_type") == "delete").count() == 1
+    assert feed.count() == 5
+
+
 def test_full_engine_lifecycle_distributed(spark, dist_root, monkeypatch):
     """Round-4 verdict item #1 (closes What's-missing #2): on a
     FACTORY-registered scheme the Spark data plane runs distributed —
