@@ -78,6 +78,9 @@ HEADLINE = [
     "bpe_top_pairs",
     "facade_agg_stream",
     "pack_sequences_bpe",
+    # round-5 additions (resolved change feed: agg + CoW)
+    "facade_agg_resolved_feed",
+    "cow_resolved_feed",
 ]
 
 
