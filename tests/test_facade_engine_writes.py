@@ -557,3 +557,54 @@ def test_agg_replication_through_resolved_feed(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert _state(b.refresh()) == _state(a)
+
+
+def test_resolved_feed_streaming_resume_exactly_once(spark, tmp_path):
+    """Streaming RESOLVED feed (agg table) across a checkpoint restart:
+    the first availableNow run drains the first commits, two more merges
+    land, the resumed stream (same checkpoint) serves ONLY the new
+    versions — union equals the batch resolved feed exactly (no dupes,
+    no holes), the version-offset exactly-once contract in resolved
+    mode."""
+    register(spark)
+    t = _mk(spark, tmp_path, "aggfeedstream", **ENGINES["agg"])
+    batches = _batches_for("agg")
+    t.merge_events(_events_df(spark, batches[0]), batch_id=0)
+
+    out = str(tmp_path / "feed_out")
+    ckpt = str(tmp_path / "feed_ckpt")
+
+    def drain():
+        feed = (
+            spark.readStream.format("transcript_changes")
+            .option("startingVersion", 0)
+            .load(t.root)
+        )
+        q = (
+            feed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = drain()
+    v_first = {r["_commit_version"] for r in first.select("_commit_version").distinct().collect()}
+    assert v_first
+
+    t.merge_events(_events_df(spark, batches[1]), batch_id=1)
+    t.merge_events(_events_df(spark, batches[2]), batch_id=2)
+    all_rows = drain()
+
+    batch_feed = spark.read.format("transcript_changes").option(
+        "startingVersion", 0
+    ).load(t.root)
+    key = lambda r: (r["_commit_version"], r["k"], r["_change_type"], r["v"], r["note"])  # noqa: E731
+    got = sorted(map(key, all_rows.collect()))
+    want = sorted(map(key, batch_feed.collect()))
+    assert got == want  # no dupes, no holes across the restart
+    # the resumed run really was incremental (new versions only)
+    v_all = {r["_commit_version"] for r in all_rows.select("_commit_version").distinct().collect()}
+    assert v_first < v_all
