@@ -1093,6 +1093,114 @@ def cow_resolved_feed(spark, sf_dir):
     )
 
 
+_REPLICA_CUT_CACHE: dict[str, tuple[str, str]] = {}
+
+
+@q(
+    "replica_consistent_cut",
+    """
+    WITH cut AS (SELECT max(event_id) // 2 AS c1 FROM events),
+    b AS (
+      SELECT e.*, CASE WHEN event_id <= (SELECT c1 FROM cut) THEN 1 ELSE 2 END AS bno
+      FROM events e
+    ),
+    nums AS (SELECT 1 AS cut_no UNION ALL SELECT 2),
+    pref AS (
+      SELECT n.cut_no, e.user_id, e.event_type, e.value, e.event_id,
+             ROW_NUMBER() OVER (PARTITION BY n.cut_no, e.user_id, e.event_type
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM nums n JOIN b e ON e.bno <= n.cut_no
+    )
+    SELECT CAST(cut_no AS BIGINT) AS cut_no, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           event_id AS last_lsn
+    FROM pref WHERE rn = 1
+    ORDER BY cut_no, user_id, event_type
+    """,
+)
+def replica_consistent_cut(spark, sf_dir):
+    """Transactionally-consistent lake->lake replication (plans/replicate):
+    two sealed transaction cuts on a source LWW table, synced to a replica
+    through the public wire (transcript_changes feed -> transcript_lake
+    facade), then the REPLICA read back at each cut record's pinned
+    version. The oracle recomputes each cut's LWW winner set from the raw
+    events — so this pins (a) wire fidelity (dominance riders replay the
+    source's (ts, lsn) order), (b) cut bookkeeping (the replica's sealed
+    log pins exactly the source txn's versions), and (c) replica time
+    travel. Reference analog: the S3 archive rebuild — the reference's
+    single-table whole-state replication step (s3_utils.py:29-52)."""
+    import os
+    import tempfile
+    import uuid
+
+    from .plans.datasource import register
+    from .plans.lake import SnapshotParquetTable
+    from .plans.replicate import ReplicaSet, replica_handle, sealed_records
+    from .plans.txn import TransactionLog
+
+    cached = _REPLICA_CUT_CACHE.get(str(sf_dir))
+    if cached is None or not os.path.exists(
+        os.path.join(cached[0] + "-replica", "HEAD")
+    ):
+        register(spark)
+        ev = _t(spark, sf_dir, "events")
+        c1 = ev.agg(F.max("event_id")).first()[0] // 2
+        proj = ev.select(
+            F.col("user_id"),
+            F.col("event_type"),
+            _cents(F.col("value")).alias("value_c"),
+            F.col("event_id").alias("last_lsn"),
+            F.col("ts"),
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        base = os.path.join(tempfile.gettempdir(), f"cdc-replcut-{uuid.uuid4().hex}")
+        root = os.path.join(base, "src")
+        spec = TableSpec(
+            key_cols=("user_id", "event_type"),
+            bucket_col="user_id",
+            ts_col="ts",
+            lsn_col="lsn",
+            op_col="op",
+            num_buckets=16,
+            merge_mode="mor",
+            empty_to_null_exempt=(),
+            normalize_ws_cols=(),
+        )
+        t = SnapshotParquetTable(spark, root, spec)
+        t.create(proj.drop("lsn", "op").schema)
+        log = TransactionLog(os.path.join(base, "txnlog"))
+        for i, part in enumerate(
+            [proj.filter(F.col("lsn") <= c1), proj.filter(F.col("lsn") > c1)]
+        ):
+            txn = log.begin()
+            txn.stage(t).merge_events(part, batch_id=i)
+            txn.commit()
+        rs = ReplicaSet(
+            spark,
+            os.path.join(base, "txnlog"),
+            os.path.join(base, "replog"),
+            {root: root + "-replica"},
+        )
+        rs.sync()
+        _REPLICA_CUT_CACHE[str(sf_dir)] = (root, os.path.join(base, "replog"))
+    root, replog = _REPLICA_CUT_CACHE[str(sf_dir)]
+    rep = replica_handle(spark, root + "-replica")
+    out = None
+    cuts = [r for r in sealed_records(replog) if r["kind"] == "txn"]
+    for i, rec in enumerate(cuts, start=1):
+        pin = rec["tables"][0]["target_version"]
+        part = rep.read(version=pin).select(
+            F.lit(i).cast("long").alias("cut_no"),
+            "user_id",
+            "event_type",
+            "value_c",
+            "last_lsn",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("cut_no", "user_id", "event_type")
+
+
 @q(
     "lake_time_travel",
     """

@@ -1,0 +1,329 @@
+"""Transactionally-consistent multi-table replication (lake -> lake).
+
+A CDC pipeline's output is rarely consumed where it lands: the transcript
+table and its sibling tables are replicated to other regions/stores. The
+reference replicates implicitly — its S3 archive is a second copy of the
+index state, rebuilt per run (/root/reference/common/s3_utils.py:29-52) —
+with no notion of cross-table consistency because it has one table. This
+module replicates a SET of tables through their public change feeds while
+preserving the source's transactional cut points (plans/txn.py):
+
+* **Cuts, not tails.** The source's sealed transaction log is the
+  replication schedule: each sealed record pins ``{table -> version}``.
+  ``sync()`` applies, per sealed transaction in SEAL ORDER, each member
+  table's change feed window ``(last_applied, pinned]``, then seals a
+  replica-side cut record. A replica reader using
+  :meth:`ReplicaSet.consistent_versions` therefore sees exactly the
+  version sets the source's own consistent readers saw — never a mix of
+  table A past a cut and table B before it.
+* **Zero engine imports on the wire.** Reads are the
+  ``transcript_changes`` feed, writes the ``transcript_lake`` facade —
+  the same public surface an external (non-Python, non-engine) consumer
+  would use. Events-mode feeds replay with the SOURCE dominance pair
+  (``_ts_applied``, ``_lsn_applied``) as write-side ordering riders, so
+  the replica's fold resolves exactly as the source's did; resolved-mode
+  feeds (aggregation and copy-on-write sources) order by
+  ``_commit_version`` — commit order, NOT event time, because a
+  delete-reset followed by a refold of older events can make a key's
+  resolved ``_ts_applied`` go BACKWARDS, and event-time LWW would then
+  discard the newer state (test_replicate pins this case).
+* **Exactly-once, crash-resumable.** The replica apply batch id is the
+  source commit version (monotone per table across cuts); the facade
+  writer's replay gate makes re-applies no-ops. The replica's own cut
+  log is the cursor: a crash between a table's apply and the cut seal
+  re-runs the cut, already-applied members skip, the seal lands. No
+  separate state file — the log IS the checkpoint.
+
+Scale notes: the feed read is one task per change file / per changed
+bucket (no full-table scan), the wire is pre-shuffled onto the target's
+bucket grid (``bucket_partitioned``) so a cut writes at most
+``num_buckets`` delta files, and nothing data-sized touches the driver —
+the sealed-log walk is O(transactions) metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from ..schemas import TableSpec
+from . import fsio
+from .datasource import (
+    _change_file_partitions,
+    _resolved_change_partitions,
+    _TableMeta,
+    bucket_partitioned,
+)
+from .lake import SnapshotParquetTable, _atomic_write_exclusive
+
+WIRE_TS = "_wire_ts"
+WIRE_LSN = "_wire_lsn"
+WIRE_OP = "_wire_op"
+_FEED_META = ("_ts_applied", "_lsn_applied", "_change_type", "_commit_version")
+
+
+def sealed_records(log_dir: str) -> list[dict]:
+    """Sealed transaction records in SEAL order (``sealed_at``, filename
+    tiebreak). Filename order alone is wrong: txn ids are random hex, so
+    lexicographic filename order is unrelated to commit order."""
+    if not os.path.isdir(log_dir):
+        return []
+    recs = []
+    for fn in sorted(os.listdir(log_dir)):
+        if not fn.endswith(".committed.json"):
+            continue
+        with open(os.path.join(log_dir, fn)) as f:
+            rec = json.load(f)
+        rec["_file"] = fn
+        recs.append(rec)
+    recs.sort(key=lambda r: (r.get("sealed_at", 0.0), r["_file"]))
+    return recs
+
+
+def replica_spec(src_manifest: dict, feed_mode: str) -> TableSpec:
+    """Derive the replica table's spec from the SOURCE manifest alone (no
+    source TableSpec in hand — manifests carry key/bucket/engine/normalize
+    blocks exactly so spec-less consumers can do this).
+
+    Events-mode sources replicate onto the SAME merge engine (the feed
+    emits the engine's own typed events; identical folds give identical
+    state). Resolved-mode sources (aggregation, copy-on-write) emit
+    per-commit state diffs, which are plain upsert/delete facts — the
+    replica is a last-writer-wins MoR table regardless of source engine
+    (an agg replica must NOT re-aggregate already-resolved values)."""
+    eng = src_manifest.get("engine", {})
+    norm = src_manifest.get("normalize", {})
+    seq = eng.get("seq_groups") or None
+    events = feed_mode == "events"
+    return TableSpec(
+        key_cols=tuple(src_manifest.get("key_cols", ("conv_id", "turn_idx"))),
+        bucket_col=src_manifest.get("bucket_col", "conv_id"),
+        ts_col=WIRE_TS,
+        lsn_col=WIRE_LSN,
+        op_col=WIRE_OP,
+        num_buckets=int(src_manifest.get("num_buckets", 16)),
+        merge_mode="mor",
+        partial_updates=bool(events and eng.get("partial_updates")),
+        sequence_groups=(
+            {s: tuple(m) for s, m in seq.items()} if events and seq else None
+        ),
+        first_row=bool(events and eng.get("first_row")),
+        normalize_ws_cols=tuple(norm.get("ws_cols", ())),
+        empty_to_null_exempt=tuple(norm.get("empty_to_null_exempt", ())),
+        stats_cols=tuple(src_manifest.get("stats_cols", ())),
+    )
+
+
+def replica_handle(spark, root: str) -> SnapshotParquetTable:
+    """Engine handle for an existing replica table with the spec its own
+    manifest declares (key/bucket/engine blocks) and the wire ordering
+    columns — the engine read path folds by the HANDLE's spec, so a
+    default-spec handle would group by the wrong keys."""
+    m = SnapshotParquetTable(spark, root).manifest()
+    return SnapshotParquetTable(spark, root, replica_spec(m, "events"))
+
+
+class ReplicaSet:
+    """Replicate ``tables`` (source root -> replica root) along the source
+    transaction log's sealed cut chain. See module docstring.
+
+    ``register(spark)`` (plans.datasource) must have been called — both
+    wire endpoints are the registered Python data sources."""
+
+    def __init__(self, spark, src_log_dir: str, dst_log_dir: str,
+                 tables: dict[str, str]):
+        self.spark = spark
+        self.src_log_dir = src_log_dir
+        self.dst_log_dir = dst_log_dir
+        self.tables = dict(tables)
+        fsio.makedirs(dst_log_dir)
+
+    # ------------------------------------------------------------ state
+
+    def applied_ids(self) -> set[str]:
+        return {r["txn_id"] for r in sealed_records(self.dst_log_dir)}
+
+    def cursor(self) -> dict[str, int]:
+        """source root -> last source version applied to the replica
+        (0 = nothing yet; the feed window is ``(cursor, pinned]``).
+        Reconstructed from the replica's own cut log — a pure function of
+        durable state, so crash recovery needs no extra bookkeeping."""
+        cur = {root: 0 for root in self.tables}
+        for rec in sealed_records(self.dst_log_dir):
+            for t in rec.get("replica", {}).get("tables", []):
+                if t["src_root"] in cur:
+                    cur[t["src_root"]] = max(cur[t["src_root"]], t["src_version"])
+        return cur
+
+    def consistent_versions(self) -> dict[str, int]:
+        """replica root -> version pinned by the latest sealed cut touching
+        it (the replica-side analog of TransactionLog.consistent_versions)."""
+        out: dict[str, int] = {}
+        for rec in sealed_records(self.dst_log_dir):
+            for t in rec["tables"]:
+                out[t["root"]] = t["target_version"]
+        return out
+
+    # ------------------------------------------------------------ setup
+
+    def ensure_created(self) -> list[str]:
+        """Create any replica table that does not exist yet, with a spec
+        derived from its source's manifest (same keys/buckets/engine for
+        events-mode sources, LWW for resolved-mode)."""
+        created = []
+        for src_root, dst_root in self.tables.items():
+            if SnapshotParquetTable(self.spark, dst_root).exists():
+                continue
+            meta = _TableMeta.load(src_root)
+            src_m = SnapshotParquetTable(self.spark, src_root).manifest()
+            spec = replica_spec(src_m, self._feed_mode(meta))
+            t = SnapshotParquetTable(self.spark, dst_root, spec)
+            t.create(meta.user_schema())
+            created.append(dst_root)
+        return created
+
+    # ------------------------------------------------------------ sync
+
+    def sync(self) -> list[str]:
+        """Apply every source sealed transaction not yet on the replica, in
+        seal order; returns the applied txn ids. Idempotent: re-runs skip
+        sealed cuts wholly, and re-runs after a crash mid-cut skip the
+        already-applied member tables via the facade batch-id gate."""
+        self.ensure_created()
+        done = self.applied_ids()
+        cur = self.cursor()
+        applied = []
+        for rec in sealed_records(self.src_log_dir):
+            members = [t for t in rec["tables"] if t["root"] in self.tables]
+            if not members:
+                continue
+            if rec["txn_id"] in done:
+                for t in members:  # advance the in-memory cursor past it
+                    cur[t["root"]] = max(cur[t["root"]], t["target_version"])
+                continue
+            sealed = []
+            for t in members:
+                src_root, hi = t["root"], int(t["target_version"])
+                lo = cur[src_root]
+                dst_v = self._apply_window(src_root, lo, hi)
+                sealed.append((src_root, max(lo, hi), dst_v))
+                cur[src_root] = max(lo, hi)
+            self._seal(rec["txn_id"], sealed, kind="txn")
+            applied.append(rec["txn_id"])
+        return applied
+
+    def sync_to_head(self) -> dict[str, int]:
+        """Catch each table up PAST the last sealed cut to its current
+        source head — single-table cuts (explicitly weaker: consistent per
+        table, not across tables; use after the txn chain when sources also
+        take out-of-band commits). Returns source versions synced to."""
+        self.ensure_created()
+        cur = self.cursor()
+        out = {}
+        for src_root in self.tables:
+            head = SnapshotParquetTable(self.spark, src_root).current_version()
+            lo = cur[src_root]
+            if head > lo:
+                import hashlib
+
+                digest = hashlib.md5(src_root.encode()).hexdigest()[:8]
+                txn_id = f"head-v{head}-{digest}"
+                if txn_id not in self.applied_ids():
+                    dst_v = self._apply_window(src_root, lo, head)
+                    self._seal(txn_id, [(src_root, head, dst_v)], kind="head")
+            out[src_root] = max(lo, head)
+        return out
+
+    # ------------------------------------------------------------ internals
+
+    @staticmethod
+    def _feed_mode(meta: _TableMeta) -> str:
+        if meta.engine.get("agg_spec") or meta.mode != "mor":
+            return "resolved"
+        return "events"
+
+    def _apply_window(self, src_root: str, lo: int, hi: int) -> int:
+        """Apply the source's change feed over ``(lo, hi]`` to the replica;
+        returns the replica version afterwards. Empty windows (maintenance
+        commits only) are detected from manifests — no Spark job."""
+        dst_root = self.tables[src_root]
+        dst = SnapshotParquetTable(self.spark, dst_root)
+        if hi <= lo:
+            return dst.current_version()
+        meta = _TableMeta.load(src_root, version=hi)
+        mode = self._feed_mode(meta)
+        parts = (
+            _change_file_partitions(src_root, lo, hi)
+            if mode == "events"
+            else _resolved_change_partitions(src_root, lo, hi)
+        )
+        if not parts:
+            return dst.current_version()
+        feed = (
+            self.spark.read.format("transcript_changes")
+            .option("startingVersion", lo)
+            .option("endingVersion", hi)
+            .option("mode", mode)
+            .load(src_root)
+        )
+        user_cols = [c for c in feed.columns if c not in _FEED_META]
+        if mode == "events":
+            wire = feed.select(
+                *user_cols,
+                F.when(F.col("_change_type") == "delete", "D")
+                .when(F.col("_change_type") == "patch", "P")
+                .otherwise("U")
+                .alias(WIRE_OP),
+                F.col("_lsn_applied").alias(WIRE_LSN),
+                F.col("_ts_applied").alias(WIRE_TS),
+            )
+        else:
+            # resolved diffs are per-commit state facts: order by commit
+            # version (monotone per key), never by event time — see module
+            # docstring for the delete-then-refold-older-events hazard
+            wire = feed.select(
+                *user_cols,
+                F.when(F.col("_change_type") == "delete", "D")
+                .otherwise("U")
+                .alias(WIRE_OP),
+                F.col("_commit_version").alias(WIRE_LSN),
+                F.col("_commit_version").cast("timestamp").alias(WIRE_TS),
+            )
+        (
+            bucket_partitioned(wire, dst_root)
+            .write.format("transcript_lake")
+            .mode("append")
+            .option("batchId", hi)
+            .option("tsColumn", WIRE_TS)
+            .option("lsnColumn", WIRE_LSN)
+            .option("opColumn", WIRE_OP)
+            .save(dst_root)
+        )
+        return dst.refresh().current_version()
+
+    def _seal(self, txn_id: str, sealed: list[tuple[str, int, int]],
+              kind: str) -> None:
+        rec = {
+            "txn_id": txn_id,
+            "kind": kind,
+            "sealed_at": time.time(),
+            "tables": [
+                {"root": self.tables[sr], "target_version": dv}
+                for sr, _sv, dv in sealed
+            ],
+            "replica": {
+                "tables": [
+                    {"src_root": sr, "src_version": sv, "dst_root": self.tables[sr]}
+                    for sr, sv, _dv in sealed
+                ],
+            },
+        }
+        path = os.path.join(self.dst_log_dir, f"txn-{txn_id}.committed.json")
+        try:
+            _atomic_write_exclusive(path, json.dumps(rec, indent=1))
+        except Exception:
+            if not fsio.exists(path):  # pragma: no cover - real write error
+                raise

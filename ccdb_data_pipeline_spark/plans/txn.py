@@ -107,12 +107,21 @@ class TransactionLog:
         Readers pin with ``SnapshotParquetTable(...).read(version)`` to get a
         cross-table-consistent view regardless of in-flight commits."""
         out: dict[str, int] = {}
-        sealed = sorted(
+        recs = []
+        for fn in sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".committed.json")
-        )
-        for fn in sealed:  # ascending txn order; later seals win
+        ):
             with open(os.path.join(self.log_dir, fn)) as f:
                 rec = json.load(f)
+            recs.append((rec.get("sealed_at", 0.0), fn, rec))
+        # SEAL order, not filename order: txn ids are random hex, so the
+        # lexicographically-last file can be a chronologically-earlier
+        # transaction — replaying in filename order could pin table A at an
+        # old txn's version while table B carries a newer one, a version
+        # set that never coexisted (exactly the torn read this catalog
+        # exists to prevent)
+        recs.sort(key=lambda r: (r[0], r[1]))
+        for _at, _fn, rec in recs:  # ascending seal order; later seals win
             for t in rec["tables"]:
                 out[t["root"]] = t["target_version"]
         return out

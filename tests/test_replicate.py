@@ -1,0 +1,327 @@
+"""Transactionally-consistent multi-table replication (plans/replicate.py).
+
+The replica applies the SOURCE transaction log's sealed cuts in seal order
+through the public wire (transcript_changes -> transcript_lake), so replica
+readers get exactly the consistent version sets source readers got. Pins:
+state equality per engine (LWW / patch / agg-resolved / CoW-resolved),
+cut-level time-travel consistency, exactly-once re-sync, crash-resume
+mid-cut, resolved-mode ordering under backwards event time, and schema
+evolution through the wire. Reference analog: the S3 archive rebuild is the
+reference's (single-table, whole-state) replication step
+(/root/reference/common/s3_utils.py:29-52)."""
+
+import datetime as dt
+import json
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from ccdb_data_pipeline_spark.plans.datasource import register
+from ccdb_data_pipeline_spark.plans.lake import SnapshotParquetTable
+from ccdb_data_pipeline_spark.plans.replicate import (
+    ReplicaSet,
+    replica_handle,
+    sealed_records,
+)
+from ccdb_data_pipeline_spark.plans.txn import TransactionLog
+from ccdb_data_pipeline_spark.schemas import TableSpec
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("note", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+T0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _events(spark, rows):
+    # rows: (k, v, note, ts_minutes, lsn, op)
+    sch = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    data = [(k, v, n, _ts(m), lsn, op) for (k, v, n, m, lsn, op) in rows]
+    return spark.createDataFrame(data, sch)
+
+
+def _mk(spark, tmp_path, name, **kw):
+    spec = TableSpec(
+        key_cols=("k",), bucket_col="k", ts_col="ts", lsn_col="lsn",
+        op_col="op", num_buckets=4, merge_mode=kw.pop("merge_mode", "mor"), **kw
+    )
+    t = SnapshotParquetTable(spark, str(tmp_path / name), spec)
+    t.create(SCHEMA)
+    return t
+
+
+def _state(t, version=None):
+    t.refresh()
+    rows = t.read(version=version).collect() if version is not None else t.read().collect()
+    return sorted((r["k"], r["v"], r["note"]) for r in rows)
+
+
+def _rset(spark, tmp_path, srcs):
+    return ReplicaSet(
+        spark,
+        str(tmp_path / "txnlog"),
+        str(tmp_path / "replog"),
+        {s.root: s.root + "-replica" for s in srcs},
+    )
+
+
+def test_cut_replication_two_tables_consistent_at_every_cut(spark, tmp_path):
+    register(spark)
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    # out-of-band pre-txn commits (folded into the first cut's window)
+    a.merge_events(_events(spark, [("x", 1, "ax", 0, 1, "I"), ("y", 2, "ay", 0, 2, "I")]), batch_id=0)
+    b.merge_events(_events(spark, [("x", 9, "bx", 0, 1, "I")]), batch_id=0)
+
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    ba, bb = txn.stage(a), txn.stage(b)
+    ba.merge_events(_events(spark, [("x", 10, "ax2", 5, 3, "U"), ("z", 3, "az", 5, 4, "I")]), batch_id=1)
+    bb.merge_events(_events(spark, [("x", None, None, 5, 2, "D")]), batch_id=1)
+    txn.commit()
+    cut1 = {t.root: t.refresh().current_version() for t in (a, b)}
+    src_at_cut1 = {t.root: _state(t) for t in (a, b)}
+
+    # out-of-band commit between cuts (single-table; folds into cut 2)
+    a.merge_events(_events(spark, [("y", None, None, 6, 5, "D")]), batch_id=2)
+
+    txn = log.begin()
+    ba, bb = txn.stage(a), txn.stage(b)
+    ba.merge_events(_events(spark, [("w", 7, "aw", 9, 6, "I")]), batch_id=3)
+    bb.merge_events(_events(spark, [("q", 8, "bq", 9, 3, "I")]), batch_id=2)
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [a, b])
+    applied = rs.sync()
+    assert len(applied) == 2
+
+    ra = replica_handle(spark, a.root + "-replica")
+    rb = replica_handle(spark, b.root + "-replica")
+    assert _state(ra) == _state(a)
+    assert _state(rb) == _state(b)
+
+    # cut-level consistency: replica time-traveled to the FIRST cut record's
+    # pinned versions equals the source at the first txn's pinned versions
+    cuts = [r for r in sealed_records(rs.dst_log_dir) if r["kind"] == "txn"]
+    assert len(cuts) == 2
+    pin1 = {t["root"]: t["target_version"] for t in cuts[0]["tables"]}
+    assert _state(ra, version=pin1[ra.root]) == src_at_cut1[a.root]
+    assert _state(rb, version=pin1[rb.root]) == src_at_cut1[b.root]
+    # and the first cut pinned the source versions the txn itself pinned
+    srcpin1 = {t["src_root"]: t["src_version"] for t in cuts[0]["replica"]["tables"]}
+    assert srcpin1 == cut1
+
+    # re-sync is a pure no-op: no new cut records, versions unchanged
+    va, vb = ra.refresh().current_version(), rb.refresh().current_version()
+    assert rs.sync() == []
+    assert ra.refresh().current_version() == va
+    assert rb.refresh().current_version() == vb
+
+
+def test_crash_mid_cut_resumes_exactly_once(spark, tmp_path, monkeypatch):
+    register(spark)
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    a.merge_events(_events(spark, [("x", 1, "ax", 0, 1, "I")]), batch_id=0)
+    b.merge_events(_events(spark, [("x", 9, "bx", 0, 1, "I")]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    ba, bb = txn.stage(a), txn.stage(b)
+    ba.merge_events(_events(spark, [("z", 3, "az", 5, 2, "I")]), batch_id=1)
+    bb.merge_events(_events(spark, [("x", 10, "bx2", 5, 2, "U")]), batch_id=1)
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [a, b])
+    real = ReplicaSet._apply_window
+    calls = {"n": 0}
+
+    def crashing(self, src_root, lo, hi):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash after first member table")
+        return real(self, src_root, lo, hi)
+
+    monkeypatch.setattr(ReplicaSet, "_apply_window", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rs.sync()
+    # crash landed between member applies: no cut sealed yet
+    assert rs.applied_ids() == set()
+    monkeypatch.setattr(ReplicaSet, "_apply_window", real)
+
+    ra = replica_handle(spark, a.root + "-replica")
+    v_after_crash = ra.refresh().current_version()
+    assert rs.sync() != []
+    # the member applied before the crash was NOT re-applied (batch-id gate)
+    assert ra.refresh().current_version() == v_after_crash
+    assert _state(ra) == _state(a)
+    assert _state(replica_handle(spark, b.root + "-replica")) == _state(b)
+
+
+def test_patch_engine_with_seq_groups_through_wire(spark, tmp_path):
+    register(spark)
+    src = _mk(spark, tmp_path, "p", partial_updates=True,
+              sequence_groups={"v": ("note",)})
+    src.merge_events(_events(spark, [
+        ("a", 1, "a1", 0, 1, "I"), ("b", 2, "b1", 0, 2, "I"),
+    ]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    br = txn.stage(src)
+    br.merge_events(_events(spark, [
+        ("a", 5, "a-seq5", 1, 3, "P"),    # seq-group patch (v governs note)
+        ("b", None, None, 2, 4, "D"),
+        ("b", 9, "orphan", 3, 5, "P"),    # patch after delete: no-op
+    ]), batch_id=1)
+    txn.commit()
+    src.compact()  # replica feed must be compaction-blind
+
+    txn = log.begin()
+    br = txn.stage(src)
+    br.merge_events(_events(spark, [
+        ("a", 3, "a-seq3-stale", 9, 6, "P"),  # LOWER seq: group must not move
+        ("c", 7, "c1", 4, 7, "I"),
+    ]), batch_id=2)
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src)
+    assert _state(src) == [("a", 5, "a-seq5"), ("c", 7, "c1")]
+    # replica manifest carries the same engine params for future consumers
+    m = rep.manifest()
+    assert m["engine"]["partial_updates"] is True
+    assert m["engine"]["seq_groups"] == {"v": ["note"]}
+
+
+def test_agg_resolved_survives_backwards_event_time(spark, tmp_path):
+    """Delete-reset then a refold of OLDER-ts events makes the key's
+    resolved _ts_applied go BACKWARDS across cuts. Event-time LWW on the
+    replica would keep the tombstone and drop the newer state; the wire
+    orders resolved diffs by _commit_version, so the replica converges."""
+    register(spark)
+    src = _mk(spark, tmp_path, "g", agg_spec={"v": "sum", "note": "last"})
+    src.merge_events(_events(spark, [
+        ("x", 10, "first", 10, 1, "I"), ("x", 5, None, 11, 2, "U"),
+    ]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    txn.stage(src).merge_events(
+        _events(spark, [("x", None, None, 20, 3, "D")]), batch_id=1
+    )
+    txn.commit()
+    txn = log.begin()
+    txn.stage(src).merge_events(
+        # post-reset refold at OLDER event times (ts 2 < pre-delete 11)
+        _events(spark, [("x", 100, "reborn", 2, 4, "I")]), batch_id=2
+    )
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(src) == [("x", 100, "reborn")]
+    assert _state(rep) == _state(src)
+    # replica of a resolved feed is a plain LWW table, not an aggregator
+    assert rep.manifest()["engine"]["agg_spec"] is False
+
+
+def test_cow_source_replicates_via_resolved_feed(spark, tmp_path):
+    register(spark)
+    src = _mk(spark, tmp_path, "c", merge_mode="cow")
+    src.merge(_events(spark, [("a", 1, "a1", 0, 1, "I"), ("b", 2, "b1", 0, 2, "I")]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    txn.stage(src).merge(
+        _events(spark, [("a", 10, "a2", 5, 3, "U"), ("b", None, None, 5, 4, "D")]),
+        batch_id=1,
+    )
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src) == [("a", 10, "a2")]
+    # CoW source, MoR replica (the resolved wire is append-shaped)
+    assert rep.manifest()["mode"] == "mor"
+
+
+def test_sync_to_head_covers_out_of_band_commits(spark, tmp_path):
+    register(spark)
+    src = _mk(spark, tmp_path, "h")
+    src.merge_events(_events(spark, [("x", 1, "x1", 0, 1, "I")]), batch_id=0)
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync()  # no sealed txns: nothing happens, replica may not exist yet
+    rs.sync_to_head()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src)
+    # idempotent + incremental
+    v = rep.refresh().current_version()
+    rs.sync_to_head()
+    assert rep.refresh().current_version() == v
+    src.merge_events(_events(spark, [("y", 2, "y1", 1, 2, "I")]), batch_id=1)
+    rs.sync_to_head()
+    assert _state(rep) == _state(src)
+
+
+def test_schema_evolution_rides_the_wire(spark, tmp_path):
+    register(spark)
+    src = _mk(spark, tmp_path, "e")
+    src.merge_events(_events(spark, [("a", 1, "a1", 0, 1, "I")]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    br = txn.stage(src)
+    evolved = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("tool", T.StringType()),
+           T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    br.merge_events(
+        spark.createDataFrame([("b", 2, "b1", _ts(1), "search", 2, "I")], evolved),
+        batch_id=1,
+    )
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync()
+    rep = replica_handle(spark, src.root + "-replica")
+    rep.refresh()
+    assert "tool" in [f.name for f in rep.read().schema.fields]
+    got = sorted((r["k"], r["v"], r["note"], r["tool"]) for r in rep.read().collect())
+    want = sorted((r["k"], r["v"], r["note"], r["tool"]) for r in src.read().collect())
+    assert got == want
+
+
+def test_consistent_versions_follows_seal_order_not_filename(tmp_path):
+    """Regression: txn ids are random hex, so filename order is not seal
+    order. A lexicographically-later file from an EARLIER transaction must
+    not un-pin a newer seal's versions (the pinned set has to be the state
+    after some prefix of transactions — torn mixes defeat the catalog)."""
+    log_dir = tmp_path / "txnlog"
+    log_dir.mkdir()
+    # seal order: 'ff...' first (t=100, X@v1, Y@v1), '00...' second
+    # (t=200, X@v2) — filename order would replay them backwards and pin
+    # {X: v1, Y: v1}, a set that never coexisted with X@v2 sealed
+    for txn_id, at, tables in [
+        ("ffffffffffff", 100.0, [{"root": "/X", "target_version": 1},
+                                 {"root": "/Y", "target_version": 1}]),
+        ("000000000000", 200.0, [{"root": "/X", "target_version": 2}]),
+    ]:
+        rec = {"txn_id": txn_id, "sealed_at": at, "tables": tables}
+        with open(log_dir / f"txn-{txn_id}.committed.json", "w") as f:
+            json.dump(rec, f)
+    log = TransactionLog(str(log_dir))
+    assert log.consistent_versions() == {"/X": 2, "/Y": 1}
