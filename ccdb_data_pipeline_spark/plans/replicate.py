@@ -56,6 +56,7 @@ from .datasource import (
     _resolved_change_partitions,
     _TableMeta,
     bucket_partitioned,
+    feed_floor,
 )
 from .lake import SnapshotParquetTable, _atomic_write_exclusive
 
@@ -114,6 +115,37 @@ def replica_spec(src_manifest: dict, feed_mode: str) -> TableSpec:
         normalize_ws_cols=tuple(norm.get("ws_cols", ())),
         empty_to_null_exempt=tuple(norm.get("empty_to_null_exempt", ())),
         stats_cols=tuple(src_manifest.get("stats_cols", ())),
+    )
+
+
+def spec_from_manifest(m: dict) -> TableSpec:
+    """Faithful engine spec for READ paths reconstructed from a manifest
+    (key/bucket/engine/normalize blocks; the event-column names — ts/lsn/op
+    — are not manifest state and stay at their defaults, which no read
+    path consults). Used to open a SOURCE table whose creating TableSpec
+    is not in hand — e.g. the floor-bootstrap read, where folding an agg
+    table through a default LWW spec would silently mis-resolve."""
+    eng = m.get("engine", {})
+    norm = m.get("normalize", {})
+    seq = eng.get("seq_groups") or None
+    if eng.get("agg_spec") and not eng.get("agg_fns"):
+        raise ValueError(
+            "manifest flags an aggregation engine but predates engine "
+            "params (no engine.agg_fns) — commit once through the creating "
+            "TableSpec (which backfills them) before opening spec-less"
+        )
+    return TableSpec(
+        key_cols=tuple(m.get("key_cols", ("conv_id", "turn_idx"))),
+        bucket_col=m.get("bucket_col", "conv_id"),
+        num_buckets=int(m.get("num_buckets", 16)),
+        merge_mode=m.get("mode", "cow"),
+        partial_updates=bool(eng.get("partial_updates")),
+        sequence_groups={s: tuple(v) for s, v in seq.items()} if seq else None,
+        first_row=bool(eng.get("first_row")),
+        agg_spec=dict(eng["agg_fns"]) if eng.get("agg_fns") else None,
+        normalize_ws_cols=tuple(norm.get("ws_cols", ())),
+        empty_to_null_exempt=tuple(norm.get("empty_to_null_exempt", ())),
+        stats_cols=tuple(m.get("stats_cols", ())),
     )
 
 
@@ -248,13 +280,26 @@ class ReplicaSet:
     def _apply_window(self, src_root: str, lo: int, hi: int) -> int:
         """Apply the source's change feed over ``(lo, hi]`` to the replica;
         returns the replica version afterwards. Empty windows (maintenance
-        commits only) are detected from manifests — no Spark job."""
+        commits only) are detected from manifests — no Spark job.
+
+        When ``lo`` predates the source's retained history (``feed_floor``
+        > lo — expire_snapshots removed early commits), the replica is
+        first converged to the floor snapshot (snapshot-then-tail, the
+        standard CDC bootstrap) and the feed resumes from there; cuts
+        entirely below the floor are unreconstructable and their records
+        pin the floor state instead."""
         dst_root = self.tables[src_root]
         dst = SnapshotParquetTable(self.spark, dst_root)
         if hi <= lo:
             return dst.current_version()
-        meta = _TableMeta.load(src_root, version=hi)
+        meta = _TableMeta.load(src_root)
         mode = self._feed_mode(meta)
+        floor = feed_floor(src_root)
+        if lo < floor:
+            self._bootstrap_floor(src_root, dst_root, floor, mode)
+            lo = floor
+            if hi <= lo:
+                return dst.refresh().current_version()
         parts = (
             _change_file_partitions(src_root, lo, hi)
             if mode == "events"
@@ -303,6 +348,104 @@ class ReplicaSet:
             .save(dst_root)
         )
         return dst.refresh().current_version()
+
+    def _bootstrap_floor(self, src_root: str, dst_root: str, floor: int,
+                         mode: str) -> None:
+        """Converge the replica to the source's floor snapshot through the
+        facade writer (batch id = floor; a replayed bootstrap is a no-op).
+
+        Events mode (LWW/first-row): ``replay_events(floor)`` — the floor
+        state WITH tombstones, each row carrying its original dominance
+        pair, so this is exactly-once sound even for a NON-empty replica
+        (stale rows are dominated, expired-commit deletes land as
+        tombstones) and composes with later feed events. Patch sources
+        cannot replay state as whole-row events (column partials) —
+        refused with the clone() pointer, same contract as replay_events.
+
+        Resolved mode (agg/CoW source): the resolved read at the floor has
+        no tombstones, so only a FRESH (never-written) replica can
+        bootstrap from it; a stale replica would leak keys deleted inside
+        the expired range and must be rebuilt."""
+        src_m = SnapshotParquetTable(self.spark, src_root).manifest()
+        src = SnapshotParquetTable(self.spark, src_root, spec_from_manifest(src_m))
+        if mode == "events":
+            if src.spec.partial_updates:
+                raise ValueError(
+                    f"replica of {src_root} is behind the feed floor "
+                    f"(v{floor}) and patch-engine state cannot be replayed "
+                    "as whole-row events — rebuild the replica from "
+                    "clone() and restart the cut sync from there"
+                )
+            replay = src.replay_events(version=floor)
+            wire = replay.select(
+                "*",
+                F.col("op").alias(WIRE_OP),
+                F.col("_lsn_applied").alias(WIRE_LSN),
+                F.col("_ts_applied").alias(WIRE_TS),
+            ).drop("op", "_lsn_applied", "_ts_applied")
+            dst = SnapshotParquetTable(self.spark, dst_root)
+            if dst.exists() and dst.last_batch_id >= 0:
+                # a STALE replica may hold keys whose deletion happened
+                # inside the expired range AND whose tombstone the source
+                # has since reclaimed (compact(drop_tombstones=True)) —
+                # absent from the replay entirely. Kill each one with a
+                # synthetic tombstone at the stale row's OWN dominance
+                # pair: the weakest delete that still wins (the engine
+                # breaks (ts, lsn) ties toward the tombstone), so any
+                # strictly-newer feed event — including a legitimate
+                # re-insert — still lands. With tombstones retained across
+                # the gap (the sound operating contract, Kafka's
+                # delete.retention analog) this anti-join matches nothing.
+                keys = list(src.spec.key_cols)
+                stale = (
+                    replica_handle(self.spark, dst_root)
+                    .read(include_internal=True)
+                    .select(
+                        *keys,
+                        F.col("_ts_applied").alias(WIRE_TS),
+                        F.col("_lsn_applied").alias(WIRE_LSN),
+                    )
+                    .join(replay.select(*keys), on=keys, how="left_anti")
+                )
+                payload = [c for c in wire.columns
+                           if c not in (*keys, WIRE_TS, WIRE_LSN, WIRE_OP)]
+                synth = stale.select(
+                    *keys,
+                    *[
+                        F.lit(None).cast(wire.schema[c].dataType).alias(c)
+                        for c in payload
+                    ],
+                    F.lit("D").alias(WIRE_OP),
+                    WIRE_LSN,
+                    WIRE_TS,
+                )
+                wire = wire.unionByName(synth)
+        else:
+            dst = SnapshotParquetTable(self.spark, dst_root)
+            if dst.exists() and dst.last_batch_id >= 0:
+                raise ValueError(
+                    f"replica of {src_root} is behind the feed floor "
+                    f"(v{floor}) and the resolved snapshot carries no "
+                    "tombstones for keys deleted in the expired range — "
+                    "drop and recreate this replica (fresh replicas "
+                    "bootstrap from the floor automatically)"
+                )
+            wire = src.read(version=floor).select(
+                "*",
+                F.lit("U").alias(WIRE_OP),
+                F.lit(floor).cast("long").alias(WIRE_LSN),
+                F.lit(floor).cast("timestamp").alias(WIRE_TS),
+            )
+        (
+            bucket_partitioned(wire, dst_root)
+            .write.format("transcript_lake")
+            .mode("append")
+            .option("batchId", floor)
+            .option("tsColumn", WIRE_TS)
+            .option("lsnColumn", WIRE_LSN)
+            .option("opColumn", WIRE_OP)
+            .save(dst_root)
+        )
 
     def _seal(self, txn_id: str, sealed: list[tuple[str, int, int]],
               kind: str) -> None:

@@ -325,3 +325,82 @@ def test_consistent_versions_follows_seal_order_not_filename(tmp_path):
             json.dump(rec, f)
     log = TransactionLog(str(log_dir))
     assert log.consistent_versions() == {"/X": 2, "/Y": 1}
+
+
+def test_fresh_replica_bootstraps_past_expired_history(spark, tmp_path):
+    """Snapshot-then-tail: a NEW replica of a table whose early commits
+    were expired converges via replay_events(floor) — including deletes
+    whose commits expired — then tails the retained feed."""
+    register(spark)
+    src = _mk(spark, tmp_path, "x")
+    src.merge_events(_events(spark, [
+        ("a", 1, "a1", 0, 1, "I"), ("b", 2, "b1", 0, 2, "I"),
+    ]), batch_id=0)
+    src.merge_events(_events(spark, [("b", None, None, 1, 3, "D")]), batch_id=1)
+    src.merge_events(_events(spark, [("c", 3, "c1", 2, 4, "I")]), batch_id=2)
+    # keep tombstones: reclaiming them is per-table GC (a replica cannot
+    # mirror it through the feed, and a reclaimed tombstone changes the
+    # SOURCE's own late-replay behavior too)
+    src.compact(drop_tombstones=False)
+    src.expire_snapshots(retain_last=2)  # floor now past the delete commit
+    src.merge_events(_events(spark, [("d", 4, "d1", 3, 5, "I")]), batch_id=3)
+
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync_to_head()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src)
+    # b stayed deleted even though its deleting commit expired: the floor
+    # bootstrap replayed its tombstone with the original dominance pair
+    assert ("b", 2, "b1") not in _state(rep)
+    # late replay of the expired-range delete's event must still lose
+    src.merge_events(_events(spark, [("b", 2, "b1", 0, 2, "I")]), batch_id=4)
+    rs.sync_to_head()
+    assert _state(rep) == _state(src)
+
+
+def test_stale_lww_replica_heals_across_gap(spark, tmp_path):
+    """A replica that synced once, then fell behind past what the source
+    retains, converges through the same floor bootstrap (replay_events
+    carries tombstones + original dominance, so a NON-empty replica is
+    sound too)."""
+    register(spark)
+    src = _mk(spark, tmp_path, "y")
+    src.merge_events(_events(spark, [
+        ("a", 1, "a1", 0, 1, "I"), ("b", 2, "b1", 0, 2, "I"),
+    ]), batch_id=0)
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync_to_head()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src)
+
+    src.merge_events(_events(spark, [("b", None, None, 1, 3, "D")]), batch_id=1)
+    src.merge_events(_events(spark, [("a", 10, "a2", 2, 4, "U")]), batch_id=2)
+    src.compact()
+    src.expire_snapshots(retain_last=1)  # replica's cursor now pre-floor
+    rs.sync_to_head()
+    assert _state(rep) == _state(src) == [("a", 10, "a2")]
+
+
+def test_stale_resolved_replica_refuses_gap_with_pointer(spark, tmp_path):
+    """Resolved-mode snapshots carry no tombstones, so only a FRESH replica
+    may bootstrap from the floor; a stale one must refuse (a silent
+    bootstrap would resurrect keys deleted inside the expired range)."""
+    register(spark)
+    src = _mk(spark, tmp_path, "z", agg_spec={"v": "sum", "note": "last"})
+    src.merge_events(_events(spark, [("a", 1, "a1", 0, 1, "I")]), batch_id=0)
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync_to_head()
+
+    src.merge_events(_events(spark, [("a", None, None, 1, 2, "D")]), batch_id=1)
+    src.merge_events(_events(spark, [("b", 5, "b1", 2, 3, "I")]), batch_id=2)
+    src.compact()
+    src.expire_snapshots(retain_last=1)
+    with pytest.raises(ValueError, match="drop and recreate"):
+        rs.sync_to_head()
+    # a fresh replica of the same source DOES bootstrap
+    rs2 = ReplicaSet(
+        spark, str(tmp_path / "txnlog"), str(tmp_path / "replog2"),
+        {src.root: str(tmp_path / "z-fresh")},
+    )
+    rs2.sync_to_head()
+    assert _state(replica_handle(spark, str(tmp_path / "z-fresh"))) == _state(src)
