@@ -199,6 +199,45 @@ class ReplicaSet:
                 out[t["root"]] = t["target_version"]
         return out
 
+    def lag_report(self) -> list[dict]:
+        """Per-table replication lag from metadata alone (readdir + JSON —
+        no Spark job, safe to poll): source head version vs the replica's
+        cursor, commits behind, sealed source transactions not yet
+        applied, and the last replica seal time. The numbers an operator
+        alerts on (the reference's analog is the size-regression sentinel
+        check before an alias swap, index_ccdb.py:74-84)."""
+        cur = self.cursor()
+        done = self.applied_ids()
+        pending_txns = {
+            root: sum(
+                1
+                for rec in sealed_records(self.src_log_dir)
+                if rec["txn_id"] not in done
+                and any(t["root"] == root for t in rec["tables"])
+            )
+            for root in self.tables
+        }
+        last_seal: dict[str, float] = {}
+        for rec in sealed_records(self.dst_log_dir):
+            for t in rec.get("replica", {}).get("tables", []):
+                if t["src_root"] in self.tables:
+                    last_seal[t["src_root"]] = rec.get("sealed_at")
+        out = []
+        for src_root, dst_root in sorted(self.tables.items()):
+            head = SnapshotParquetTable(self.spark, src_root).current_version()
+            out.append(
+                {
+                    "src_root": src_root,
+                    "dst_root": dst_root,
+                    "src_head": head,
+                    "cursor": cur[src_root],
+                    "commits_behind": max(0, head - cur[src_root]),
+                    "pending_txns": pending_txns[src_root],
+                    "last_seal_at": last_seal.get(src_root),
+                }
+            )
+        return out
+
     # ------------------------------------------------------------ setup
 
     def ensure_created(self) -> list[str]:

@@ -404,3 +404,29 @@ def test_stale_resolved_replica_refuses_gap_with_pointer(spark, tmp_path):
     )
     rs2.sync_to_head()
     assert _state(replica_handle(spark, str(tmp_path / "z-fresh"))) == _state(src)
+
+
+def test_lag_report_tracks_cursor_and_pending(spark, tmp_path):
+    register(spark)
+    src = _mk(spark, tmp_path, "lag")
+    src.merge_events(_events(spark, [("a", 1, "a1", 0, 1, "I")]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    txn.stage(src).merge_events(
+        _events(spark, [("b", 2, "b1", 1, 2, "I")]), batch_id=1
+    )
+    txn.commit()
+    rs = _rset(spark, tmp_path, [src])
+
+    before = rs.lag_report()[0]
+    assert before["cursor"] == 0
+    assert before["commits_behind"] == src.refresh().current_version()
+    assert before["pending_txns"] == 1
+    assert before["last_seal_at"] is None
+
+    rs.sync()
+    after = rs.lag_report()[0]
+    assert after["commits_behind"] == 0
+    assert after["pending_txns"] == 0
+    assert after["cursor"] == src.current_version()
+    assert after["last_seal_at"] is not None
