@@ -48,8 +48,13 @@ import os
 import time
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TableSpec
+
+
+def T_struct(schema_json: dict) -> "T.StructType":
+    return T.StructType.fromJson(schema_json)
 from . import fsio
 from .datasource import (
     _change_file_partitions,
@@ -331,6 +336,7 @@ class ReplicaSet:
         dst = SnapshotParquetTable(self.spark, dst_root)
         if hi <= lo:
             return dst.current_version()
+        self._mirror_ddl(src_root, dst_root)
         meta = _TableMeta.load(src_root)
         mode = self._feed_mode(meta)
         floor = feed_floor(src_root)
@@ -387,6 +393,41 @@ class ReplicaSet:
             .save(dst_root)
         )
         return dst.refresh().current_version()
+
+    def _mirror_ddl(self, src_root: str, dst_root: str) -> None:
+        """Mirror the source's schema DDL (rename/drop/add-with-default —
+        metadata-only commits the change feed deliberately skips) onto the
+        replica, in schema-id order, BEFORE applying window data: feed rows
+        arrive in the source's HEAD schema, so the replica's schema must be
+        brought to head first or a rename would union-evolve in as a brand
+        new column while the retired name kept the old rows' values.
+
+        Idempotent by schema inspection (a rename whose retired name is
+        gone, a drop whose column is absent, an add that already exists all
+        skip), so no mirror ledger is needed — crash anywhere and re-run."""
+        src_m = SnapshotParquetTable(self.spark, src_root).manifest()
+        events = sorted(
+            [("rename", r) for r in src_m.get("renames", [])]
+            + [("drop", d) for d in src_m.get("drops", [])]
+            + [("add", a) for a in src_m.get("adds", [])
+               if a.get("default") is not None],
+            key=lambda e: int(e[1]["sid"]),
+        )
+        if not events:
+            return
+        rep = replica_handle(self.spark, dst_root)
+        src_schema = T_struct(src_m["schema"])
+        for kind, r in events:
+            names = [f.name for f in T_struct(rep.manifest()["schema"]).fields]
+            if kind == "rename" and r["from"] in names and r["to"] not in names:
+                rep.rename_column(r["from"], r["to"])
+            elif kind == "drop" and r["name"] in names:
+                rep.drop_column(r["name"])
+            elif kind == "add" and r["name"] not in names:
+                cur = {f.name: f.dataType for f in src_schema.fields}
+                if r["name"] in cur:  # dtype comes from the source's head
+                    rep.add_column(r["name"], cur[r["name"]], default=r["default"])
+            rep.refresh()
 
     def _bootstrap_floor(self, src_root: str, dst_root: str, floor: int,
                          mode: str) -> None:

@@ -430,3 +430,55 @@ def test_lag_report_tracks_cursor_and_pending(spark, tmp_path):
     assert after["pending_txns"] == 0
     assert after["cursor"] == src.current_version()
     assert after["last_seal_at"] is not None
+
+
+def test_rename_and_drop_ddl_mirror_to_replica(spark, tmp_path):
+    """Metadata-only DDL never rides the change feed (non-merge commits are
+    skipped), so the replicator mirrors the source's schema-event log in
+    sid order before applying data. Without the mirror, a post-rename feed
+    row would union-evolve the NEW name in as a fresh column while rows
+    never retouched kept their values under the retired name."""
+    register(spark)
+    src = _mk(spark, tmp_path, "ddl")
+    src.merge_events(_events(spark, [
+        ("a", 1, "keep-a", 0, 1, "I"), ("b", 2, "keep-b", 0, 2, "I"),
+    ]), batch_id=0)
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync_to_head()  # replica exists PRE-rename (holds the old name)
+
+    src.rename_column("note", "comment")
+    src.refresh()
+    # post-rename merge touches only 'a' — 'b' is never rewritten
+    src.merge_events(
+        spark.createDataFrame(
+            [("a", 10, "a-new", _ts(5), 3, "U")],
+            "k string, v long, comment string, ts timestamp, lsn long, op string",
+        ),
+        batch_id=1,
+    )
+    rs.sync_to_head()
+    rep = replica_handle(spark, src.root + "-replica")
+    rep.refresh()
+    cols = [f.name for f in rep.read().schema.fields]
+    assert "comment" in cols and "note" not in cols
+    got = sorted((r["k"], r["v"], r["comment"]) for r in rep.read().collect())
+    want = sorted((r["k"], r["v"], r["comment"]) for r in src.read().collect())
+    assert got == want  # b's value serves under the renamed column
+    assert ("b", 2, "keep-b") in got
+
+    src.drop_column("comment")
+    src.refresh()
+    src.merge_events(
+        spark.createDataFrame(
+            [("c", 3, _ts(6), 4, "I")],
+            "k string, v long, ts timestamp, lsn long, op string",
+        ),
+        batch_id=2,
+    )
+    rs.sync_to_head()
+    rep.refresh()
+    cols = [f.name for f in rep.read().schema.fields]
+    assert "comment" not in cols
+    assert sorted((r["k"], r["v"]) for r in rep.read().collect()) == sorted(
+        (r["k"], r["v"]) for r in src.read().collect()
+    )
