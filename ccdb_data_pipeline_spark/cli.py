@@ -30,6 +30,12 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   feed-floor --table DIR                           oldest retained change-feed startingVersion
   resume-gap --table SRC --out TGT                 recover a gapped replication consumer
                                                    (re-bootstrap target from the floor snapshot)
+  replicate-sync --table SRC --out DST --txn-log DIR --replica-log DIR
+                 [--map SRC2=DST2 ...] [--to-head]
+                                                   apply the source txn log's sealed cuts to the
+                                                   replica set (consistent cuts; exactly-once)
+  replicate-lag  --table SRC --out DST --txn-log DIR --replica-log DIR [--map ...]
+                                                   metadata-only lag report (no Spark job)
 """
 
 from __future__ import annotations
@@ -53,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
                                     "txn-recover", "vacuum", "history", "stats",
                                     "tag", "untag", "rate", "lag", "rename", "drop-column",
                                     "add-column", "fsck", "purge", "export",
-                                    "maintain", "feed-floor", "resume-gap"])
+                                    "maintain", "feed-floor", "resume-gap",
+                                    "replicate-sync", "replicate-lag"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -98,6 +105,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain: max buckets rewritten per compaction sweep")
     ap.add_argument("--dry-run", action="store_true",
                     help="maintain: print the plan without executing")
+    ap.add_argument("--replica-log",
+                    help="replicate-*: the replica's cut-record directory")
+    ap.add_argument("--map", action="append", default=[],
+                    help="replicate-*: additional SRC=DST table pair (repeatable)")
+    ap.add_argument("--to-head", action="store_true",
+                    help="replicate-sync: also catch each table up past the "
+                         "last sealed cut to the source head (per-table cuts)")
     ap.add_argument("--master", default=None)
     a = ap.parse_args(argv)
     if a.cmd == "add-column" and not a.col_type:
@@ -225,6 +239,29 @@ def main(argv: list[str] | None = None) -> int:
                 "checkpointLocation": "<a FRESH directory>",
             },
         }))
+    elif a.cmd in ("replicate-sync", "replicate-lag"):
+        from .plans.datasource import register
+        from .plans.replicate import ReplicaSet
+
+        if not (a.out and a.txn_log and a.replica_log):
+            ap.error(f"{a.cmd} requires --out, --txn-log and --replica-log")
+        tables = {a.table: a.out}
+        for pair in a.map:
+            src, _, dst = pair.partition("=")
+            if not dst:
+                ap.error(f"--map expects SRC=DST, got {pair!r}")
+            tables[src] = dst
+        register(spark)
+        rs = ReplicaSet(spark, a.txn_log, a.replica_log, tables)
+        if a.cmd == "replicate-lag":
+            print(json.dumps({"lag": rs.lag_report()}))
+        else:
+            applied = rs.sync()
+            out = {"applied_txns": applied}
+            if a.to_head:
+                out["head_synced"] = rs.sync_to_head()
+            out["lag"] = rs.lag_report()
+            print(json.dumps(out))
     elif a.cmd == "maintain":
         from .plans.maintenance import MaintenancePolicy, auto_maintain
 

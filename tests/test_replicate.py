@@ -482,3 +482,44 @@ def test_rename_and_drop_ddl_mirror_to_replica(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in rep.read().collect()) == sorted(
         (r["k"], r["v"]) for r in src.read().collect()
     )
+
+
+def test_cli_replicate_sync_and_lag(spark, tmp_path):
+    """Operator-facing CLI: replicate-sync applies the sealed cuts through
+    a fresh spark-submit-style process and prints applied txns + lag;
+    replicate-lag is the metadata-only poll."""
+    import subprocess
+    import sys as _sys
+
+    src = _mk(spark, tmp_path, "clisrc")
+    src.merge_events(_events(spark, [("a", 1, "a1", 0, 1, "I")]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    txn.stage(src).merge_events(
+        _events(spark, [("b", 2, "b1", 1, 2, "I"), ("a", None, None, 2, 3, "D")]),
+        batch_id=1,
+    )
+    txn.commit()
+    dst = str(tmp_path / "clidst")
+
+    def cli(*args):
+        r = subprocess.run(
+            [_sys.executable, "-m", "ccdb_data_pipeline_spark.cli", *args,
+             "--master", "local[2]"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.strip().splitlines()
+                if l.startswith("{")]
+
+    lag = cli("replicate-lag", "--table", src.root, "--out", dst,
+              "--txn-log", str(tmp_path / "txnlog"),
+              "--replica-log", str(tmp_path / "replog"))[-1]["lag"][0]
+    assert lag["pending_txns"] == 1 and lag["cursor"] == 0
+
+    out = cli("replicate-sync", "--table", src.root, "--out", dst,
+              "--txn-log", str(tmp_path / "txnlog"),
+              "--replica-log", str(tmp_path / "replog"))[-1]
+    assert len(out["applied_txns"]) == 1
+    assert out["lag"][0]["pending_txns"] == 0
+    assert _state(replica_handle(spark, dst)) == _state(src) == [("b", 2, "b1")]
