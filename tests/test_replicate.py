@@ -523,3 +523,44 @@ def test_cli_replicate_sync_and_lag(spark, tmp_path):
     assert len(out["applied_txns"]) == 1
     assert out["lag"][0]["pending_txns"] == 0
     assert _state(replica_handle(spark, dst)) == _state(src) == [("b", 2, "b1")]
+
+
+def test_chained_replication_tier2(spark, tmp_path):
+    """Replicas compose: the replica's cut log is itself a sealed-record
+    chain, so a second-tier ReplicaSet (edge -> region -> global topology)
+    replays tier-1's cut records as its source transactions — same wire,
+    same consistency guarantee, no special casing."""
+    register(spark)
+    src = _mk(spark, tmp_path, "t0")
+    src.merge_events(_events(spark, [("a", 1, "a1", 0, 1, "I")]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    txn.stage(src).merge_events(
+        _events(spark, [("b", 2, "b1", 1, 2, "I"), ("a", 9, "a2", 2, 3, "U")]),
+        batch_id=1,
+    )
+    txn.commit()
+
+    t1root = str(tmp_path / "t1")
+    rs1 = ReplicaSet(spark, str(tmp_path / "txnlog"), str(tmp_path / "log1"),
+                     {src.root: t1root})
+    rs1.sync()
+
+    t2root = str(tmp_path / "t2")
+    rs2 = ReplicaSet(spark, str(tmp_path / "log1"), str(tmp_path / "log2"),
+                     {t1root: t2root})
+    applied = rs2.sync()
+    assert applied  # tier-1 cut records drove tier-2
+    t2 = replica_handle(spark, t2root)
+    assert _state(t2) == _state(src) == [("a", 9, "a2"), ("b", 2, "b1")]
+    # tier-2 replica keeps the same engine wiring for a third tier
+    assert t2.manifest()["engine"] == replica_handle(spark, t1root).manifest()["engine"]
+    # incremental: a new source cut flows through both tiers
+    txn = log.begin()
+    txn.stage(src).merge_events(
+        _events(spark, [("a", None, None, 3, 4, "D")]), batch_id=2
+    )
+    txn.commit()
+    rs1.sync()
+    rs2.sync()
+    assert _state(t2) == _state(src) == [("b", 2, "b1")]
