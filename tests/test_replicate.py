@@ -564,3 +564,43 @@ def test_chained_replication_tier2(spark, tmp_path):
     rs1.sync()
     rs2.sync()
     assert _state(t2) == _state(src) == [("b", 2, "b1")]
+
+
+def test_gdpr_purge_propagates_to_replica(spark, tmp_path):
+    """Right-to-erasure across the replication topology: the source purge's
+    tombstone batch rides the feed (and its expire advances the floor, so a
+    stale replica takes the heal path with the RETAINED key tombstones);
+    the replica's own physical erasure is then the same local pipeline
+    every copy runs — compact + expire — after which no retained replica
+    file holds the purged payload bytes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ccdb_data_pipeline_spark.plans.dml import purge_where
+
+    register(spark)
+    src = _mk(spark, tmp_path, "pii")
+    src.merge_events(_events(spark, [
+        ("victim", 1, "SECRET-PII", 0, 1, "I"), ("other", 2, "keep", 0, 2, "I"),
+    ]), batch_id=0)
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync_to_head()
+
+    rpt = purge_where(src, "k = 'victim'")
+    assert rpt["n_purged"] >= 1 if "n_purged" in rpt else True
+    rs.sync_to_head()
+
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src) == [("other", 2, "keep")]
+
+    # replica-side physical erasure: same local maintenance as any copy
+    rep.compact(drop_tombstones=False, only_dirty=False)
+    rep.expire_snapshots(retain_last=1)
+    rep.remove_orphans()
+    leaked = []
+    for f in glob.glob(os.path.join(rep.root, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f)
+        if "note" in t.column_names:
+            leaked += [v for v in t.column("note").to_pylist() if v == "SECRET-PII"]
+    assert not leaked
