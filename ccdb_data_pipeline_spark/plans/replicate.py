@@ -43,6 +43,7 @@ the sealed-log walk is O(transactions) metadata.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -51,10 +52,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import TableSpec
-
-
-def T_struct(schema_json: dict) -> "T.StructType":
-    return T.StructType.fromJson(schema_json)
 from . import fsio
 from .datasource import (
     _change_file_partitions,
@@ -64,6 +61,10 @@ from .datasource import (
     feed_floor,
 )
 from .lake import SnapshotParquetTable, _atomic_write_exclusive
+
+def _struct(schema_json: dict) -> T.StructType:
+    return T.StructType.fromJson(schema_json)
+
 
 WIRE_TS = "_wire_ts"
 WIRE_LSN = "_wire_lsn"
@@ -303,8 +304,6 @@ class ReplicaSet:
             head = SnapshotParquetTable(self.spark, src_root).current_version()
             lo = cur[src_root]
             if head > lo:
-                import hashlib
-
                 digest = hashlib.md5(src_root.encode()).hexdigest()[:8]
                 txn_id = f"head-v{head}-{digest}"
                 if txn_id not in self.applied_ids():
@@ -416,9 +415,9 @@ class ReplicaSet:
         if not events:
             return
         rep = replica_handle(self.spark, dst_root)
-        src_schema = T_struct(src_m["schema"])
+        src_schema = _struct(src_m["schema"])
         for kind, r in events:
-            names = [f.name for f in T_struct(rep.manifest()["schema"]).fields]
+            names = [f.name for f in _struct(rep.manifest()["schema"]).fields]
             if kind == "rename" and r["from"] in names and r["to"] not in names:
                 rep.rename_column(r["from"], r["to"])
             elif kind == "drop" and r["name"] in names:
