@@ -604,3 +604,31 @@ def test_gdpr_purge_propagates_to_replica(spark, tmp_path):
         if "note" in t.column_names:
             leaked += [v for v in t.column("note").to_pylist() if v == "SECRET-PII"]
     assert not leaked
+
+
+def test_first_row_engine_through_wire(spark, tmp_path):
+    """First-row (claim-once) sources replicate through the same events
+    wire: the feed's dominance riders carry each event's own pair, and the
+    replica's first-row fold takes the same argmin — later claims lose on
+    both sides, deletes dominate permanently on both sides."""
+    register(spark)
+    src = _mk(spark, tmp_path, "fr", first_row=True)
+    src.merge_events(_events(spark, [
+        ("a", 1, "first-claim", 5, 1, "I"),
+        ("a", 2, "late-claim", 9, 2, "I"),     # later ts: must lose
+        ("b", 3, "b1", 0, 3, "I"),
+    ]), batch_id=0)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    txn.stage(src).merge_events(_events(spark, [
+        ("a", 9, "even-earlier", 1, 4, "I"),   # EARLIER ts, later batch: wins
+        ("b", None, None, 2, 5, "D"),          # permanent erase
+        ("b", 7, "resurrect?", 9, 6, "I"),     # must NOT resurrect
+    ]), batch_id=1)
+    txn.commit()
+
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert rep.manifest()["engine"]["first_row"] is True
+    assert _state(rep) == _state(src) == [("a", 9, "even-earlier")]
