@@ -2127,8 +2127,22 @@ class SnapshotParquetTable:
                     e["dv"]["n_deleted"] for e in clean
                     if e.get("dv") and _dv_key(e["path"]) in counts
                 )
-                report["n_dv_positions"] = new_total - prior
-                report["n_files_with_dv"] = len(counts)
+                if new_total == prior and not dropped:
+                    # Idempotent re-delete: the new sidecar is a superset of
+                    # the carried positions with equal total, so per file the
+                    # position sets are UNCHANGED (a never-DV'd file in
+                    # ``counts`` always adds >=1). Committing would churn a
+                    # new snapshot + sidecar for zero state change — and a
+                    # periodic caller (the TTL sweep in plans/maintenance.py,
+                    # whose trigger reads file min/max stats that a DV cannot
+                    # refresh) would re-commit every round until compaction.
+                    fsio.rmtree(os.path.join(self.root, sidecar_rel))
+                    counts = {}
+                    sidecar_rel = None
+                else:
+                    report["n_dv_positions"] = new_total - prior
+                    report["n_files_with_dv"] = len(counts)
+        if counts or dropped:
             buckets = {}
             for b, files in m0["buckets"].items():
                 out_files = []

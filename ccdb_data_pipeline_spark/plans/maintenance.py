@@ -28,8 +28,9 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
 
-from .lake import SnapshotParquetTable
+from .lake import SnapshotParquetTable, _file_may_match, _stat_scalar
 
 
 @dataclass(frozen=True)
@@ -87,6 +88,30 @@ class MaintenancePolicy:
     rebucket_min_factor: float = 2.0
     rebucket_execute: bool = True
     rebucket_max_rows: int | None = None
+    # ---- row-level TTL (event-time retention) ------------------------
+    # Age out rows whose ``ttl_column`` fell behind ``now - ttl_max_age``
+    # (a transcript store's retention-compliance sweep — the Delta
+    # "DELETE WHERE event_ts < horizon" cron, made condition-driven).
+    # The TRIGGER is manifest-only: the sweep runs only when some file's
+    # RECORDED min(ttl_column) stat is provably below the cutoff, so a
+    # healthy table pays one JSON read per round, never a scan. That
+    # makes recorded stats the contract: declare ``ttl_column`` in
+    # ``TableSpec.stats_cols`` or the trigger never fires (reported as an
+    # observation, not silence). The sweep itself is ``delete_where_dv``
+    # with the structured predicate ``(ttl_column < cutoff)``:
+    # metadata-only whole-file drops for fully-expired files,
+    # position-delete sidecars for the stragglers, tombstone fallback
+    # inside dirty buckets. A straggler file's recorded min stat cannot
+    # move until compaction rewrites it, so later rounds may re-SCAN it —
+    # but the idempotent-delete guard in ``delete_where_dv`` makes those
+    # rounds commit-free (no snapshot churn), and the re-scan window
+    # closes at the next compaction (or, once the cutoff passes the
+    # file's max, with a metadata-only whole-file drop).
+    # ``ttl_now=None`` uses the wall clock (naive UTC, the engine's ts
+    # convention); tests and replayed maintenance inject a fixed one.
+    ttl_column: str | None = None
+    ttl_max_age: "timedelta | None" = None
+    ttl_now: "datetime | None" = None
 
 
 def _n_manifests(table: SnapshotParquetTable) -> int:
@@ -112,6 +137,44 @@ def auto_maintain(
     """
     s = table.stats()
     report: dict = {"version_before": s["version"], "dry_run": dry_run, "actions": {}}
+
+    # ---- row-level TTL (first: its tombstone fallback adds delta layers
+    # the compaction trigger below should see this same round) -----------
+    if policy.ttl_column:
+        if policy.ttl_max_age is None:
+            raise ValueError("ttl_column set but ttl_max_age is None")
+        now = policy.ttl_now or datetime.now(timezone.utc).replace(tzinfo=None)
+        cutoff = now - policy.ttl_max_age
+        enc = _stat_scalar(cutoff)
+        pred = [(policy.ttl_column, "<", enc)]
+        m = table.manifest()
+        candidates = stat_bearing = 0
+        for fs in m["buckets"].values():
+            for e in fs:
+                st = e.get("stats") or {}
+                if policy.ttl_column in st:
+                    stat_bearing += 1
+                    if _file_may_match(e, pred):
+                        candidates += 1
+        if candidates:
+            act = {"run": True, "cutoff": cutoff.isoformat(),
+                   "reason": f"{candidates} file(s) with recorded "
+                             f"min({policy.ttl_column}) below cutoff"}
+            if not dry_run:
+                act["result"] = table.delete_where_dv(
+                    [(policy.ttl_column, "<", cutoff)], ts=now
+                )
+                s = table.stats()  # refresh for the compaction decision
+        elif not stat_bearing:
+            act = {"run": False, "cutoff": cutoff.isoformat(),
+                   "reason": f"no file records stats for {policy.ttl_column!r} "
+                             f"— add it to TableSpec.stats_cols or the TTL "
+                             f"trigger can never fire"}
+        else:
+            act = {"run": False, "cutoff": cutoff.isoformat(),
+                   "reason": f"all {stat_bearing} stat-bearing file(s) have "
+                             f"min({policy.ttl_column}) >= cutoff"}
+        report["actions"]["ttl"] = act
 
     # ---- compaction --------------------------------------------------
     due = []

@@ -185,3 +185,117 @@ def test_bucket_count_advisor_budget_and_recommend_only(spark, tmp_path):
     assert not r["actions"]["rebucket"]["run"]
     assert "dry run" in r["actions"]["rebucket"]["reason"]
     assert t.stats()["version"] == v0
+
+
+# ---------------------------------------------------------------- row TTL
+
+from datetime import datetime, timedelta  # noqa: E402
+
+import pandas as pd  # noqa: E402
+
+TTL_NOW = datetime(2025, 6, 1)
+OLD = TTL_NOW - timedelta(days=90)
+YOUNG = TTL_NOW - timedelta(days=1)
+TTL_ONLY = dict(max_delta_depth=99, max_dirty_buckets=9999, retain_snapshots=50,
+                ttl_column="ts", ttl_max_age=timedelta(days=30), ttl_now=TTL_NOW)
+
+
+def _seed_rows(ts_for):
+    return pd.DataFrame(
+        [(f"c{i:03d}", 0, "user", f"t{i}", None, ts_for(i)) for i in range(40)],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+
+
+def _ttl_table(spark, tmp_path, ts_for, stats=("ts",), mode="mor"):
+    t = SnapshotParquetTable(
+        spark, str(tmp_path / "ttl"),
+        TableSpec(num_buckets=4, merge_mode=mode, stats_cols=tuple(stats)),
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(_seed_rows(ts_for), TRANSCRIPT_SCHEMA))
+    return t
+
+
+def test_ttl_sweep_ages_out_expired_rows_then_goes_commit_free(spark, tmp_path):
+    # mixed files: every bucket holds old AND young rows -> DV sidecars
+    t = _ttl_table(spark, tmp_path, lambda i: OLD if i % 2 == 0 else YOUNG)
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    act = r["actions"]["ttl"]
+    assert act["run"] and "below cutoff" in act["reason"]
+    res = act["result"]
+    assert res["n_dv_positions"] + res["n_rows_dropped"] == 20
+    assert res["n_dv_positions"] > 0  # stragglers went through the DV path
+    got = table_to_pandas(t.read())
+    assert len(got) == 20 and (got["ts"] >= pd.Timestamp(YOUNG)).all()
+    v1 = t.stats()["version"]
+    # second round: the straggler files' recorded min(ts) is still old, so
+    # the sweep re-runs — but the idempotent-delete guard makes it
+    # COMMIT-FREE (no snapshot churn, no new sidecar)
+    r2 = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    act2 = r2["actions"]["ttl"]
+    assert act2["run"]
+    assert act2["result"]["n_dv_positions"] == 0
+    assert act2["result"]["n_files_dropped"] == 0
+    assert act2["result"]["n_tombstoned"] == 0
+    assert t.stats()["version"] == v1
+    assert_tables_equal(table_to_pandas(t.read()), got)
+    # compaction rewrites the stragglers; the trigger then goes fully
+    # metadata-only (no stat-bearing file below the cutoff)
+    t.compact(only_dirty=False)
+    r3 = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    assert not r3["actions"]["ttl"]["run"]
+    assert ">= cutoff" in r3["actions"]["ttl"]["reason"]
+
+
+def test_ttl_whole_file_drop_is_metadata_only(spark, tmp_path):
+    # every row expired -> stats prove whole-file matches -> manifest drops
+    t = _ttl_table(spark, tmp_path, lambda i: OLD)
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    res = r["actions"]["ttl"]["result"]
+    assert res["n_files_dropped"] > 0 and res["n_rows_dropped"] == 40
+    assert res["n_dv_positions"] == 0 and res["n_tombstoned"] == 0
+    assert t.read().count() == 0
+
+
+def test_ttl_young_table_is_metadata_only_noop(spark, tmp_path):
+    t = _ttl_table(spark, tmp_path, lambda i: YOUNG)
+    v0 = t.stats()["version"]
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    act = r["actions"]["ttl"]
+    assert not act["run"] and ">= cutoff" in act["reason"]
+    assert t.stats()["version"] == v0
+
+
+def test_ttl_without_recorded_stats_reports_observation(spark, tmp_path):
+    t = _ttl_table(spark, tmp_path, lambda i: OLD, stats=())
+    v0 = t.stats()["version"]
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    act = r["actions"]["ttl"]
+    assert not act["run"] and "stats_cols" in act["reason"]
+    assert t.stats()["version"] == v0 and t.read().count() == 40
+
+
+def test_ttl_dry_run_plans_without_executing(spark, tmp_path):
+    t = _ttl_table(spark, tmp_path, lambda i: OLD)
+    v0 = t.stats()["version"]
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY), dry_run=True)
+    assert r["actions"]["ttl"]["run"] and "result" not in r["actions"]["ttl"]
+    assert t.stats()["version"] == v0 and t.read().count() == 40
+
+
+def test_ttl_dirty_bucket_rows_fall_back_to_tombstones(spark, tmp_path):
+    # old rows arriving through CDC land in MoR delta layers (which carry
+    # stats too) -> the sweep routes their buckets to the tombstone path
+    t = _ttl_table(spark, tmp_path, lambda i: YOUNG)
+    ch = pd.DataFrame(
+        [(100 + i, "I", f"c{i:03d}", 7, "user", "stale", None, OLD) for i in range(10)],
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    apply_changes(t, spark.createDataFrame(ch, CHANGE_SCHEMA), batch_id=1)
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    act = r["actions"]["ttl"]
+    assert act["run"]
+    assert act["result"]["n_tombstoned"] == 10
+    got = table_to_pandas(t.read())
+    assert len(got) == 40 and (got["ts"] >= pd.Timestamp(YOUNG)).all()
