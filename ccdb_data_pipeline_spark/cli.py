@@ -3,7 +3,7 @@
 Usage (production: spark-submit --py-files engine.zip -m or a thin runner;
 locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
 
-  init    --table DIR [--buckets N]                create empty lake table
+  init    --table DIR [--buckets N] [--stats-cols C1,C2]   create empty lake table
   seed    --table DIR --parquet PATH               bootstrap initial snapshot
   ingest  --table DIR --binlog DIR --checkpoint DIR [--max-files N] [--v2]
                                                    tail segments -> MERGE
@@ -25,8 +25,9 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   fsck    --table DIR                              metadata/disk integrity audit (exit 1 on violations)
   purge   --table DIR --where PRED [--drop-tags]   hard purge: rewrite files, expire history, GC bytes
   export  --table DIR --out DIR [--shards N] [--salt S]   render conversations -> deterministic training shards
-  maintain --table DIR [--retain-last N] [--max-depth D] [--budget B] [--dry-run]
-                                                   condition-driven table services (compact/expire/GC)
+  maintain --table DIR [--retain-last N] [--max-depth D] [--budget B]
+           [--ttl-column COL --ttl-days D] [--dry-run]
+                                                   condition-driven table services (compact/expire/GC/row TTL)
   feed-floor --table DIR                           oldest retained change-feed startingVersion
   resume-gap --table SRC --out TGT                 recover a gapped replication consumer
                                                    (re-bootstrap target from the floor snapshot)
@@ -105,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain: max buckets rewritten per compaction sweep")
     ap.add_argument("--dry-run", action="store_true",
                     help="maintain: print the plan without executing")
+    ap.add_argument("--stats-cols", default=None,
+                    help="init: comma-separated columns to record per-file "
+                         "min/max stats for (file pruning + TTL trigger)")
+    ap.add_argument("--ttl-column", default=None,
+                    help="maintain: event-time column for row-level TTL ageing")
+    ap.add_argument("--ttl-days", type=float, default=None,
+                    help="maintain: age out rows older than this many days")
     ap.add_argument("--replica-log",
                     help="replicate-*: the replica's cut-record directory")
     ap.add_argument("--map", action="append", default=[],
@@ -118,11 +126,17 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("add-column requires --type (a DDL type, e.g. string, bigint)")
 
     spark = build_session(app_name=f"cdc-{a.cmd}", master=a.master)
-    table = SnapshotParquetTable(spark, a.table, TableSpec(num_buckets=a.buckets))
+    scols = tuple(
+        c.strip() for c in (a.stats_cols or "").split(",") if c.strip()
+    )
+    table = SnapshotParquetTable(
+        spark, a.table, TableSpec(num_buckets=a.buckets, stats_cols=scols)
+    )
 
     if a.cmd == "init":
         table.create(TRANSCRIPT_SCHEMA)
-        print(json.dumps({"created": a.table, "buckets": a.buckets}))
+        print(json.dumps({"created": a.table, "buckets": a.buckets,
+                          "stats_cols": list(scols)}))
     elif a.cmd == "seed":
         bootstrap_seed(table, spark.read.parquet(a.parquet))
         print(json.dumps({"seeded_rows": table.read().count()}))
@@ -265,10 +279,16 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "maintain":
         from .plans.maintenance import MaintenancePolicy, auto_maintain
 
+        if (a.ttl_column is None) != (a.ttl_days is None):
+            ap.error("--ttl-column and --ttl-days must be given together")
+        from datetime import timedelta
+
         pol = MaintenancePolicy(
             max_delta_depth=a.max_depth,
             compact_budget_buckets=a.budget,
             retain_snapshots=a.retain_last,
+            ttl_column=a.ttl_column,
+            ttl_max_age=timedelta(days=a.ttl_days) if a.ttl_days is not None else None,
         )
         print(json.dumps(auto_maintain(table, pol, dry_run=a.dry_run)))
     elif a.cmd == "stats":

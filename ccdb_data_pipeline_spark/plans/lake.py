@@ -2718,6 +2718,22 @@ class SnapshotParquetTable:
                 flat[i]["stats"] = cstats
         return files
 
+    def _stats_cols(self) -> tuple:
+        """The table's declared stat columns — MANIFEST-authoritative once
+        the table exists (``TableSpec.stats_cols`` only seeds the value at
+        ``create``). A maintenance or CLI handle constructed with a default
+        spec must keep recording the same per-file stats when it rewrites
+        files; taking the spec's (empty) tuple here would make one
+        ``compact`` silently shed the table's pruning / TTL-trigger
+        coverage for every rewritten file."""
+        try:
+            m = self.manifest()
+        except Exception:
+            return tuple(self.spec.stats_cols)
+        if "stats_cols" in m:
+            return tuple(m["stats_cols"])
+        return tuple(self.spec.stats_cols)
+
     def _footer_scan(self, pairs: list[tuple[int, str]]):
         """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max);
         driver-side for a handful of files, executor-parallel beyond
@@ -2725,7 +2741,7 @@ class SnapshotParquetTable:
         if not pairs:
             return []
         ts_col = self.spec.ts_col
-        stats_cols = tuple(self.spec.stats_cols)
+        stats_cols = self._stats_cols()
         token = self._plane_token()
         # registered-scheme paths WITHOUT a shippable factory stay
         # driver-side (the fs registration is per-process); factory schemes
@@ -3410,7 +3426,7 @@ class SnapshotParquetTable:
             if not pairs:
                 return files, []
             ts_col = self.spec.ts_col
-            scols = tuple(self.spec.stats_cols)
+            scols = self._stats_cols()
             token = self._plane_token()
             if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX or (
                 "://" in pairs[0][1] and token is None
@@ -3458,7 +3474,7 @@ class SnapshotParquetTable:
             if not pairs:
                 return files, []
             ts_col = self.spec.ts_col
-            scols = tuple(self.spec.stats_cols)
+            scols = self._stats_cols()
             token = self._plane_token()
             if len(pairs) <= self._FOOTER_SCAN_DRIVER_MAX or (
                 "://" in pairs[0][1] and token is None

@@ -59,6 +59,8 @@ def start_ingest(
     source_format: str = "parquet",
     compact_every: int | None = None,
     compact_budget: int | None = 64,
+    maintain_every: int | None = None,
+    maintain_policy=None,
 ):
     """Start the CDC ingest stream; returns the StreamingQuery.
 
@@ -71,6 +73,16 @@ def start_ingest(
     latency-critical ingest keep this unset and run compaction from a
     SEPARATE process instead — concurrent commits reconcile via the
     lost-CAS validate-and-rebase path (plans/lake.py).
+
+    maintain_every: the full-service generalization of ``compact_every``
+    — after every N applied micro-batches run ``auto_maintain`` with
+    ``maintain_policy`` (default ``MaintenancePolicy()``), so a
+    long-running stream also gets snapshot expiry, orphan GC, the
+    bucket-count advisor, and row-level TTL ageing without an external
+    scheduler. Safe at any cadence: every auto_maintain decision is
+    manifest-only, so an all-skip round costs one JSON read. When both
+    knobs are set they tick independently (compact_every for a tight
+    read-amp bound, maintain_every for the slower hygiene loop).
 
     dedupe_within_watermark: when set (e.g. ``"2 hours"``), suppress
     re-delivered change events in-stream with
@@ -139,6 +151,7 @@ def start_ingest(
         changes = timed.unionByName(changes.filter(F.col(spec.ts_col).isNull()))
 
     applied_since_compact = [0]
+    applied_since_maintain = [0]
 
     def _fb(batch_df, batch_id: int) -> None:
         stats = apply_changes(
@@ -150,6 +163,13 @@ def start_ingest(
             if applied_since_compact[0] >= compact_every:
                 applied_since_compact[0] = 0
                 table.compact(drop_tombstones=False, max_buckets=compact_budget)
+        if maintain_every and not stats.skipped:
+            applied_since_maintain[0] += 1
+            if applied_since_maintain[0] >= maintain_every:
+                applied_since_maintain[0] = 0
+                from ..plans.maintenance import MaintenancePolicy, auto_maintain
+
+                auto_maintain(table, maintain_policy or MaintenancePolicy())
         if emit_changes_dir is not None:
             if not stats.skipped:
                 _emit_batch_changes(table, emit_changes_dir, batch_id, stats.version)

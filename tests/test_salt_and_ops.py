@@ -168,3 +168,36 @@ def test_with_global_index_strict_gap_free(spark):
     assert sorted(r["row_idx"] for r in got) == list(range(1, len(vals) + 1))
     by_idx = sorted(got, key=lambda r: r["row_idx"])
     assert [r["v"] for r in by_idx] == sorted(v for (v,) in vals)
+
+
+def test_cli_maintain_row_ttl(tmp_path):
+    """init --stats-cols -> seed -> maintain --ttl-column/--ttl-days ages
+    out the (old) seed rows through the real CLI: the seed handle records
+    ts stats because stats_cols is manifest-authoritative (a later CLI
+    invocation never re-passes it), and the TTL sweep's whole-file drops
+    take the recorded row floor to zero."""
+    from ccdb_data_pipeline_spark.sources.binlog import gen_seed_pandas
+
+    seedp = tmp_path / "seed.parquet"
+    seed = gen_seed_pandas(n_convs=10, seed=42)  # ts all in 2024
+    seed["ts"] = seed["ts"].astype("datetime64[us]")
+    seed.to_parquet(seedp)
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "ccdb_data_pipeline_spark.cli", *args,
+             "--master", "local[2]"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+
+    t = str(tmp_path / "table")
+    assert cli("init", "--table", t, "--buckets", "4", "--stats-cols", "ts")[0][
+        "stats_cols"] == ["ts"]
+    assert cli("seed", "--table", t, "--parquet", str(seedp))[0]["seeded_rows"] > 0
+    rep = cli("maintain", "--table", t, "--ttl-column", "ts", "--ttl-days", "365")[0]
+    assert rep["actions"]["ttl"]["run"] is True
+    res = rep["actions"]["ttl"]["result"]
+    assert res["n_files_dropped"] > 0 or res["n_dv_positions"] > 0
+    assert cli("stats", "--table", t)[0]["base_rows_recorded"] == 0

@@ -197,3 +197,25 @@ def test_facade_writer_records_declared_stats(spark, tmp_path):
     ]
     assert delta_entries
     assert any("stats" in e and "role" in e["stats"] for e in delta_entries)
+
+
+def test_fresh_default_spec_handle_keeps_recording_stats(spark, tmp_path):
+    """stats_cols is a TABLE property (manifest-authoritative), not a
+    handle property: a maintenance/CLI handle built with a default
+    TableSpec must keep recording the declared per-file stats when it
+    rewrites files — otherwise one `compact` from such a handle silently
+    sheds the table's pruning and TTL-trigger coverage."""
+    t = _mk(spark, tmp_path)
+    ch = gen_changes_pandas(200, n_convs=30, seed=7)
+    apply_changes(t, spark.createDataFrame(ch, CHANGE_SCHEMA), batch_id=1)
+
+    fresh = SnapshotParquetTable(spark, t.root)  # default spec: stats_cols=()
+    assert fresh._stats_cols() == STATS
+    fresh.compact(only_dirty=False)
+
+    m = fresh.manifest()
+    entries = [e for fs in m["buckets"].values() for e in fs]
+    assert entries, "compaction left no files"
+    for e in entries:
+        st = e.get("stats") or {}
+        assert set(STATS) <= set(st), f"rewritten file lost stats: {e['path']}"

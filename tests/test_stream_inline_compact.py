@@ -94,3 +94,39 @@ def test_inline_compact_keeps_change_feed_quiet(spark, tmp_path):
         )
     }
     assert post <= touched
+
+
+def test_inline_maintain_runs_full_service_loop(spark, tmp_path):
+    """start_ingest(maintain_every=...) — the full condition-driven
+    service loop rides the stream: compaction bounds read amplification
+    AND snapshot expiry bounds metadata growth, with the final content
+    still equal to the sequential replay oracle."""
+    import os
+
+    from ccdb_data_pipeline_spark.plans.maintenance import MaintenancePolicy
+
+    seed = gen_seed_pandas(n_convs=30, seed=13)
+    ch = gen_changes_pandas(1200, n_convs=30, seed=13)
+    binlog = os.path.join(str(tmp_path), "binlog")
+    write_segments(ch, binlog, n_segments=6, replay_segment=None)
+    t = SnapshotParquetTable(
+        spark, os.path.join(str(tmp_path), "t"), TableSpec(num_buckets=8, merge_mode="mor")
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    pol = MaintenancePolicy(
+        max_delta_depth=1, max_dirty_buckets=1,
+        retain_snapshots=2, expire_slack=0, compact_budget_buckets=None,
+    )
+    run_ingest(
+        spark, binlog, t, os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=1, maintain_every=2, maintain_policy=pol,
+    )
+    assert_tables_equal(table_to_pandas(t.read()), replay(seed, [ch]))
+    ops = [m.get("summary", {}).get("op") for m in t.history()]
+    assert "compact" in ops
+    # expiry kept the manifest count bounded (6 merges + 3 service sweeps
+    # would otherwise retain ~10 manifests)
+    mdir = os.path.join(t.root, "manifests")
+    n_manifests = sum(1 for f in os.listdir(mdir) if f.endswith(".json"))
+    assert n_manifests <= 6
