@@ -26,7 +26,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   purge   --table DIR --where PRED [--drop-tags]   hard purge: rewrite files, expire history, GC bytes
   export  --table DIR --out DIR [--shards N] [--salt S]   render conversations -> deterministic training shards
   maintain --table DIR [--retain-last N] [--max-depth D] [--budget B]
-           [--ttl-column COL --ttl-days D] [--dry-run]
+           [--ttl-column COL --ttl-days D [--ttl-mode dv|cdc]] [--dry-run]
                                                    condition-driven table services (compact/expire/GC/row TTL)
   feed-floor --table DIR                           oldest retained change-feed startingVersion
   resume-gap --table SRC --out TGT                 recover a gapped replication consumer
@@ -113,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain: event-time column for row-level TTL ageing")
     ap.add_argument("--ttl-days", type=float, default=None,
                     help="maintain: age out rows older than this many days")
+    ap.add_argument("--ttl-mode", choices=["dv", "cdc"], default="dv",
+                    help="maintain: dv = position-delete maintenance "
+                         "(feed-invisible); cdc = tombstone events that "
+                         "replicate through the change feed")
     ap.add_argument("--replica-log",
                     help="replicate-*: the replica's cut-record directory")
     ap.add_argument("--map", action="append", default=[],
@@ -289,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
             retain_snapshots=a.retain_last,
             ttl_column=a.ttl_column,
             ttl_max_age=timedelta(days=a.ttl_days) if a.ttl_days is not None else None,
+            ttl_mode=a.ttl_mode,
         )
         print(json.dumps(auto_maintain(table, pol, dry_run=a.dry_run)))
     elif a.cmd == "stats":

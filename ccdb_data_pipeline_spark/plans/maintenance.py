@@ -109,9 +109,22 @@ class MaintenancePolicy:
     # file's max, with a metadata-only whole-file drop).
     # ``ttl_now=None`` uses the wall clock (naive UTC, the engine's ts
     # convention); tests and replayed maintenance inject a fixed one.
+    #
+    # ``ttl_mode`` picks the delete plane, and the difference MATTERS for
+    # replicated tables: ``"dv"`` (default) is table-level maintenance —
+    # O(positions) sidecars, no lineage entry, and INVISIBLE to the change
+    # feed, so a replica tailing this table would keep the aged rows
+    # (each replica should instead run its own TTL policy). ``"cdc"``
+    # routes the sweep through ``dml.delete_where`` — real tombstone
+    # events with LWW dominance that enter the feed and replicate, at
+    # O(deleted rows) write cost and a resolve-at-read window until
+    # compaction. Same manifest-only trigger either way; in cdc mode a
+    # stats-pruned emptiness probe keeps re-triggered rounds commit-free
+    # (tombstoned rows are no longer live, so nothing re-matches).
     ttl_column: str | None = None
     ttl_max_age: "timedelta | None" = None
     ttl_now: "datetime | None" = None
+    ttl_mode: str = "dv"
 
 
 def _n_manifests(table: SnapshotParquetTable) -> int:
@@ -143,9 +156,19 @@ def auto_maintain(
     if policy.ttl_column:
         if policy.ttl_max_age is None:
             raise ValueError("ttl_column set but ttl_max_age is None")
+        if policy.ttl_mode not in ("dv", "cdc"):
+            raise ValueError(f"ttl_mode {policy.ttl_mode!r} not in ('dv', 'cdc')")
+        dtypes = {f.name: f.dataType.simpleString() for f in table.schema.fields}
+        dt_s = dtypes.get(policy.ttl_column)
+        if dt_s not in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"ttl_column {policy.ttl_column!r} must be a timestamp/date "
+                f"column (got {dt_s!r})"
+            )
         now = policy.ttl_now or datetime.now(timezone.utc).replace(tzinfo=None)
         cutoff = now - policy.ttl_max_age
-        enc = _stat_scalar(cutoff)
+        cut_val = cutoff.date() if dt_s == "date" else cutoff
+        enc = _stat_scalar(cut_val)
         pred = [(policy.ttl_column, "<", enc)]
         m = table.manifest()
         candidates = stat_bearing = 0
@@ -157,13 +180,44 @@ def auto_maintain(
                     if _file_may_match(e, pred):
                         candidates += 1
         if candidates:
-            act = {"run": True, "cutoff": cutoff.isoformat(),
+            act = {"run": True, "mode": policy.ttl_mode, "cutoff": cutoff.isoformat(),
                    "reason": f"{candidates} file(s) with recorded "
                              f"min({policy.ttl_column}) below cutoff"}
             if not dry_run:
-                act["result"] = table.delete_where_dv(
-                    [(policy.ttl_column, "<", cutoff)], ts=now
-                )
+                if policy.ttl_mode == "dv":
+                    act["result"] = table.delete_where_dv(
+                        [(policy.ttl_column, "<", cut_val)], ts=now
+                    )
+                else:
+                    # cdc mode: stats-pruned emptiness probe first — on a
+                    # re-triggered round every sub-cutoff row is already
+                    # tombstoned (not live), and delete_where would commit
+                    # an empty batch per round until compaction refreshes
+                    # the file stats
+                    probe = [(policy.ttl_column, "<", cut_val)]
+                    if table.read(where=probe).limit(1).count() == 0:
+                        act["run"] = False
+                        act["reason"] = (
+                            f"{candidates} candidate file(s) below cutoff but "
+                            f"no LIVE rows match (already tombstoned; file "
+                            f"stats refresh at the next compaction)"
+                        )
+                    else:
+                        from .dml import delete_where
+
+                        lit = {
+                            "timestamp": f"TIMESTAMP '{cutoff.isoformat(sep=' ')}'",
+                            "timestamp_ntz":
+                                f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ')}'",
+                            "date": f"DATE '{cutoff.date().isoformat()}'",
+                        }[dt_s]
+                        st = delete_where(
+                            table, f"{policy.ttl_column} < {lit}", ts=now,
+                            read_columns=[policy.ttl_column],
+                        )
+                        act["result"] = {"n_tombstoned": st.n_delete,
+                                         "batch_id": st.batch_id,
+                                         "version": st.version}
                 s = table.stats()  # refresh for the compaction decision
         elif not stat_bearing:
             act = {"run": False, "cutoff": cutoff.isoformat(),

@@ -299,3 +299,37 @@ def test_ttl_dirty_bucket_rows_fall_back_to_tombstones(spark, tmp_path):
     assert act["result"]["n_tombstoned"] == 10
     got = table_to_pandas(t.read())
     assert len(got) == 40 and (got["ts"] >= pd.Timestamp(YOUNG)).all()
+
+
+def test_ttl_cdc_mode_tombstones_are_feed_visible_and_converge(spark, tmp_path):
+    """ttl_mode='cdc': the sweep is real tombstone events — they enter the
+    change feed (so replicas converge; the DV mode is feed-invisible by
+    design) — and a re-triggered round is commit-free because the
+    emptiness probe sees no LIVE rows below the cutoff."""
+    t = _ttl_table(spark, tmp_path, lambda i: OLD if i % 2 == 0 else YOUNG)
+    v0 = t.current_version()
+    pol = MaintenancePolicy(**{**TTL_ONLY, "ttl_mode": "cdc"})
+    r = auto_maintain(t, pol)
+    act = r["actions"]["ttl"]
+    assert act["run"] and act["mode"] == "cdc"
+    assert act["result"]["n_tombstoned"] == 20
+    got = table_to_pandas(t.read())
+    assert len(got) == 20 and (got["ts"] >= pd.Timestamp(YOUNG)).all()
+    feed = t.table_changes(v0, t.current_version())
+    dels = feed.filter("_change_type = 'delete'").count()
+    assert dels == 20
+    v1 = t.current_version()
+    r2 = auto_maintain(t, pol)
+    act2 = r2["actions"]["ttl"]
+    assert not act2["run"] and "already tombstoned" in act2["reason"]
+    assert t.current_version() == v1
+
+
+def test_ttl_rejects_non_temporal_column_and_bad_mode(spark, tmp_path):
+    t = _ttl_table(spark, tmp_path, lambda i: YOUNG)
+    import pytest
+
+    with pytest.raises(ValueError, match="timestamp/date"):
+        auto_maintain(t, MaintenancePolicy(**{**TTL_ONLY, "ttl_column": "role"}))
+    with pytest.raises(ValueError, match="ttl_mode"):
+        auto_maintain(t, MaintenancePolicy(**{**TTL_ONLY, "ttl_mode": "soft"}))

@@ -632,3 +632,45 @@ def test_first_row_engine_through_wire(spark, tmp_path):
     rep = replica_handle(spark, src.root + "-replica")
     assert rep.manifest()["engine"]["first_row"] is True
     assert _state(rep) == _state(src) == [("a", 9, "even-earlier")]
+
+
+def test_cdc_mode_ttl_propagates_to_replica(spark, tmp_path):
+    """Row-level TTL in ttl_mode='cdc' emits real tombstone events, so a
+    replica tailing the public wire converges to the aged-out state (the
+    default DV mode is feed-invisible table maintenance by design — each
+    replica would run its own TTL policy instead)."""
+    from ccdb_data_pipeline_spark.plans.maintenance import (
+        MaintenancePolicy,
+        auto_maintain,
+    )
+
+    register(spark)
+    src = _mk(spark, tmp_path, "ttl", stats_cols=("ts",))
+    # minutes 0-9: expired by the cutoff below; minutes 1380+: retained
+    src.merge_events(
+        _events(
+            spark,
+            [(f"old{i}", i, "o", i, i + 1, "I") for i in range(10)]
+            + [(f"new{i}", i, "n", 1380 + i, 100 + i, "I") for i in range(5)],
+        ),
+        batch_id=0,
+    )
+    rs = _rset(spark, tmp_path, [src])
+    rs.sync_to_head()
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src)
+
+    now = (T0 + dt.timedelta(days=1)).replace(tzinfo=None)
+    pol = MaintenancePolicy(
+        max_delta_depth=99, max_dirty_buckets=9999, retain_snapshots=50,
+        ttl_column="ts", ttl_max_age=dt.timedelta(hours=12), ttl_now=now,
+        ttl_mode="cdc",
+    )
+    r = auto_maintain(src, pol)
+    assert r["actions"]["ttl"]["run"]
+    assert r["actions"]["ttl"]["result"]["n_tombstoned"] == 10
+
+    rs.sync_to_head()
+    assert _state(rep) == _state(src)
+    assert len(_state(rep)) == 5
+    assert all(k.startswith("new") for k, _, _ in _state(rep))
