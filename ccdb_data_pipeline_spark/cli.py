@@ -14,6 +14,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   update  --table DIR --where PRED --set COL=EXPR [--set ...]   predicate UPDATE
   retention --table DIR --max-age-days N           TTL sweep (rows older than N days)
   txn-recover --table DIR --txn-log DIR            roll forward unfinished multi-table txns
+  txn-expire  --table DIR --txn-log DIR [--keep-last N]   fold old sealed txn records into a checkpoint
   vacuum  --table DIR [--retain-last N]            expire old snapshots + GC orphan files
   stats   --table DIR                              manifest-only health report (read amp, compaction advice)
   tag     --table DIR --name N [--version V]       pin a snapshot (GC-immune, immutable name)
@@ -57,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="transcript-cdc-engine")
     ap.add_argument("cmd", choices=["init", "seed", "ingest", "replay", "compact",
                                     "lineage", "delete", "update", "retention",
-                                    "txn-recover", "vacuum", "history", "stats",
+                                    "txn-recover", "txn-expire", "vacuum", "history", "stats",
                                     "tag", "untag", "rate", "lag", "rename", "drop-column",
                                     "add-column", "fsck", "purge", "export",
                                     "maintain", "feed-floor", "resume-gap",
@@ -82,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="retention: metadata fast path — drop wholly-expired "
                          "files from the manifest before tombstoning stragglers")
     ap.add_argument("--txn-log",
-                    help="txn-recover: transaction log directory to roll forward")
+                    help="txn-recover/txn-expire: transaction log directory")
+    ap.add_argument("--keep-last", type=int, default=100,
+                    help="txn-expire: sealed records to keep unfolded")
     ap.add_argument("--retain-last", type=int, default=2,
                     help="vacuum: snapshots to retain before expiry")
     ap.add_argument("--name", help="tag/untag: tag name")
@@ -208,6 +211,10 @@ def main(argv: list[str] | None = None) -> int:
 
         done = TransactionLog(a.txn_log).recover(spark)
         print(json.dumps({"rolled_forward": done}))
+    elif a.cmd == "txn-expire":
+        from .plans.txn import TransactionLog
+
+        print(json.dumps(TransactionLog(a.txn_log).expire(keep_last=a.keep_last)))
     elif a.cmd == "vacuum":
         expired = table.expire_snapshots(retain_last=a.retain_last)
         orphans = table.remove_orphans()

@@ -92,6 +92,11 @@ class MaintenancePolicy:
     # Age out rows whose ``ttl_column`` fell behind ``now - ttl_max_age``
     # (a transcript store's retention-compliance sweep — the Delta
     # "DELETE WHERE event_ts < horizon" cron, made condition-driven).
+    # The one-shot operator forms are ``plans/dml.apply_retention`` /
+    # ``apply_retention_fast`` (explicit invocation, spec ts_col, always
+    # tombstones); this is the POLICY form: manifest-only trigger, any
+    # declared stat column, a choice of delete plane, and a cadence that
+    # can ride ``start_ingest(maintain_every=...)``.
     # The TRIGGER is manifest-only: the sweep runs only when some file's
     # RECORDED min(ttl_column) stat is provably below the cutoff, so a
     # healthy table pays one JSON read per round, never a scan. That

@@ -100,13 +100,91 @@ class TransactionLog:
             json.dump(intent, f, indent=1)
         os.replace(intent_path, sealed)  # atomic: intent disappears with seal
 
+    # ------------------------------------------------------------ retention
+
+    CHECKPOINT = "txn-checkpoint.json"
+
+    def checkpoint(self) -> dict | None:
+        """The folded-history record left by ``expire``, or None."""
+        p = os.path.join(self.log_dir, self.CHECKPOINT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def expire(self, keep_last: int = 100) -> dict:
+        """Bound the sealed-record count: fold every sealed transaction but
+        the newest ``keep_last`` into ONE checkpoint record, then delete the
+        folded files. At one transaction per micro-batch a 10^10-event
+        replay seals millions of records; without this, every
+        ``consistent_versions`` / replica-sync call reads them ALL — the
+        same unbounded-metadata problem snapshot manifests have, with the
+        same fix (``expire_snapshots``' log-level analog).
+
+        The checkpoint carries the folded interval's final per-table
+        versions and its max seal time, so ``consistent_versions`` is
+        UNCHANGED by an expiry (asserted by tests). What is lost is
+        per-cut granularity INSIDE the folded interval: a replica whose
+        cursor predates the horizon can no longer replay those exact cut
+        boundaries — it converges through the surviving records' (wider)
+        change-feed windows instead, falling back to the snapshot-then-tail
+        floor bootstrap when table history expired too. Crash-safe:
+        the checkpoint is atomically replaced BEFORE any folded file is
+        deleted, and re-folding a leftover record re-applies the same
+        versions (idempotent), so a crash between the two steps only
+        leaves garbage a re-run reclaims. In-flight intents are never
+        touched."""
+        recs = []
+        for fn in os.listdir(self.log_dir):
+            if not fn.endswith(".committed.json"):
+                continue
+            with open(os.path.join(self.log_dir, fn)) as f:
+                rec = json.load(f)
+            recs.append((rec.get("sealed_at", 0.0), fn, rec))
+        recs.sort(key=lambda r: (r[0], r[1]))
+        fold = recs[:-keep_last] if keep_last > 0 else recs
+        if not fold:
+            return {"folded": 0, "kept": len(recs)}
+        base = self.checkpoint() or {
+            "kind": "checkpoint", "versions": {}, "sealed_at": 0.0,
+            "folded": 0, "txn_ids_tail": [],
+        }
+        for _at, _fn, rec in fold:
+            for t in rec["tables"]:
+                base["versions"][t["root"]] = t["target_version"]
+            base["sealed_at"] = max(base["sealed_at"], rec.get("sealed_at", 0.0))
+            base["folded"] += 1
+        # the last few folded ids, for operators tracing "where did my txn
+        # record go" — bounded, not a full index
+        base["txn_ids_tail"] = (
+            base.get("txn_ids_tail", []) + [r[2]["txn_id"] for r in fold]
+        )[-16:]
+        # fold horizon (seal time + filename of the LAST folded record):
+        # lets consistent_versions skip a folded-but-undeleted leftover
+        # after a crash between the checkpoint replace and the deletes —
+        # re-applying such a record could regress a table to a pre-fold
+        # version the checkpoint already superseded
+        base["horizon"] = [fold[-1][0], fold[-1][1]]
+        tmp = os.path.join(self.log_dir, self.CHECKPOINT + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(base, f, indent=1)
+        os.replace(tmp, os.path.join(self.log_dir, self.CHECKPOINT))
+        for _at, fn, _rec in fold:
+            os.remove(os.path.join(self.log_dir, fn))
+        return {"folded": len(fold), "kept": len(recs) - len(fold)}
+
     # ------------------------------------------------------------ catalog
 
     def consistent_versions(self) -> dict[str, int]:
         """table root -> version of the last SEALED transaction touching it.
         Readers pin with ``SnapshotParquetTable(...).read(version)`` to get a
-        cross-table-consistent view regardless of in-flight commits."""
+        cross-table-consistent view regardless of in-flight commits. History
+        folded by ``expire`` contributes through the checkpoint record, so
+        the answer is identical before and after an expiry."""
         out: dict[str, int] = {}
+        cp = self.checkpoint()
+        if cp:
+            out.update({r: int(v) for r, v in cp["versions"].items()})
         recs = []
         for fn in sorted(
             f for f in os.listdir(self.log_dir) if f.endswith(".committed.json")
@@ -121,7 +199,10 @@ class TransactionLog:
         # set that never coexisted (exactly the torn read this catalog
         # exists to prevent)
         recs.sort(key=lambda r: (r[0], r[1]))
-        for _at, _fn, rec in recs:  # ascending seal order; later seals win
+        horizon = tuple(cp["horizon"]) if cp and cp.get("horizon") else None
+        for at, fn, rec in recs:  # ascending seal order; later seals win
+            if horizon and (at, fn) <= horizon:
+                continue  # folded-but-undeleted leftover (crash mid-expire)
             for t in rec["tables"]:
                 out[t["root"]] = t["target_version"]
         return out

@@ -674,3 +674,32 @@ def test_cdc_mode_ttl_propagates_to_replica(spark, tmp_path):
     assert _state(rep) == _state(src)
     assert len(_state(rep)) == 5
     assert all(k.startswith("new") for k, _, _ in _state(rep))
+
+
+def test_replica_converges_after_source_txn_log_expiry(spark, tmp_path):
+    """TransactionLog.expire folds old sealed records into a checkpoint;
+    a replica whose cursor predates the fold horizon loses those exact
+    cut boundaries but still converges — the surviving record's window
+    spans the folded interval through the change feed."""
+    register(spark)
+    src = _mk(spark, tmp_path, "exp")
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    txn = log.begin()
+    b = txn.stage(src)
+    b.merge_events(_events(spark, [("a", 1, "a1", 0, 1, "I")]), batch_id=0)
+    txn.commit()
+    rs = _rset(spark, tmp_path, [src])
+    assert len(rs.sync()) == 1  # replica current as of cut 1
+
+    for i, (k, lsn) in enumerate([("b", 2), ("c", 3), ("d", 4)], start=1):
+        txn = log.begin()
+        bb = txn.stage(src)
+        bb.merge_events(_events(spark, [(k, lsn, k, i, lsn, "I")]), batch_id=i)
+        txn.commit()
+    assert log.expire(keep_last=1)["folded"] >= 2
+
+    applied = rs.sync()
+    assert len(applied) == 1  # one surviving cut, spanning the fold
+    rep = replica_handle(spark, src.root + "-replica")
+    assert _state(rep) == _state(src)
+    assert len(_state(rep)) == 4

@@ -148,3 +148,67 @@ def test_consistent_versions_pin_cross_table_reads(spark, tmp_path):
     # the pinned set still reads the transactionally-consistent pair
     assert facts.read(version=pinned[facts.root]).count() == 5
     assert agg.read(version=pinned[agg.root]).count() == 5
+
+
+# ------------------------------------------------------------ log retention
+
+def _seal_n_txns(spark, tmp_path, n):
+    """n sealed single-era txns over two tables; returns (log, tables)."""
+    facts, agg = _two_tables(spark, tmp_path)
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    lsn = 10
+    for i in range(n):
+        txn = log.begin()
+        bf, ba = txn.stage(facts), txn.stage(agg)
+        bf.merge(_batch(spark, [lsn], "facts"), batch_id=i + 1)
+        ba.merge(_batch(spark, [lsn], "agg"), batch_id=i + 1)
+        txn.commit()
+        lsn += 1
+    return log, (facts, agg)
+
+
+def test_txn_expire_folds_history_and_preserves_catalog(spark, tmp_path):
+    log, _tables = _seal_n_txns(spark, tmp_path, 5)
+    before = log.consistent_versions()
+    assert len([f for f in os.listdir(log.log_dir) if f.endswith(".committed.json")]) == 5
+
+    r = log.expire(keep_last=2)
+    assert r == {"folded": 3, "kept": 2}
+    remaining = [f for f in os.listdir(log.log_dir) if f.endswith(".committed.json")]
+    assert len(remaining) == 2
+    cp = log.checkpoint()
+    assert cp["folded"] == 3 and len(cp["txn_ids_tail"]) == 3
+    # the catalog answer is IDENTICAL across the fold
+    assert log.consistent_versions() == before
+
+    # idempotent: nothing left under the keep floor
+    assert log.expire(keep_last=2) == {"folded": 0, "kept": 2}
+    # a second fold accumulates into the same checkpoint
+    assert log.expire(keep_last=1) == {"folded": 1, "kept": 1}
+    assert log.checkpoint()["folded"] == 4
+    assert log.consistent_versions() == before
+
+
+def test_txn_expire_crash_leftover_cannot_regress_catalog(spark, tmp_path):
+    """Crash between the checkpoint replace and the folded-file deletes:
+    a folded-but-undeleted record must not roll a table back to a
+    pre-fold version (the horizon skip), and a re-run reclaims it."""
+    import json as _json
+    import shutil
+
+    log, _tables = _seal_n_txns(spark, tmp_path, 4)
+    before = log.consistent_versions()
+    # snapshot the oldest sealed record, then expire
+    recs = sorted(
+        (f for f in os.listdir(log.log_dir) if f.endswith(".committed.json")),
+        key=lambda fn: _json.load(open(os.path.join(log.log_dir, fn)))["sealed_at"],
+    )
+    saved = tmp_path / "saved.json"
+    shutil.copy(os.path.join(log.log_dir, recs[0]), saved)
+    log.expire(keep_last=1)
+    # simulate the crash: the folded record reappears on disk
+    shutil.copy(saved, os.path.join(log.log_dir, recs[0]))
+    assert log.consistent_versions() == before  # horizon skips it
+    r = log.expire(keep_last=1)
+    assert r["folded"] == 1  # reclaimed
+    assert log.consistent_versions() == before
