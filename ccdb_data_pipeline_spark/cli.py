@@ -38,6 +38,8 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
                                                    replica set (consistent cuts; exactly-once)
   replicate-lag  --table SRC --out DST --txn-log DIR --replica-log DIR [--map ...]
                                                    metadata-only lag report (no Spark job)
+  replicate-expire --table SRC --out DST --txn-log DIR --replica-log DIR [--keep-last N]
+                                                   fold old replica cut records into a checkpoint
 """
 
 from __future__ import annotations
@@ -62,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
                                     "tag", "untag", "rate", "lag", "rename", "drop-column",
                                     "add-column", "fsck", "purge", "export",
                                     "maintain", "feed-floor", "resume-gap",
-                                    "replicate-sync", "replicate-lag"])
+                                    "replicate-sync", "replicate-lag",
+                                    "replicate-expire"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--binlog")
     ap.add_argument("--checkpoint")
@@ -85,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--txn-log",
                     help="txn-recover/txn-expire: transaction log directory")
     ap.add_argument("--keep-last", type=int, default=100,
-                    help="txn-expire: sealed records to keep unfolded")
+                    help="txn-expire/replicate-expire: sealed records to keep unfolded")
     ap.add_argument("--retain-last", type=int, default=2,
                     help="vacuum: snapshots to retain before expiry")
     ap.add_argument("--name", help="tag/untag: tag name")
@@ -264,7 +267,7 @@ def main(argv: list[str] | None = None) -> int:
                 "checkpointLocation": "<a FRESH directory>",
             },
         }))
-    elif a.cmd in ("replicate-sync", "replicate-lag"):
+    elif a.cmd in ("replicate-sync", "replicate-lag", "replicate-expire"):
         from .plans.datasource import register
         from .plans.replicate import ReplicaSet
 
@@ -280,6 +283,8 @@ def main(argv: list[str] | None = None) -> int:
         rs = ReplicaSet(spark, a.txn_log, a.replica_log, tables)
         if a.cmd == "replicate-lag":
             print(json.dumps({"lag": rs.lag_report()}))
+        elif a.cmd == "replicate-expire":
+            print(json.dumps(rs.expire(keep_last=a.keep_last)))
         else:
             applied = rs.sync()
             out = {"applied_txns": applied}

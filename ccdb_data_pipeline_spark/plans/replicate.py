@@ -181,16 +181,91 @@ class ReplicaSet:
 
     # ------------------------------------------------------------ state
 
+    CHECKPOINT = "replica-checkpoint.json"
+
+    def _ckpt(self) -> dict | None:
+        p = os.path.join(self.dst_log_dir, self.CHECKPOINT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _live_records(self) -> list[dict]:
+        """Sealed replica cut records, minus any folded-but-undeleted
+        leftover below the checkpoint's fold horizon (crash mid-expire)."""
+        recs = sealed_records(self.dst_log_dir)
+        cp = self._ckpt()
+        if not cp or not cp.get("horizon"):
+            return recs
+        horizon = tuple(cp["horizon"])
+        return [
+            r for r in recs
+            if (r.get("sealed_at", 0.0), r["_file"]) > horizon
+        ]
+
+    def expire(self, keep_last: int = 100) -> dict:
+        """Bound the replica cut-log size — the replica-side analog of
+        ``TransactionLog.expire`` (one record per cut means the same
+        unbounded-metadata growth). All but the newest ``keep_last``
+        records fold into one checkpoint carrying the folded interval's
+        final cursor (per-source version floor), pinned replica versions,
+        and last seal times, so ``cursor`` / ``consistent_versions`` /
+        ``lag_report`` are unchanged across a fold. Folded txn IDS are
+        dropped: ``sync`` treats a source record whose every member is at
+        or below the cursor floor as already applied (subsumption), so an
+        unexpired source log replayed against an expired replica log
+        neither re-applies nor re-seals. Crash-safe the same way: the
+        checkpoint lands atomically before any delete; leftovers below
+        the recorded horizon are skipped and reclaimed on re-run. What is
+        lost is cut-level time travel INSIDE the folded interval."""
+        recs = self._live_records()
+        fold = recs[:-keep_last] if keep_last > 0 else recs
+        if not fold:
+            return {"folded": 0, "kept": len(recs)}
+        base = self._ckpt() or {
+            "kind": "checkpoint", "cursor": {}, "versions": {},
+            "last_seal": {}, "sealed_at": 0.0, "folded": 0,
+            "txn_ids_tail": [],
+        }
+        for rec in fold:
+            for t in rec.get("replica", {}).get("tables", []):
+                sr = t["src_root"]
+                base["cursor"][sr] = max(
+                    int(base["cursor"].get(sr, 0)), int(t["src_version"])
+                )
+                base["last_seal"][sr] = rec.get("sealed_at")
+            for t in rec["tables"]:
+                base["versions"][t["root"]] = t["target_version"]
+            base["sealed_at"] = max(base["sealed_at"], rec.get("sealed_at", 0.0))
+            base["folded"] += 1
+        base["txn_ids_tail"] = (
+            base.get("txn_ids_tail", []) + [r["txn_id"] for r in fold]
+        )[-16:]
+        base["horizon"] = [fold[-1].get("sealed_at", 0.0), fold[-1]["_file"]]
+        tmp = os.path.join(self.dst_log_dir, self.CHECKPOINT + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({k: v for k, v in base.items() if k != "_file"}, f, indent=1)
+        os.replace(tmp, os.path.join(self.dst_log_dir, self.CHECKPOINT))
+        for rec in fold:
+            os.remove(os.path.join(self.dst_log_dir, rec["_file"]))
+        return {"folded": len(fold), "kept": len(recs) - len(fold)}
+
     def applied_ids(self) -> set[str]:
-        return {r["txn_id"] for r in sealed_records(self.dst_log_dir)}
+        return {r["txn_id"] for r in self._live_records()}
 
     def cursor(self) -> dict[str, int]:
         """source root -> last source version applied to the replica
         (0 = nothing yet; the feed window is ``(cursor, pinned]``).
         Reconstructed from the replica's own cut log — a pure function of
-        durable state, so crash recovery needs no extra bookkeeping."""
+        durable state, so crash recovery needs no extra bookkeeping.
+        History folded by ``expire`` contributes through the checkpoint."""
         cur = {root: 0 for root in self.tables}
-        for rec in sealed_records(self.dst_log_dir):
+        cp = self._ckpt()
+        if cp:
+            for sr, v in cp.get("cursor", {}).items():
+                if sr in cur:
+                    cur[sr] = int(v)
+        for rec in self._live_records():
             for t in rec.get("replica", {}).get("tables", []):
                 if t["src_root"] in cur:
                     cur[t["src_root"]] = max(cur[t["src_root"]], t["src_version"])
@@ -200,7 +275,10 @@ class ReplicaSet:
         """replica root -> version pinned by the latest sealed cut touching
         it (the replica-side analog of TransactionLog.consistent_versions)."""
         out: dict[str, int] = {}
-        for rec in sealed_records(self.dst_log_dir):
+        cp = self._ckpt()
+        if cp:
+            out.update({r: int(v) for r, v in cp.get("versions", {}).items()})
+        for rec in self._live_records():
             for t in rec["tables"]:
                 out[t["root"]] = t["target_version"]
         return out
@@ -214,17 +292,29 @@ class ReplicaSet:
         check before an alias swap, index_ccdb.py:74-84)."""
         cur = self.cursor()
         done = self.applied_ids()
+        # a source record whose members are all at or below the cursor is
+        # SUBSUMED (its window was applied inside an interval the replica
+        # log has since folded) — not pending, even though its id is gone
         pending_txns = {
             root: sum(
                 1
                 for rec in sealed_records(self.src_log_dir)
                 if rec["txn_id"] not in done
-                and any(t["root"] == root for t in rec["tables"])
+                and any(
+                    t["root"] == root
+                    and int(t["target_version"]) > cur.get(t["root"], 0)
+                    for t in rec["tables"]
+                )
             )
             for root in self.tables
         }
         last_seal: dict[str, float] = {}
-        for rec in sealed_records(self.dst_log_dir):
+        cp = self._ckpt()
+        if cp:
+            for sr, at in cp.get("last_seal", {}).items():
+                if sr in self.tables:
+                    last_seal[sr] = at
+        for rec in self._live_records():
             for t in rec.get("replica", {}).get("tables", []):
                 if t["src_root"] in self.tables:
                     last_seal[t["src_root"]] = rec.get("sealed_at")
@@ -280,6 +370,13 @@ class ReplicaSet:
             if rec["txn_id"] in done:
                 for t in members:  # advance the in-memory cursor past it
                     cur[t["root"]] = max(cur[t["root"]], t["target_version"])
+                continue
+            if all(int(t["target_version"]) <= cur[t["root"]] for t in members):
+                # subsumed: every member window sits at or below the cursor
+                # — its cut was applied inside an interval the replica log
+                # folded into its checkpoint (expire dropped the id).
+                # Re-applying would be an empty window; re-sealing would
+                # duplicate a cut the fold already accounts for.
                 continue
             sealed = []
             for t in members:

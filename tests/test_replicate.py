@@ -703,3 +703,47 @@ def test_replica_converges_after_source_txn_log_expiry(spark, tmp_path):
     rep = replica_handle(spark, src.root + "-replica")
     assert _state(rep) == _state(src)
     assert len(_state(rep)) == 4
+
+
+def test_replica_log_expire_preserves_state_and_sync_semantics(spark, tmp_path):
+    """ReplicaSet.expire folds old cut records into a checkpoint: cursor /
+    consistent_versions / lag_report are unchanged, an UNEXPIRED source log
+    replayed against the folded replica log neither re-applies nor
+    re-seals (subsumption by the cursor floor), and replication continues
+    normally afterwards."""
+    register(spark)
+    src = _mk(spark, tmp_path, "rx")
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    rs = _rset(spark, tmp_path, [src])
+    for i, (k, lsn) in enumerate([("a", 1), ("b", 2), ("c", 3), ("d", 4)]):
+        txn = log.begin()
+        b = txn.stage(src)
+        b.merge_events(_events(spark, [(k, lsn, k, i, lsn, "I")]), batch_id=i)
+        txn.commit()
+        rs.sync()
+
+    cur0, cons0, lag0 = rs.cursor(), rs.consistent_versions(), rs.lag_report()
+    assert rs.expire(keep_last=1)["folded"] == 3
+    assert rs.cursor() == cur0
+    assert rs.consistent_versions() == cons0
+    assert rs.lag_report() == lag0
+    assert rs.expire(keep_last=1) == {"folded": 0, "kept": 1}
+
+    # source log unexpired: its old records are SUBSUMED, not pending
+    rep = replica_handle(spark, src.root + "-replica")
+    v = rep.refresh().current_version()
+    n_recs = len([f for f in os.listdir(rs.dst_log_dir) if f.endswith(".committed.json")])
+    assert rs.sync() == []
+    assert rep.refresh().current_version() == v
+    assert n_recs == len(
+        [f for f in os.listdir(rs.dst_log_dir) if f.endswith(".committed.json")]
+    )
+
+    # replication continues normally past the fold
+    txn = log.begin()
+    b = txn.stage(src)
+    b.merge_events(_events(spark, [("e", 5, "e", 9, 5, "I")]), batch_id=4)
+    txn.commit()
+    assert len(rs.sync()) == 1
+    assert _state(rep) == _state(src)
+    assert len(_state(rep)) == 5
