@@ -175,9 +175,16 @@ def apply_changes(
     normalize: bool = True,
     count_malformed: bool = True,
     quarantine_dir: str | None = None,
+    internal: bool = False,
 ) -> MergeStats:
     spec = table.spec
-    if batch_id <= table.last_batch_id:
+    # internal = engine-originated maintenance/DML write: gates against and
+    # advances last_dml_batch_id, NOT the stream epoch sequence (see
+    # SnapshotParquetTable.merge docstring — a DML at last_batch_id + 1
+    # would collide with the stream's next checkpointed epoch and the
+    # replay gate would silently drop that micro-batch)
+    gate = table.last_dml_batch_id if internal else table.last_batch_id
+    if batch_id <= gate:
         return MergeStats(batch_id=batch_id, skipped=True, version=table.manifest()["version"])
     raw_df = batch_df
 
@@ -186,7 +193,8 @@ def apply_changes(
         # normalization all happen inside the ONE write job (the observe node
         # sits before the bad-key filter — see merge_events docstring); no
         # separate pre-pass over the batch
-        stats = table.merge_events(batch_df, batch_id, normalize=normalize)
+        stats = table.merge_events(batch_df, batch_id, normalize=normalize,
+                                   internal=internal)
     else:
         obs = None
         if count_malformed:
@@ -225,7 +233,8 @@ def apply_changes(
                     got["n_malformed"] = raw_df.where(_bad_key_pred(spec)).count()
                 return dict(got)
 
-        stats = table.merge(deduped, batch_id, summary_extra=extra)
+        stats = table.merge(deduped, batch_id, summary_extra=extra,
+                            internal=internal)
         if obs is not None and not stats.skipped:
             if "n_malformed" not in got:
                 extra()

@@ -4,9 +4,13 @@ applied through the same exactly-once MERGE path as the binlog stream.
 
 This is how Iceberg/Delta express row-level maintenance (GDPR erasure,
 backfill corrections) without a second write protocol: the DML batch is
-just another LSN-stamped change batch — it lands in the lineage ledger,
-replays idempotently by batch_id, survives crash-resume, and shows up in
-the change feed (``table_changes``) like any upstream write.
+just another LSN-stamped change batch — it replays idempotently by
+batch_id, survives crash-resume, and shows up in the change feed
+(``table_changes``) like any upstream write. DML batch ids live in the
+MAINTENANCE id space (``last_dml_batch_id``, internal-marked commits kept
+out of the stream lineage ledger): consuming ``last_batch_id + 1`` would
+collide with a live stream's next checkpointed epoch, whose replay gate
+would then silently drop that micro-batch.
 
 Scale shape: the predicate scan is a normal pruned snapshot read (filter
 pushdown applies; on patch tables the MoR resolve runs first — you delete
@@ -58,11 +62,15 @@ def _as_events(table: SnapshotParquetTable, rows, op: str, ts: dt.datetime):
 
 def delete_where(
     table: SnapshotParquetTable,
-    predicate: str,
+    predicate,
     ts: dt.datetime | None = None,
     read_columns: list[str] | None = None,
 ) -> MergeStats:
-    """Tombstone every currently-visible row matching ``predicate``.
+    """Tombstone every currently-visible row matching ``predicate`` — a
+    SQL string, or a pyspark ``Column`` (use ``lake._where_term`` for
+    datetime comparisons: SQL ``TIMESTAMP '...'`` literals parse in the
+    SESSION timezone, so a string predicate built from a naive-UTC cutoff
+    silently shifts the horizon on non-UTC sessions).
 
     ``ts`` stamps the deleting writer's event time (defaults to now, UTC);
     it must be >= the rows' current event times for the tombstones to win
@@ -82,7 +90,9 @@ def delete_where(
     matched = table.read(columns=cols).filter(predicate).select(*table.spec.key_cols)
     events = _as_events(table, matched, "D", ts)
     try:
-        return apply_changes(table, events, batch_id=table.last_batch_id + 1)
+        return apply_changes(
+                table, events, batch_id=table.last_dml_batch_id + 1, internal=True
+            )
     finally:
         release_caches()
 
@@ -114,7 +124,9 @@ def update_where(
     )
     events = _as_events(table, updated, "U", ts)
     try:
-        return apply_changes(table, events, batch_id=table.last_batch_id + 1)
+        return apply_changes(
+                table, events, batch_id=table.last_dml_batch_id + 1, internal=True
+            )
     finally:
         release_caches()
 
@@ -180,7 +192,9 @@ def reconcile_to(
     if dry_run:
         return events
     try:
-        return apply_changes(table, events, batch_id=table.last_batch_id + 1)
+        return apply_changes(
+                table, events, batch_id=table.last_dml_batch_id + 1, internal=True
+            )
     finally:
         release_caches()
 
@@ -198,12 +212,21 @@ def apply_retention(
     for deterministic replays; tombstone space itself is reclaimed later by
     ``compact(drop_tombstones=True)``."""
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    cutoff = (now - max_age).strftime("%Y-%m-%d %H:%M:%S.%f")
+    cutoff = now - max_age
+    # Column predicate, not a SQL TIMESTAMP literal: string literals parse
+    # in the SESSION timezone while the engine's naive datetimes mean UTC,
+    # so a literal would shift the retention horizon by the tz offset on
+    # non-UTC sessions (lake._residual_lit documents the same hazard for
+    # the pruning tiers)
+    from .lake import _where_term
+
+    ts_col = table.spec.ts_col
+    dtype = {f.name: f.dataType for f in table.schema.fields}.get(ts_col)
     return delete_where(
         table,
-        f"{table.spec.ts_col} < TIMESTAMP '{cutoff}'",
+        _where_term(ts_col, "<", cutoff, dtype),
         ts=now,
-        read_columns=[table.spec.ts_col],
+        read_columns=[ts_col],
     )
 
 
@@ -318,7 +341,9 @@ def purge_where(
         if n_keys:
             events = _as_events(table, key_df, "D", ts)
             try:
-                stats = apply_changes(table, events, batch_id=table.last_batch_id + 1)
+                stats = apply_changes(
+                table, events, batch_id=table.last_dml_batch_id + 1, internal=True
+            )
             finally:
                 release_caches()
         # first-row tables refuse plain drop_tombstones=True (claim-once

@@ -1454,6 +1454,13 @@ class SnapshotParquetTable:
         return self.manifest()["last_batch_id"]
 
     @property
+    def last_dml_batch_id(self) -> int:
+        """High-water mark of the MAINTENANCE/DML id space (engine-originated
+        writes: DELETE/UPDATE WHERE, retention/TTL sweeps) — disjoint from
+        the stream epoch sequence gated by ``last_batch_id``."""
+        return self.manifest().get("last_dml_batch_id", -1)
+
+    @property
     def last_lsn(self) -> int:
         return self.manifest()["last_lsn"]
 
@@ -1650,6 +1657,7 @@ class SnapshotParquetTable:
                 "empty_to_null_exempt": list(self.spec.empty_to_null_exempt),
             },
             "last_batch_id": -1,
+            "last_dml_batch_id": -1,
             "last_lsn": -1,
             "summary": {"op": "create"},
             "committed_at": time.time(),
@@ -2127,21 +2135,17 @@ class SnapshotParquetTable:
                     e["dv"]["n_deleted"] for e in clean
                     if e.get("dv") and _dv_key(e["path"]) in counts
                 )
-                if new_total == prior and not dropped:
-                    # Idempotent re-delete: the new sidecar is a superset of
-                    # the carried positions with equal total, so per file the
-                    # position sets are UNCHANGED (a never-DV'd file in
-                    # ``counts`` always adds >=1). Committing would churn a
-                    # new snapshot + sidecar for zero state change — and a
-                    # periodic caller (the TTL sweep in plans/maintenance.py,
-                    # whose trigger reads file min/max stats that a DV cannot
-                    # refresh) would re-commit every round until compaction.
-                    fsio.rmtree(os.path.join(self.root, sidecar_rel))
-                    counts = {}
-                    sidecar_rel = None
-                else:
-                    report["n_dv_positions"] = new_total - prior
-                    report["n_files_with_dv"] = len(counts)
+                report["n_dv_positions"] = new_total - prior
+                report["n_files_with_dv"] = len(counts)
+        # Idempotent re-deletes are commit-free by construction, which is
+        # what keeps a periodic caller (the TTL sweep in
+        # plans/maintenance.py, whose trigger reads file min/max stats a DV
+        # cannot refresh) from churning a snapshot per round: the
+        # positional scan reads LIVE rows only (_read_files applies
+        # existing DVs), so a predicate that matches nothing new yields an
+        # empty ``matched``, the carried-positions semi-join keeps nothing,
+        # ``counts`` stays empty, and the empty-sidecar branch above
+        # already removed the directory.
         if counts or dropped:
             buckets = {}
             for b, files in m0["buckets"].items():
@@ -2184,7 +2188,9 @@ class SnapshotParquetTable:
                 ev = _as_events(
                     self, matched_d.select(*self.spec.key_cols), "D", ts
                 )
-                st = apply_changes(self, ev, batch_id=self.last_batch_id + 1)
+                st = apply_changes(
+                    self, ev, batch_id=self.last_dml_batch_id + 1, internal=True
+                )
                 report["n_tombstoned"] = st.n_delete
                 report["version"] = st.version
         return report
@@ -2719,20 +2725,22 @@ class SnapshotParquetTable:
         return files
 
     def _stats_cols(self) -> tuple:
-        """The table's declared stat columns — MANIFEST-authoritative once
-        the table exists (``TableSpec.stats_cols`` only seeds the value at
-        ``create``). A maintenance or CLI handle constructed with a default
-        spec must keep recording the same per-file stats when it rewrites
-        files; taking the spec's (empty) tuple here would make one
-        ``compact`` silently shed the table's pruning / TTL-trigger
-        coverage for every rewritten file."""
+        """The table's declared stat columns: the UNION of the manifest's
+        recorded list and this handle's spec. The manifest leg makes a
+        maintenance or CLI handle constructed with a default spec keep
+        recording the same per-file stats when it rewrites files (taking
+        only the spec's empty tuple would make one ``compact`` silently
+        shed the table's pruning / TTL-trigger coverage). The spec leg
+        protects the other direction: ``_commit`` backfills
+        ``stats_cols: []`` into legacy manifests from WHATEVER handle
+        commits first, and a declaring writer must not lose its columns to
+        an empty list a default-spec handle fabricated."""
         try:
             m = self.manifest()
         except Exception:
             return tuple(self.spec.stats_cols)
-        if "stats_cols" in m:
-            return tuple(m["stats_cols"])
-        return tuple(self.spec.stats_cols)
+        recorded = m.get("stats_cols", [])
+        return tuple(dict.fromkeys([*recorded, *self.spec.stats_cols]))
 
     def _footer_scan(self, pairs: list[tuple[int, str]]):
         """(tag, path) -> (tag, n_rows, lsn_min, lsn_max, ts_min, ts_max);
@@ -2762,10 +2770,21 @@ class SnapshotParquetTable:
 
     # ------------------------------------------------------------ MERGE
 
-    def merge(self, source: DataFrame, batch_id: int, summary_extra=None) -> MergeStats:
+    def merge(self, source: DataFrame, batch_id: int, summary_extra=None,
+              internal: bool = False) -> MergeStats:
         """Apply one deduped change batch (unique per key) exactly-once.
         ``summary_extra`` may be a dict or a zero-arg callable evaluated after
         the stats job has run (so it can read Observations riding that job).
+
+        ``internal=True`` places the commit in the MAINTENANCE id space
+        (``last_dml_batch_id``): engine-originated writes (DELETE/UPDATE
+        WHERE, retention/TTL sweeps) must not consume ids from the stream
+        epoch sequence — a DML at ``last_batch_id + 1`` would collide with
+        the stream's NEXT checkpointed epoch and the replay gate would
+        silently drop that micro-batch. Internal commits leave
+        ``last_batch_id`` untouched, gate against their own counter, and
+        mark their summary ``internal`` so the stream lineage ledger stays
+        a gapless record of stream batches alone.
 
         MERGE INTO semantics (J1/J2/J3 of SURVEY.md section 2.3):
         WHEN MATCHED AND src dominates AND op='D'   -> tombstone
@@ -2775,7 +2794,8 @@ class SnapshotParquetTable:
         stale replays and late losers are no-ops (exactly-once effects).
         """
         m0 = self.manifest()
-        if batch_id <= m0["last_batch_id"]:
+        gate = m0.get("last_dml_batch_id", -1) if internal else m0["last_batch_id"]
+        if batch_id <= gate:
             return MergeStats(batch_id=batch_id, skipped=True, version=m0["version"])
         spec = self.spec
         if spec.partial_updates:
@@ -2917,10 +2937,14 @@ class SnapshotParquetTable:
         m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = buckets
-        m["last_batch_id"] = batch_id
+        if internal:
+            m["last_dml_batch_id"] = batch_id
+        else:
+            m["last_batch_id"] = batch_id
         m["last_lsn"] = max(m0["last_lsn"], stats.lsn_max or -1)
         m["summary"] = {
             "op": "merge",
+            **({"internal": True} if internal else {}),
             "batch_id": batch_id,
             "n_source": stats.n_source,
             "n_insert": stats.n_insert,
@@ -2956,6 +2980,7 @@ class SnapshotParquetTable:
             m = self._rebase_append(
                 m0, files, affected, batch_id, stats,
                 schema_changed, new_sid, new_schema, m["summary"],
+                internal=internal,
             )
         stats.snapshot_id = m["snapshot_id"]
         stats.version = m["version"]
@@ -2967,6 +2992,7 @@ class SnapshotParquetTable:
         batch_id: int,
         normalize: bool = True,
         summary_extra=None,
+        internal: bool = False,
     ) -> MergeStats:
         """Fused single-shuffle apply for merge-on-read mode — the high-rate
         streaming path.
@@ -2999,7 +3025,11 @@ class SnapshotParquetTable:
         m0 = self.manifest()
         if m0.get("mode", "cow") != "mor":
             raise ValueError("merge_events requires merge_mode='mor'")
-        if batch_id <= m0["last_batch_id"]:
+        # internal (maintenance/DML) commits gate against their own id
+        # space — see merge()'s docstring for why they must not consume
+        # stream epoch ids
+        gate = m0.get("last_dml_batch_id", -1) if internal else m0["last_batch_id"]
+        if batch_id <= gate:
             return MergeStats(batch_id=batch_id, skipped=True, version=m0["version"])
         spec = self.spec
 
@@ -3017,9 +3047,9 @@ class SnapshotParquetTable:
             events.select(*data_cols, spec.lsn_col, spec.op_col), new_schema
         ).withColumn(BUCKET, self._bucket_expr())
 
-        internal = self._internal_schema(new_schema)
+        internal_schema = self._internal_schema(new_schema)
         out_schema = T.StructType(
-            list(internal.fields)
+            list(internal_schema.fields)
             + [T.StructField(BUCKET, T.LongType(), False), T.StructField("_op", T.StringType(), True)]
         )
         keys = list(spec.key_cols)
@@ -3299,10 +3329,14 @@ class SnapshotParquetTable:
         m["parent_version"] = m0["version"]
         m["snapshot_id"] = uuid.uuid4().hex
         m["buckets"] = buckets
-        m["last_batch_id"] = batch_id
+        if internal:
+            m["last_dml_batch_id"] = batch_id
+        else:
+            m["last_batch_id"] = batch_id
         m["last_lsn"] = max(m0["last_lsn"], stats.lsn_max or -1)
         m["summary"] = {
             "op": "merge",
+            **({"internal": True} if internal else {}),
             "batch_id": batch_id,
             "n_source": stats.n_source,
             "n_insert": stats.n_insert,
@@ -3327,6 +3361,7 @@ class SnapshotParquetTable:
             m = self._rebase_append(
                 m0, files, affected, batch_id, stats,
                 schema_changed, new_sid, new_schema, m["summary"],
+                internal=internal,
             )
         stats.snapshot_id = m["snapshot_id"]
         stats.version = m["version"]
@@ -3335,7 +3370,7 @@ class SnapshotParquetTable:
     def _rebase_append(self, m0: dict, files: dict, affected: list,
                        batch_id: int, stats: "MergeStats", schema_changed: bool,
                        new_sid: int, new_schema, summary: dict,
-                       max_retries: int = 5) -> dict:
+                       max_retries: int = 5, internal: bool = False) -> dict:
         """Rebase a lost-CAS MoR delta append onto the current manifest.
         Safe because delta files only ADD information: stacking them on top
         of whatever a concurrent maintenance commit produced (compaction
@@ -3346,7 +3381,8 @@ class SnapshotParquetTable:
         for _ in range(max_retries):
             self._manifest = None
             mc = self.manifest()
-            if batch_id <= mc["last_batch_id"]:
+            gate = mc.get("last_dml_batch_id", -1) if internal else mc["last_batch_id"]
+            if batch_id <= gate:
                 raise CommitConflictError(
                     f"batch {batch_id} was committed by a concurrent writer; "
                     "single-ingest-writer contract violated"
@@ -3376,7 +3412,10 @@ class SnapshotParquetTable:
             m2["parent_version"] = mc["version"]
             m2["snapshot_id"] = uuid.uuid4().hex
             m2["buckets"] = buckets
-            m2["last_batch_id"] = batch_id
+            if internal:
+                m2["last_dml_batch_id"] = batch_id
+            else:
+                m2["last_batch_id"] = batch_id
             m2["last_lsn"] = max(mc["last_lsn"], stats.lsn_max or -1)
             m2["summary"] = {**summary, "rebased": True}
             m2["committed_at"] = time.time()

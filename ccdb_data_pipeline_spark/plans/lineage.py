@@ -28,7 +28,11 @@ def lineage_rows(table: SnapshotParquetTable) -> list[dict]:
     rows = []
     for m in table.history():
         s = m.get("summary", {})
-        if s.get("op") != "merge":
+        if s.get("op") != "merge" or s.get("internal"):
+            # internal = maintenance/DML commits in their own id space —
+            # including them would interleave a second batch-id sequence
+            # into the stream ledger and break its gap/continuity audits;
+            # they stay visible through table.history()
             continue
         rows.append(
             {
@@ -57,6 +61,8 @@ def lineage_detail_rows(table: SnapshotParquetTable) -> list[dict]:
     rows = []
     for m in table.history():
         s = m.get("summary", {})
+        if s.get("internal"):
+            continue
         for pb in s.get("per_bucket", []) or []:
             rows.append({"batch_id": int(s["batch_id"]), "snapshot_id": m["snapshot_id"], **pb})
     return rows

@@ -108,10 +108,11 @@ class MaintenancePolicy:
     # position-delete sidecars for the stragglers, tombstone fallback
     # inside dirty buckets. A straggler file's recorded min stat cannot
     # move until compaction rewrites it, so later rounds may re-SCAN it —
-    # but the idempotent-delete guard in ``delete_where_dv`` makes those
-    # rounds commit-free (no snapshot churn), and the re-scan window
-    # closes at the next compaction (or, once the cutoff passes the
-    # file's max, with a metadata-only whole-file drop).
+    # but those rounds are commit-free (``delete_where_dv``'s positional
+    # scan reads live rows only, so nothing re-matches and no snapshot or
+    # sidecar is written), and the re-scan window closes at the next
+    # compaction (or, once the cutoff passes the file's max, with a
+    # metadata-only whole-file drop).
     # ``ttl_now=None`` uses the wall clock (naive UTC, the engine's ts
     # convention); tests and replayed maintenance inject a fixed one.
     #
@@ -209,15 +210,19 @@ def auto_maintain(
                         )
                     else:
                         from .dml import delete_where
+                        from .lake import _where_term
 
-                        lit = {
-                            "timestamp": f"TIMESTAMP '{cutoff.isoformat(sep=' ')}'",
-                            "timestamp_ntz":
-                                f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ')}'",
-                            "date": f"DATE '{cutoff.date().isoformat()}'",
-                        }[dt_s]
+                        # Column predicate (same tz-safe encoding as the
+                        # trigger and the probe): a SQL TIMESTAMP literal
+                        # parses in the SESSION timezone and would shift
+                        # the horizon on non-UTC sessions
+                        dtype = {
+                            f.name: f.dataType for f in table.schema.fields
+                        }[policy.ttl_column]
                         st = delete_where(
-                            table, f"{policy.ttl_column} < {lit}", ts=now,
+                            table,
+                            _where_term(policy.ttl_column, "<", cut_val, dtype),
+                            ts=now,
                             read_columns=[policy.ttl_column],
                         )
                         act["result"] = {"n_tombstoned": st.n_delete,

@@ -218,15 +218,26 @@ class ReplicaSet:
         checkpoint lands atomically before any delete; leftovers below
         the recorded horizon are skipped and reclaimed on re-run. What is
         lost is cut-level time travel INSIDE the folded interval."""
-        recs = self._live_records()
-        fold = recs[:-keep_last] if keep_last > 0 else recs
-        if not fold:
-            return {"folded": 0, "kept": len(recs)}
         base = self._ckpt() or {
             "kind": "checkpoint", "cursor": {}, "versions": {},
             "last_seal": {}, "sealed_at": 0.0, "folded": 0,
             "txn_ids_tail": [],
         }
+        # reclaim folded-but-undeleted leftovers from a crash mid-expire
+        # (below the recorded horizon: already accounted for in the
+        # checkpoint, so delete WITHOUT re-folding)
+        reclaimed = 0
+        if base.get("horizon"):
+            horizon = tuple(base["horizon"])
+            for r in sealed_records(self.dst_log_dir):
+                if (r.get("sealed_at", 0.0), r["_file"]) <= horizon:
+                    os.remove(os.path.join(self.dst_log_dir, r["_file"]))
+                    reclaimed += 1
+        recs = self._live_records()
+        fold = recs[:-keep_last] if keep_last > 0 else recs
+        if not fold:
+            return {"folded": 0, "kept": len(recs),
+                    **({"reclaimed": reclaimed} if reclaimed else {})}
         for rec in fold:
             for t in rec.get("replica", {}).get("tables", []):
                 sr = t["src_root"]
@@ -248,7 +259,8 @@ class ReplicaSet:
         os.replace(tmp, os.path.join(self.dst_log_dir, self.CHECKPOINT))
         for rec in fold:
             os.remove(os.path.join(self.dst_log_dir, rec["_file"]))
-        return {"folded": len(fold), "kept": len(recs) - len(fold)}
+        return {"folded": len(fold), "kept": len(recs) - len(fold),
+                **({"reclaimed": reclaimed} if reclaimed else {})}
 
     def applied_ids(self) -> set[str]:
         return {r["txn_id"] for r in self._live_records()}

@@ -134,21 +134,33 @@ class TransactionLog:
         versions (idempotent), so a crash between the two steps only
         leaves garbage a re-run reclaims. In-flight intents are never
         touched."""
-        recs = []
+        base = self.checkpoint() or {
+            "kind": "checkpoint", "versions": {}, "sealed_at": 0.0,
+            "folded": 0, "txn_ids_tail": [],
+        }
+        horizon = tuple(base["horizon"]) if base.get("horizon") else None
+        recs, leftovers = [], []
         for fn in os.listdir(self.log_dir):
             if not fn.endswith(".committed.json"):
                 continue
             with open(os.path.join(self.log_dir, fn)) as f:
                 rec = json.load(f)
-            recs.append((rec.get("sealed_at", 0.0), fn, rec))
+            at = rec.get("sealed_at", 0.0)
+            if horizon and (at, fn) <= horizon:
+                # folded-but-undeleted leftover from a crash mid-expire:
+                # already accounted for in the checkpoint — deleting it
+                # again without re-folding keeps the folded counter and
+                # txn_ids_tail truthful
+                leftovers.append(fn)
+                continue
+            recs.append((at, fn, rec))
+        for fn in leftovers:
+            os.remove(os.path.join(self.log_dir, fn))
         recs.sort(key=lambda r: (r[0], r[1]))
         fold = recs[:-keep_last] if keep_last > 0 else recs
         if not fold:
-            return {"folded": 0, "kept": len(recs)}
-        base = self.checkpoint() or {
-            "kind": "checkpoint", "versions": {}, "sealed_at": 0.0,
-            "folded": 0, "txn_ids_tail": [],
-        }
+            return {"folded": 0, "kept": len(recs),
+                    **({"reclaimed": len(leftovers)} if leftovers else {})}
         for _at, _fn, rec in fold:
             for t in rec["tables"]:
                 base["versions"][t["root"]] = t["target_version"]
@@ -171,7 +183,8 @@ class TransactionLog:
         os.replace(tmp, os.path.join(self.log_dir, self.CHECKPOINT))
         for _at, fn, _rec in fold:
             os.remove(os.path.join(self.log_dir, fn))
-        return {"folded": len(fold), "kept": len(recs) - len(fold)}
+        return {"folded": len(fold), "kept": len(recs) - len(fold),
+                **({"reclaimed": len(leftovers)} if leftovers else {})}
 
     # ------------------------------------------------------------ catalog
 

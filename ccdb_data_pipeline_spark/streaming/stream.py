@@ -163,13 +163,6 @@ def start_ingest(
             if applied_since_compact[0] >= compact_every:
                 applied_since_compact[0] = 0
                 table.compact(drop_tombstones=False, max_buckets=compact_budget)
-        if maintain_every and not stats.skipped:
-            applied_since_maintain[0] += 1
-            if applied_since_maintain[0] >= maintain_every:
-                applied_since_maintain[0] = 0
-                from ..plans.maintenance import MaintenancePolicy, auto_maintain
-
-                auto_maintain(table, maintain_policy or MaintenancePolicy())
         if emit_changes_dir is not None:
             if not stats.skipped:
                 _emit_batch_changes(table, emit_changes_dir, batch_id, stats.version)
@@ -184,6 +177,17 @@ def start_ingest(
                             table, emit_changes_dir, batch_id, m["version"]
                         )
                         break
+        # maintenance runs LAST: auto_maintain's snapshot expiry may
+        # reclaim the parent manifest that this batch's feed emit
+        # (table_changes(version-1, version)) still needs — emitting first
+        # keeps any retention policy safe at any cadence
+        if maintain_every and not stats.skipped:
+            applied_since_maintain[0] += 1
+            if applied_since_maintain[0] >= maintain_every:
+                applied_since_maintain[0] = 0
+                from ..plans.maintenance import MaintenancePolicy, auto_maintain
+
+                auto_maintain(table, maintain_policy or MaintenancePolicy())
         if on_batch is not None:
             on_batch(stats)
 

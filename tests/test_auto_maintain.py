@@ -230,8 +230,8 @@ def test_ttl_sweep_ages_out_expired_rows_then_goes_commit_free(spark, tmp_path):
     assert len(got) == 20 and (got["ts"] >= pd.Timestamp(YOUNG)).all()
     v1 = t.stats()["version"]
     # second round: the straggler files' recorded min(ts) is still old, so
-    # the sweep re-runs — but the idempotent-delete guard makes it
-    # COMMIT-FREE (no snapshot churn, no new sidecar)
+    # the sweep re-runs — but it is COMMIT-FREE (the positional scan reads
+    # live rows only, so nothing re-matches: no snapshot, no new sidecar)
     r2 = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
     act2 = r2["actions"]["ttl"]
     assert act2["run"]

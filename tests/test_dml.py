@@ -53,29 +53,42 @@ def test_update_where_rewrites_matching_rows(table):
     assert table.read().filter("role <> 'assistant' AND tool = 'redacted'").count() == 0
 
 
-def test_dml_rides_the_ledger_with_fresh_lsns(table):
+def test_dml_rides_history_with_fresh_lsns_outside_the_stream_ledger(table):
+    """DML commits live in the MAINTENANCE id space: fresh LSNs above the
+    watermark, an internal-marked merge in history — and NO row in the
+    stream lineage ledger, whose batch-id sequence must stay a gapless
+    record of stream epochs alone (a DML at last_batch_id + 1 would
+    collide with the stream's next checkpointed epoch)."""
     wm0 = table.last_lsn
+    stream_rows0 = lineage_rows(table)
+    last_stream0 = table.last_batch_id
     stats = delete_where(table, "turn_idx = 0", ts=TS)
-    rows = lineage_rows(table)
-    assert rows[-1]["batch_id"] == stats.batch_id
-    assert rows[-1]["lsn_min"] == wm0 + 1
-    assert rows[-1]["lsn_max"] == wm0 + stats.n_source
+    assert stats.batch_id == 0 and table.last_dml_batch_id == 0
+    assert table.last_batch_id == last_stream0  # stream space untouched
+    assert lineage_rows(table) == stream_rows0  # ledger untouched
+    s = table.history()[-1]["summary"]
+    assert s["op"] == "merge" and s.get("internal") is True
+    assert s["lsn_min"] == wm0 + 1
+    assert s["lsn_max"] == wm0 + stats.n_source
     assert table.last_lsn == wm0 + stats.n_source
 
 
 def test_dml_batch_replay_is_noop(table):
     stats = delete_where(table, "turn_idx = 1", ts=TS)
     count1 = table.read().count()
-    # replaying the same batch_id is an exactly-once no-op
+    # replaying the same INTERNAL batch_id is an exactly-once no-op
     from ccdb_data_pipeline_spark.plans.apply import apply_changes
 
-    replay = apply_changes(
-        table,
-        table.spark.createDataFrame([], table.read().schema),  # placeholder df
-        batch_id=stats.batch_id,
-    )
+    from ccdb_data_pipeline_spark.schemas import CHANGE_SCHEMA
+
+    empty = table.spark.createDataFrame([], CHANGE_SCHEMA)
+    replay = apply_changes(table, empty, batch_id=stats.batch_id, internal=True)
     assert replay.skipped
     assert table.read().count() == count1
+    # and a STREAM batch at the id the DML would previously have consumed
+    # still applies — the collision this id-space split exists to prevent
+    nxt = apply_changes(table, empty, batch_id=table.last_batch_id + 1)
+    assert not nxt.skipped
 
 
 def test_delete_where_no_match_is_clean(table):

@@ -130,3 +130,47 @@ def test_inline_maintain_runs_full_service_loop(spark, tmp_path):
     mdir = os.path.join(t.root, "manifests")
     n_manifests = sum(1 for f in os.listdir(mdir) if f.endswith(".json"))
     assert n_manifests <= 6
+
+
+def test_mid_stream_maintenance_delete_never_swallows_a_batch(spark, tmp_path):
+    """The collision the maintenance id space exists to prevent: a cdc-mode
+    TTL sweep (tombstone events through apply_changes) firing between
+    micro-batches must not consume the stream's next epoch id — every
+    stream batch still applies and the ledger stays gapless."""
+    import datetime as dt
+
+    from ccdb_data_pipeline_spark.plans.lineage import lineage_rows
+    from ccdb_data_pipeline_spark.plans.maintenance import MaintenancePolicy
+
+    seed = gen_seed_pandas(n_convs=30, seed=21)
+    ch = gen_changes_pandas(1200, n_convs=30, seed=21)
+    binlog = os.path.join(str(tmp_path), "binlog")
+    write_segments(ch, binlog, n_segments=6, replay_segment=None)
+    t = SnapshotParquetTable(
+        spark, os.path.join(str(tmp_path), "t"),
+        TableSpec(num_buckets=8, merge_mode="mor", stats_cols=("ts",)),
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    # cutoff far in the future: EVERY maintain round finds expired rows and
+    # commits a tombstone batch — the worst case for id collisions
+    pol = MaintenancePolicy(
+        max_delta_depth=99, max_dirty_buckets=9999, retain_snapshots=50,
+        ttl_column="ts", ttl_max_age=dt.timedelta(days=1),
+        ttl_now=dt.datetime(2035, 1, 1), ttl_mode="cdc",
+    )
+    run_ingest(
+        spark, binlog, t, os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=1, maintain_every=1, maintain_policy=pol,
+    )
+    # every stream batch applied: the ledger is gapless over all 6 epochs
+    # and covers the full LSN range
+    rows = lineage_rows(t)
+    assert [r["batch_id"] for r in rows] == list(range(6))
+    assert min(r["lsn_min"] for r in rows) == 1
+    assert max(r["lsn_max"] for r in rows) == len(ch)
+    # final state: the replay oracle minus everything the TTL aged out
+    # (null event times are retained)
+    exp = replay(seed, [ch])
+    exp = exp[exp["ts"].isna()].reset_index(drop=True)
+    assert_tables_equal(table_to_pandas(t.read()), exp)

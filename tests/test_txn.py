@@ -209,6 +209,11 @@ def test_txn_expire_crash_leftover_cannot_regress_catalog(spark, tmp_path):
     # simulate the crash: the folded record reappears on disk
     shutil.copy(saved, os.path.join(log.log_dir, recs[0]))
     assert log.consistent_versions() == before  # horizon skips it
+    folded_before = log.checkpoint()["folded"]
     r = log.expire(keep_last=1)
-    assert r["folded"] == 1  # reclaimed
+    # reclaimed WITHOUT re-folding: the checkpoint already accounts for it,
+    # so the folded counter and txn_ids_tail stay truthful
+    assert r.get("reclaimed") == 1 and r["folded"] == 0
+    assert log.checkpoint()["folded"] == folded_before
     assert log.consistent_versions() == before
+    assert not os.path.exists(os.path.join(log.log_dir, recs[0]))
