@@ -747,3 +747,38 @@ def test_replica_log_expire_preserves_state_and_sync_semantics(spark, tmp_path):
     assert len(rs.sync()) == 1
     assert _state(rep) == _state(src)
     assert len(_state(rep)) == 5
+
+
+def test_replica_log_expire_reclaims_crash_leftovers(spark, tmp_path):
+    """Crash between the replica checkpoint replace and the folded-file
+    deletes: the leftover is invisible to state readers (horizon skip),
+    and the next expire deletes it WITHOUT re-folding, keeping the folded
+    counter truthful."""
+    import shutil
+
+    register(spark)
+    src = _mk(spark, tmp_path, "rcl")
+    log = TransactionLog(str(tmp_path / "txnlog"))
+    rs = _rset(spark, tmp_path, [src])
+    for i, (k, lsn) in enumerate([("a", 1), ("b", 2), ("c", 3)]):
+        txn = log.begin()
+        b = txn.stage(src)
+        b.merge_events(_events(spark, [(k, lsn, k, i, lsn, "I")]), batch_id=i)
+        txn.commit()
+        rs.sync()
+    recs = sealed_records(rs.dst_log_dir)
+    oldest = recs[0]["_file"]
+    saved = tmp_path / "saved-cut.json"
+    shutil.copy(os.path.join(rs.dst_log_dir, oldest), saved)
+
+    cur0, cons0 = rs.cursor(), rs.consistent_versions()
+    assert rs.expire(keep_last=1)["folded"] == 2
+    folded0 = rs._ckpt()["folded"]
+    # simulate the crash: a folded record reappears on disk
+    shutil.copy(saved, os.path.join(rs.dst_log_dir, oldest))
+    assert rs.cursor() == cur0 and rs.consistent_versions() == cons0
+    r = rs.expire(keep_last=1)
+    assert r.get("reclaimed") == 1 and r["folded"] == 0
+    assert rs._ckpt()["folded"] == folded0
+    assert not os.path.exists(os.path.join(rs.dst_log_dir, oldest))
+    assert rs.cursor() == cur0 and rs.consistent_versions() == cons0
