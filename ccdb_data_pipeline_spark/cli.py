@@ -27,7 +27,7 @@ locally: python -m ccdb_data_pipeline_spark.cli <cmd> ...):
   purge   --table DIR --where PRED [--drop-tags]   hard purge: rewrite files, expire history, GC bytes
   export  --table DIR --out DIR [--shards N] [--salt S]   render conversations -> deterministic training shards
   maintain --table DIR [--retain-last N] [--max-depth D] [--budget B]
-           [--ttl-column COL --ttl-days D [--ttl-mode dv|cdc]] [--dry-run]
+           [--ttl-column COL --ttl-days D [--ttl-mode dv|cdc]] [--dry-run] [--declare]
                                                    condition-driven table services (compact/expire/GC/row TTL)
   feed-floor --table DIR                           oldest retained change-feed startingVersion
   resume-gap --table SRC --out TGT                 recover a gapped replication consumer
@@ -119,6 +119,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain: event-time column for row-level TTL ageing")
     ap.add_argument("--ttl-days", type=float, default=None,
                     help="maintain: age out rows older than this many days")
+    ap.add_argument("--declare", action="store_true",
+                    help="maintain: PERSIST the policy on the table "
+                         "(set_table_policy) instead of running it — later "
+                         "policy-less maintain runs and in-stream "
+                         "maintain_every hooks apply the declared policy")
     ap.add_argument("--ttl-mode", choices=["dv", "cdc"], default="dv",
                     help="maintain: dv = position-delete maintenance "
                          "(feed-invisible); cdc = tombstone events that "
@@ -307,7 +312,13 @@ def main(argv: list[str] | None = None) -> int:
             ttl_max_age=timedelta(days=a.ttl_days) if a.ttl_days is not None else None,
             ttl_mode=a.ttl_mode,
         )
-        print(json.dumps(auto_maintain(table, pol, dry_run=a.dry_run)))
+        if a.declare:
+            from .plans.maintenance import set_table_policy
+
+            v = set_table_policy(table, pol)
+            print(json.dumps({"declared": True, "version": v}))
+        else:
+            print(json.dumps(auto_maintain(table, pol, dry_run=a.dry_run)))
     elif a.cmd == "stats":
         print(json.dumps(table.stats()))
     elif a.cmd == "rate":

@@ -80,6 +80,17 @@ class MaintenancePolicy:
     max_delta_depth: int = 8
     max_dirty_buckets: int = 64
     compact_budget_buckets: int | None = 64
+    # Tombstone reclaim is NOT a routine service: dropping a tombstone
+    # before the stream's lateness horizon lets a late/replayed event
+    # resurrect the deleted key (the engine's core dominance rule depends
+    # on the tombstone being there to lose against). An unattended loop —
+    # especially one riding the ingest via maintain_every, where segment
+    # replays are NORMAL — must keep them; reclaim is an operator decision
+    # (True here, or an explicit compact(drop_tombstones=True)) once the
+    # horizon has passed. Found by an end-to-end replay check: the old
+    # always-True default resurrected a deleted conversation when a
+    # service sweep landed between a delete and its segment's replay.
+    compact_drop_tombstones: bool = False
     retain_snapshots: int = 5
     expire_slack: int = 2
     orphan_gc: bool = True
@@ -144,16 +155,23 @@ def _n_manifests(table: SnapshotParquetTable) -> int:
 
 def auto_maintain(
     table: SnapshotParquetTable,
-    policy: MaintenancePolicy = MaintenancePolicy(),
+    policy: MaintenancePolicy | None = None,
     dry_run: bool = False,
 ) -> dict:
     """Run every table service the policy says is due; return the decision
     record. Idempotent: a second call immediately after a full run is a
     metadata-only no-op (every action reports ``skipped`` with a reason).
 
+    ``policy=None`` resolves to the TABLE's declared policy
+    (:func:`set_table_policy` — the Delta table-properties pattern),
+    falling back to defaults when none is declared; an explicit policy
+    argument always wins.
+
     With ``dry_run=True`` nothing executes — the returned plan shows what
     WOULD run, for operators staging a maintenance window.
     """
+    if policy is None:
+        policy = table_policy(table) or MaintenancePolicy()
     s = table.stats()
     report: dict = {"version_before": s["version"], "dry_run": dry_run, "actions": {}}
 
@@ -253,6 +271,7 @@ def auto_maintain(
                "budget_buckets": policy.compact_budget_buckets}
         if not dry_run:
             table.compact(
+                drop_tombstones=policy.compact_drop_tombstones,
                 max_buckets=policy.compact_budget_buckets,
                 zorder_by=policy.zorder_by,
             )
@@ -344,3 +363,80 @@ def auto_maintain(
 
     report["version_after"] = table.stats()["version"] if not dry_run else s["version"]
     return report
+
+
+# ---------------------------------------------------------------- declared policy
+
+_TD_FIELDS = ("ttl_max_age",)          # timedelta-valued policy fields
+_SKIP_FIELDS = ("ttl_now",)            # runtime-injection only, never persisted
+
+
+def _policy_to_dict(policy: MaintenancePolicy) -> dict:
+    from dataclasses import fields as _fields
+
+    out = {}
+    for f in _fields(MaintenancePolicy):
+        if f.name in _SKIP_FIELDS:
+            continue
+        v = getattr(policy, f.name)
+        if f.name in _TD_FIELDS:
+            v = None if v is None else v.total_seconds()
+        elif isinstance(v, tuple):
+            v = list(v)
+        out[f.name] = v
+    return out
+
+
+def _policy_from_dict(d: dict) -> MaintenancePolicy:
+    from dataclasses import fields as _fields
+
+    kw = {}
+    for f in _fields(MaintenancePolicy):
+        if f.name in _SKIP_FIELDS or f.name not in d:
+            continue
+        v = d[f.name]
+        if f.name in _TD_FIELDS:
+            v = None if v is None else timedelta(seconds=v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kw[f.name] = v
+    return MaintenancePolicy(**kw)
+
+
+def set_table_policy(table: SnapshotParquetTable,
+                     policy: MaintenancePolicy | None) -> int:
+    """Persist ``policy`` ON the table — the Delta table-properties pattern
+    (``delta.deletedFileRetentionDuration`` and friends): retention and
+    service thresholds are declared once, on the table, and ANY maintenance
+    runner (``auto_maintain(table)`` with no policy argument, the CLI, the
+    in-stream ``maintain_every`` hook) applies the declared policy. The
+    block rides the manifest like the engine/normalize blocks, so it
+    survives every commit, clone, and branch; ``ttl_now`` is never
+    persisted (a frozen clock in table metadata would silently pin the
+    retention horizon). ``policy=None`` clears the declaration.
+
+    Metadata-only commit (the rename/DDL shape); returns the new version."""
+    import time as _time
+    import uuid as _uuid
+
+    cur = table.manifest()
+    m = dict(cur)
+    m["version"] = table._alloc_version()
+    m["snapshot_id"] = _uuid.uuid4().hex
+    m["parent_snapshot_id"] = cur["snapshot_id"]
+    m["parent_version"] = cur["version"]
+    d = None if policy is None else _policy_to_dict(policy)
+    if d is None:
+        m.pop("maintenance", None)
+    else:
+        m["maintenance"] = d
+    m["summary"] = {"op": "set_policy", "policy": d}
+    m["committed_at"] = _time.time()
+    table._commit(m, expected_ref=cur["version"])
+    return m["version"]
+
+
+def table_policy(table: SnapshotParquetTable) -> MaintenancePolicy | None:
+    """The table's declared maintenance policy, or None."""
+    d = table.manifest().get("maintenance")
+    return None if d is None else _policy_from_dict(d)

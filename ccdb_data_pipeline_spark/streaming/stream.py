@@ -76,7 +76,8 @@ def start_ingest(
 
     maintain_every: the full-service generalization of ``compact_every``
     — after every N applied micro-batches run ``auto_maintain`` with
-    ``maintain_policy`` (default ``MaintenancePolicy()``), so a
+    ``maintain_policy`` (None = the table's DECLARED policy via
+    ``set_table_policy``, else the defaults), so a
     long-running stream also gets snapshot expiry, orphan GC, the
     bucket-count advisor, and row-level TTL ageing without an external
     scheduler. Safe at any cadence: every auto_maintain decision is
@@ -185,9 +186,11 @@ def start_ingest(
             applied_since_maintain[0] += 1
             if applied_since_maintain[0] >= maintain_every:
                 applied_since_maintain[0] = 0
-                from ..plans.maintenance import MaintenancePolicy, auto_maintain
+                from ..plans.maintenance import auto_maintain
 
-                auto_maintain(table, maintain_policy or MaintenancePolicy())
+                # None resolves to the TABLE's declared policy
+                # (set_table_policy), else the defaults
+                auto_maintain(table, maintain_policy)
         if on_batch is not None:
             on_batch(stats)
 

@@ -333,3 +333,76 @@ def test_ttl_rejects_non_temporal_column_and_bad_mode(spark, tmp_path):
         auto_maintain(t, MaintenancePolicy(**{**TTL_ONLY, "ttl_column": "role"}))
     with pytest.raises(ValueError, match="ttl_mode"):
         auto_maintain(t, MaintenancePolicy(**{**TTL_ONLY, "ttl_mode": "soft"}))
+
+
+# ------------------------------------------------------- declared policy
+
+from ccdb_data_pipeline_spark.plans.maintenance import (  # noqa: E402
+    set_table_policy,
+    table_policy,
+)
+
+
+def test_declared_policy_drives_policyless_maintain(spark, tmp_path):
+    """set_table_policy persists the policy ON the table (manifest block,
+    metadata-only commit); auto_maintain with no policy argument applies
+    it, the declaration survives later data commits, an explicit argument
+    overrides it, and clearing restores defaults."""
+    t = _ttl_table(spark, tmp_path, lambda i: OLD if i % 2 == 0 else YOUNG)
+    assert table_policy(t) is None
+    pol = MaintenancePolicy(**TTL_ONLY)
+    set_table_policy(t, pol)
+    got = table_policy(t)
+    assert got.ttl_column == "ts" and got.ttl_max_age == pol.ttl_max_age
+    assert got.ttl_now is None  # runtime clock never persisted
+
+    # ttl_now rides only the explicit argument — declare the cutoff-free
+    # fields and pass the frozen clock at run time for this test
+    r = auto_maintain(t, MaintenancePolicy(**TTL_ONLY))
+    assert r["actions"]["ttl"]["run"]
+    assert t.read().count() == 20
+
+    # the declaration survives a data commit
+    ch = pd.DataFrame(
+        [(500, "I", "zz", 0, "user", "new", None, YOUNG)],
+        columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    apply_changes(t, spark.createDataFrame(ch, CHANGE_SCHEMA), batch_id=1)
+    assert table_policy(t).ttl_column == "ts"
+
+    # policy-less maintain resolves the declared policy (wall clock is far
+    # past OLD/YOUNG, so the declared 30-day TTL ages everything out)
+    r2 = auto_maintain(t)
+    assert r2["actions"].get("ttl") is not None
+
+    # explicit argument overrides the declaration
+    r3 = auto_maintain(t, MaintenancePolicy(max_delta_depth=99,
+                                            max_dirty_buckets=9999,
+                                            retain_snapshots=50))
+    assert "ttl" not in r3["actions"]
+
+    # clearing the declaration restores defaults
+    set_table_policy(t, None)
+    assert table_policy(t) is None
+    assert "ttl" not in auto_maintain(t, dry_run=True)["actions"]
+
+
+def test_declared_policy_round_trips_every_field(spark, tmp_path):
+    from datetime import timedelta as _td
+
+    t = _ttl_table(spark, tmp_path, lambda i: YOUNG)
+    pol = MaintenancePolicy(
+        max_delta_depth=3, max_dirty_buckets=7, compact_budget_buckets=None,
+        retain_snapshots=9, expire_slack=1, orphan_gc=False,
+        zorder_by=("role", "ts"), target_rows_per_bucket=1000,
+        rebucket_min_factor=3.0, rebucket_execute=False, rebucket_max_rows=5,
+        ttl_column="ts", ttl_max_age=_td(days=2.5), ttl_mode="cdc",
+    )
+    set_table_policy(t, pol)
+    got = table_policy(t)
+    from dataclasses import fields as _fields
+
+    for f in _fields(MaintenancePolicy):
+        if f.name == "ttl_now":
+            continue
+        assert getattr(got, f.name) == getattr(pol, f.name), f.name

@@ -174,3 +174,38 @@ def test_mid_stream_maintenance_delete_never_swallows_a_batch(spark, tmp_path):
     exp = replay(seed, [ch])
     exp = exp[exp["ts"].isna()].reset_index(drop=True)
     assert_tables_equal(table_to_pandas(t.read()), exp)
+
+
+def test_service_sweeps_keep_tombstones_under_segment_replay(spark, tmp_path):
+    """A maintenance sweep landing between a delete and its segment's
+    REPLAY must not reclaim the tombstone — the replayed (lower-dominance)
+    event would resurrect the deleted key. Pins auto_maintain's
+    compact_drop_tombstones=False default under the worst cadence
+    (maintain after every batch, declared-policy-driven) with a replayed
+    segment in the stream."""
+    from ccdb_data_pipeline_spark.plans.maintenance import (
+        MaintenancePolicy,
+        set_table_policy,
+    )
+
+    seed = gen_seed_pandas(n_convs=50, seed=42)
+    ch = gen_changes_pandas(2000, n_convs=50, seed=42)
+    binlog = os.path.join(str(tmp_path), "binlog")
+    write_segments(ch, binlog, n_segments=8, replay_segment=2)  # segment replayed
+    t = SnapshotParquetTable(
+        spark, os.path.join(str(tmp_path), "t"),
+        TableSpec(num_buckets=8, merge_mode="mor"),
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    bootstrap_seed(t, spark.createDataFrame(seed, TRANSCRIPT_SCHEMA))
+    set_table_policy(t, MaintenancePolicy(
+        max_delta_depth=1, max_dirty_buckets=1, retain_snapshots=50,
+    ))
+    run_ingest(
+        spark, binlog, t, os.path.join(str(tmp_path), "ckpt"),
+        max_files_per_trigger=2, maintain_every=1,  # policy-less: declared drives it
+    )
+    ops = [m.get("summary", {}).get("op") for m in t.history()]
+    assert ops.count("compact") >= 3  # the declared policy really ran
+    assert t.read().filter("conv_id = 'conv-edge'").count() == 0  # no resurrection
+    assert_tables_equal(table_to_pandas(t.read()), replay(seed, [ch]))
